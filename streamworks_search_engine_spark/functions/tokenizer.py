@@ -1,0 +1,113 @@
+"""Code-aware tokenizer — the frozen spec that pins every downstream number.
+
+Re-specifies the reference tokenizer chain (Jsoup tag extraction +
+CoreNLP ``tokenize,ssplit,pos,lemma`` — /root/reference
+backend/src/main/java/indexer/nlp/Lemmatizer.java:11-27, hit emission
+backend/src/main/java/edu/upenn/cis455/mapreduce/job/ShortDocIndex.java:81-104)
+for a source-code corpus, per FIXTURES.md §2:
+
+1. split camelCase boundaries (``fooBar`` -> ``foo``, ``Bar``;
+   ``HTMLParser`` -> ``HTML``, ``Parser``),
+2. split on any run of non-alphanumeric chars (covers snake_case and
+   punctuation),
+3. lowercase (subsumes the reference's 4 case-variant query expansion,
+   indexer/scorer/IndexScorer.java:258-273),
+4. drop digits-only tokens, tokens of length < 2 or > 64, and
+   stopwords (30 English + per-``lang`` keyword lists frozen in
+   fixtures/stopwords.json),
+5. position = 0-based index in the post-filter token stream.
+
+The pure-Python ``tokenize`` (used by the oracle) and the Arrow-batched
+``tokenize_series`` (used by the Spark pandas UDF) share the exact same
+regex passes and filter, so token streams are byte-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import pandas as pd
+
+_STOPWORDS_PATH = Path(__file__).resolve().parents[2] / "fixtures" / "stopwords.json"
+
+with open(_STOPWORDS_PATH) as _f:
+    _RAW = json.load(_f)
+
+ENGLISH_STOPWORDS = frozenset(_RAW["english"])
+
+# lang -> frozen stopword set (english ∪ lang keywords); "" -> english only.
+STOPWORDS_BY_LANG: dict[str, frozenset[str]] = {
+    lang: frozenset(_RAW["english"]) | frozenset(words)
+    for lang, words in _RAW.items()
+    if lang != "english"
+}
+STOPWORDS_BY_LANG[""] = ENGLISH_STOPWORDS
+
+# camelCase boundary passes (order: ACRONYMWord first, then lowerUpper)
+_CAMEL_ACRONYM = re.compile(r"([A-Z]+)([A-Z][a-z])")
+_CAMEL_LOWER_UPPER = re.compile(r"([a-z0-9])([A-Z])")
+_WORD = re.compile(r"[A-Za-z0-9]+")
+
+MIN_TOKEN_LEN = 2
+MAX_TOKEN_LEN = 64
+
+
+def _stopset(lang: str) -> frozenset[str]:
+    return STOPWORDS_BY_LANG.get(lang, ENGLISH_STOPWORDS)
+
+
+def _filter(raw_tokens: list[str], stops: frozenset[str]) -> list[str]:
+    return [
+        t
+        for t in (r.lower() for r in raw_tokens)
+        if MIN_TOKEN_LEN <= len(t) <= MAX_TOKEN_LEN
+        and not t.isdigit()
+        and t not in stops
+    ]
+
+
+def tokenize(text: str | None, lang: str = "") -> list[str]:
+    """Pure-Python tokenizer (oracle side)."""
+    if not text:
+        return []
+    text = _CAMEL_ACRONYM.sub("\\1\x00\\2", text)
+    text = _CAMEL_LOWER_UPPER.sub("\\1\x00\\2", text)
+    return _filter(_WORD.findall(text), _stopset(lang))
+
+
+def tokenize_series(texts: pd.Series, langs: pd.Series | None = None) -> pd.Series:
+    """Arrow-batched tokenizer (Spark pandas-UDF side).
+
+    The regex passes run vectorized over the whole batch; only the final
+    stopword/length filter is a per-row list comprehension (cheap: it
+    touches tokens, not characters).
+    """
+    s = texts.fillna("")
+    s = s.str.replace(_CAMEL_ACRONYM, "\\1\x00\\2", regex=True)
+    s = s.str.replace(_CAMEL_LOWER_UPPER, "\\1\x00\\2", regex=True)
+    raw = s.str.findall(_WORD)
+    if langs is None:
+        stops = ENGLISH_STOPWORDS
+        return raw.map(lambda toks: _filter(toks, stops))
+    lang_values = langs.fillna("").to_numpy()
+    return pd.Series(
+        [_filter(toks, _stopset(lang)) for toks, lang in zip(raw, lang_values)],
+        index=texts.index,
+    )
+
+
+def make_tokens_udf():
+    """Returns a pandas UDF ``(content, lang) -> array<string>``.
+
+    Lazy import so the oracle can use this module without pyspark.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tokens_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+        return tokenize_series(content, lang)
+
+    return tokens_udf

@@ -1,0 +1,170 @@
+"""Inverted-index build — the Spark-first restatement of the reference's
+MapReduce topology (SURVEY.md §3.1).
+
+The reference runs: spout HTML-extract -> fieldsGrouping shuffle ->
+IndexMapBolt (CoreNLP lemmatize + hit emission) -> fieldsGrouping shuffle ->
+IndexReduceBolt (BDB sort-based groupBy -> tf/df) -> IndexUpdateBolt (lexicon
+merge) -> MySQL sync (idf/ntf SQL finalization)
+(/root/reference backend/src/main/java/edu/upenn/cis/stormlite/...,
+edu/upenn/cis455/mapreduce/..., indexer/IndexMySQLStorage.java:417-470).
+
+Here the whole thing is ONE DataFrame lineage with ONE wide shuffle:
+tokenize (Arrow pandas UDF, doc-local) -> posexplode -> groupBy(term, doc_id)
+(hash agg w/ map-side combine; doc_id in the grouping key spreads hot terms
+across partitions — natural salting) -> lexicon / doclen aggregations.
+EOS barriers (ConsensusTracker.java:38-53) become Spark stage boundaries;
+BDB spill becomes Spark's spill; the MySQL finalization SQL becomes two more
+aggregations in the same lineage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import make_tokens_udf
+
+K1 = 1.2
+B = 0.75
+
+
+def with_doc_id(docs_df: DataFrame) -> DataFrame:
+    """Derive deterministic doc_id + content_sha256 (FIXTURES.md §1), JVM-side.
+
+    doc_id = lower 63 bits of the first 8 bytes of
+    sha256(repo || '\\x00' || path || '\\x00' || commit) — replaces the
+    reference's upload-order counter (crawler/UploadCrawl.java:61-116).
+    Computed from two 32-bit halves because conv() parses unsigned hex
+    into a string and a 16-hex-digit value can exceed signed-long range.
+    """
+    h = F.sha2(
+        F.concat(
+            F.col("repo"), F.lit("\x00"), F.col("path"), F.lit("\x00"), F.col("commit")
+        ),
+        256,
+    )
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return docs_df.withColumn("doc_id", hi * F.lit(4294967296) + lo).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+
+
+@dataclass
+class IndexTables:
+    """Build outputs (FIXTURES.md §3). All lazily-evaluated DataFrames."""
+
+    postings: DataFrame  # (term, doc_id, tf, positions array<int>, doc_len)
+    lexicon: DataFrame  # (term, df, idf)
+    doclen: DataFrame  # (doc_id, doc_len)
+    docs_dim: DataFrame  # (doc_id, repo, path, commit, lang, doc_len, content_sha256)
+    n_docs: int
+    avgdl: float
+
+
+def tokenized(docs_df: DataFrame) -> DataFrame:
+    """(doc_id, content_sha256, repo..., tokens array<string>)."""
+    tokens_udf = make_tokens_udf()
+    return with_doc_id(docs_df).withColumn(
+        "tokens", tokens_udf(F.col("content"), F.col("lang"))
+    )
+
+
+def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
+    """Flat (uncompressed) index build — M1 of SURVEY.md §7.2.
+
+    Mirrors reference stages:
+      posexplode == hit emission (job/ShortDocIndex.java:81-104, M2)
+      groupBy(term, doc_id).count == tf reduce (IndexReduceBolt.java:222-239, A2)
+      groupBy(term).count == df / lexicon merge (IndexUpdateBolt.java:136-143, A3+A4)
+      idf formula per BM25 spec (replaces IndexMySQLStorage.updateIDF:376-415, A6)
+      doc_len/avgdl replaces the L2 ntf norm (updateTFIDF:426-436, A5)
+    """
+    toks = tokenized(docs_df).persist()
+
+    doclen = toks.select("doc_id", F.size("tokens").alias("doc_len"))
+    docs_dim = toks.select(
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.size("tokens").alias("doc_len"),
+        "content_sha256",
+    )
+
+    stats_row = doclen.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+
+    hits = toks.select(
+        "doc_id",
+        F.size("tokens").alias("doc_len"),
+        F.posexplode("tokens").alias("pos", "term"),
+    )
+    # ONE wide shuffle: (term, doc_id) hash agg with map-side partial combine.
+    postings = hits.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+        F.first("doc_len").alias("doc_len"),
+    )
+
+    lexicon = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+
+    return IndexTables(
+        postings=postings,
+        lexicon=lexicon,
+        doclen=doclen,
+        docs_dim=docs_dim,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+def write_index(index: IndexTables, out_dir: str, term_buckets: int = 32) -> None:
+    """Persist index tables as parquet, postings hash-distributed by term.
+
+    At cluster scale this is an Iceberg table with ``bucket(N, term)``
+    partitioning (mirrors the reference's 12 hash shards,
+    indexer/scorer/IndexScorer.java:612-625); parquet + repartition(term)
+    is the sandbox stand-in (Iceberg jars not in the image).
+    """
+    index.postings.repartition(term_buckets, "term").write.mode("overwrite").parquet(
+        f"{out_dir}/postings"
+    )
+    index.lexicon.write.mode("overwrite").parquet(f"{out_dir}/lexicon")
+    index.doclen.write.mode("overwrite").parquet(f"{out_dir}/doclen")
+    index.docs_dim.write.mode("overwrite").parquet(f"{out_dir}/docs_dim")
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+
+
+def assert_content_sha256(docs_df: DataFrame, docs_dim: DataFrame) -> int:
+    """Per-row invariant from BASELINE.json input_hint: sha256(content) of the
+    source table must equal what the build recorded. Returns #mismatches (0 ok).
+    """
+    src = with_doc_id(docs_df).select(
+        "doc_id", F.col("content_sha256").alias("src_sha")
+    )
+    joined = docs_dim.join(src, "doc_id", "full_outer")
+    return joined.filter(
+        F.col("content_sha256").isNull()
+        | F.col("src_sha").isNull()
+        | (F.col("content_sha256") != F.col("src_sha"))
+    ).count()

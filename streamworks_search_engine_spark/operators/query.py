@@ -1,0 +1,212 @@
+"""BM25 top-k query engine — Spark restatement of the reference query path
+(SURVEY.md §3.2).
+
+Reference: lemmatize query -> lexicon semi-join (MatchHandler.java:186-213) ->
+left-deep SQL join chain per term (conjunctive intersection,
+MatchHandler.java:317-335,448-456) -> app-side sort (SearchHandler.java:144).
+
+Here: tokenizer-normalize terms -> prune against the lexicon (an IN-list
+filter that Catalyst pushes into the parquet/Iceberg scan; with term-bucketed
+postings this is partition pruning, mirroring the reference's 12 hash shards,
+IndexScorer.java:612-625) -> conjunctive intersection via
+``groupBy(doc_id).having(count == n_terms)`` (equivalent to the reference's
+chained inner joins but ONE shuffle instead of n-1 joins) -> vectorized BM25
+-> ``orderBy(score desc, doc_id asc).limit(k)`` (TakeOrderedAndProject).
+
+Determinism: term contributions are summed in sorted-term order via
+``sort_array(collect_list(struct(term, contrib)))`` + ``F.aggregate`` so the
+float64 result is bit-identical to the oracle regardless of task scheduling.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class SearchIndex:
+    postings: DataFrame  # flat: (term, doc_id, tf, positions, doc_len)
+    lexicon: DataFrame  # (term, df, idf)
+    doclen: DataFrame
+    docs_dim: DataFrame | None
+    n_docs: int
+    avgdl: float
+    packed: DataFrame | None = None  # block-packed postings (operators.postings)
+
+
+def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    import os
+
+    packed = None
+    if os.path.isdir(f"{index_dir}/postings_packed"):
+        packed = spark.read.parquet(f"{index_dir}/postings_packed")
+    docs_dim = None
+    if os.path.isdir(f"{index_dir}/docs_dim"):
+        docs_dim = spark.read.parquet(f"{index_dir}/docs_dim")
+    return SearchIndex(
+        postings=spark.read.parquet(f"{index_dir}/postings"),
+        lexicon=spark.read.parquet(f"{index_dir}/lexicon"),
+        doclen=spark.read.parquet(f"{index_dir}/doclen"),
+        docs_dim=docs_dim,
+        n_docs=int(stats["n_docs"]),
+        avgdl=float(stats["avgdl"]),
+        packed=packed,
+    )
+
+
+def normalize_terms(raw_terms: list[str]) -> list[str]:
+    """Query terms pass through the same tokenizer as documents; dedup+sort
+    (canonical summation order)."""
+    out: set[str] = set()
+    for t in raw_terms:
+        out.update(tokenize(t, ""))
+    return sorted(out)
+
+
+def surviving_terms(index: SearchIndex, terms: list[str]) -> list[tuple[str, float]]:
+    """Lexicon semi-join (F1/J4): drop terms with no postings. Tiny result —
+    collected to the driver (k terms), the moral equivalent of broadcasting."""
+    if not terms:
+        return []
+    rows = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf")
+        .collect()
+    )
+    return sorted([(r["term"], float(r["idf"])) for r in rows])
+
+
+def _bm25_contrib(idf_col, tf_col, dl_col, avgdl: float):
+    return (
+        idf_col
+        * tf_col.cast("double")
+        * F.lit(K1 + 1.0)
+        / (
+            tf_col.cast("double")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * dl_col.cast("double") / F.lit(avgdl))
+        )
+    )
+
+
+def _score_and_topk(
+    scored_terms: DataFrame, n_terms: int, k: int | None
+) -> DataFrame:
+    """scored_terms: (term, doc_id, contrib). Conjunctive intersection +
+    canonical-order sum + deterministic top-k."""
+    agg = scored_terms.groupBy("doc_id").agg(
+        F.count("*").alias("n_matched"),
+        F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"),
+    )
+    scored = (
+        agg.filter(F.col("n_matched") == n_terms)
+        .withColumn(
+            "score",
+            F.aggregate(
+                "parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+            ),
+        )
+        .select("doc_id", "score")
+    )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    if k is not None:
+        ordered = ordered.limit(k)
+    # rank over <= k rows (post-limit), single partition is fine
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
+def bm25_topk(
+    index: SearchIndex, raw_terms: list[str], k: int | None = 10
+) -> DataFrame:
+    """Flat-postings BM25 top-k. Returns (rank, doc_id, score)."""
+    spark = index.postings.sparkSession
+    terms = normalize_terms(raw_terms)
+    survivors = surviving_terms(index, terms)
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    if not survivors:
+        return empty
+
+    term_list = [t for t, _ in survivors]
+    idf_map = F.create_map(
+        *[x for t, idf in survivors for x in (F.lit(t), F.lit(idf))]
+    )
+    # IN-list filter pushes into the scan; bucketed-by-term layout prunes files
+    hits = index.postings.filter(F.col("term").isin(term_list)).select(
+        "term",
+        "doc_id",
+        _bm25_contrib(
+            idf_map[F.col("term")], F.col("tf"), F.col("doc_len"), index.avgdl
+        ).alias("contrib"),
+    )
+    return _score_and_topk(hits, len(term_list), k)
+
+
+def tfidf_reference_topk(
+    index: SearchIndex, raw_terms: list[str], k: int | None = 10
+) -> DataFrame:
+    """Secondary scorer for capability parity: the reference's ntf·idf
+    (IndexMySQLStorage.java:417-470; MatchHandler.java:358-362):
+    ntf = sqrt(tf²/Σ_d tf²), idf = ln(N/df), score = Σ ntf·idf, conjunctive.
+    """
+    spark = index.postings.sparkSession
+    terms = normalize_terms(raw_terms)
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    lex = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    survivors = sorted([(r["term"], int(r["df"])) for r in lex])
+    if not survivors:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
+    # Σ tf² per doc over all its terms (the reference's GROUP BY docID update)
+    sumsq = index.postings.groupBy("doc_id").agg(
+        F.sum(F.col("tf").cast("double") * F.col("tf")).alias("sumsq")
+    )
+    idf_map = F.create_map(
+        *[
+            x
+            for t, df_ in survivors
+            for x in (F.lit(t), F.lit(float(__import__("math").log(index.n_docs / df_))))
+        ]
+    )
+    term_list = [t for t, _ in survivors]
+    hits = (
+        index.postings.filter(F.col("term").isin(term_list))
+        .join(sumsq, "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.sqrt(
+                    F.col("tf").cast("double") * F.col("tf") / F.col("sumsq")
+                )
+                * idf_map[F.col("term")]
+            ).alias("contrib"),
+        )
+    )
+    return _score_and_topk(hits, len(term_list), k)
+
+
+def topk_with_metadata(index: SearchIndex, raw_terms: list[str], k: int = 10) -> DataFrame:
+    """J3 analog: attach docs_dim metadata to the scored top-k
+    (MatchHandler.joinDocInfo:466-474). Broadcast the tiny top-k side."""
+    topk = bm25_topk(index, raw_terms, k)
+    if index.docs_dim is None:
+        return topk
+    return index.docs_dim.join(F.broadcast(topk), "doc_id").select(
+        "rank", "doc_id", "score", "repo", "path", "lang"
+    ).orderBy("rank")

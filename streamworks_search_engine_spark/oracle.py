@@ -1,0 +1,149 @@
+"""Pure-Python single-process oracle (ground truth for rank-identity tests).
+
+The reference repo ships no golden outputs (its only tests are URL parsers,
+/root/reference backend/src/test/java/URLInfoTests.java), so per SURVEY.md §5
+this oracle *defines* the fixtures: exact tokenizer (shared module), tf/df/
+doc_len, BM25 (k1=1.2, b=0.75, FIXTURES.md §4), conjunctive multi-term
+semantics mirroring the reference's inner-join intersection
+(backend/src/main/java/indexer/handlers/MatchHandler.java:448-456), lexicon
+semi-join drop of unknown terms (MatchHandler.java:186-213), empty result when
+no term survives (MatchHandler.java:122-125), and the determinism rule
+``score DESC, doc_id ASC`` (the reference leaves SQL order undefined —
+ORDER BY commented out, MatchHandler.java:332).
+
+Everything here is float64 and sums term contributions in sorted-term order,
+matching the Spark engine's canonical summation order.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .functions.tokenizer import tokenize
+from .sources.corpus import content_sha256, doc_id_of
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class OracleIndex:
+    # term -> {doc_id -> tf}
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    # term -> {doc_id -> [positions]}
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+    doclen: dict[int, int] = field(default_factory=dict)
+    docs_dim: dict[int, dict] = field(default_factory=dict)
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doclen)
+
+    @property
+    def avgdl(self) -> float:
+        if not self.doclen:
+            return 0.0
+        return sum(self.doclen.values()) / len(self.doclen)
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def idf(self, term: str) -> float:
+        d = self.df(term)
+        return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+
+
+def build_index(rows: list[dict]) -> OracleIndex:
+    """rows: (repo, path, commit, lang, content) dicts."""
+    idx = OracleIndex()
+    for row in rows:
+        did = doc_id_of(row["repo"], row["path"], row["commit"])
+        toks = tokenize(row["content"], row["lang"])
+        idx.doclen[did] = len(toks)
+        idx.docs_dim[did] = {
+            "doc_id": did,
+            "repo": row["repo"],
+            "path": row["path"],
+            "commit": row["commit"],
+            "lang": row["lang"],
+            "doc_len": len(toks),
+            "content_sha256": content_sha256(row["content"]),
+        }
+        for pos, t in enumerate(toks):
+            idx.postings.setdefault(t, {}).setdefault(did, 0)
+            idx.postings[t][did] += 1
+            idx.positions.setdefault(t, {}).setdefault(did, []).append(pos)
+    return idx
+
+
+def _bm25_term(idx: OracleIndex, term: str, doc_id: int, avgdl: float) -> float:
+    tf = idx.postings[term][doc_id]
+    dl = idx.doclen[doc_id]
+    return (
+        idx.idf(term)
+        * tf
+        * (K1 + 1.0)
+        / (tf + K1 * (1.0 - B + B * dl / avgdl))
+    )
+
+
+def normalize_query(raw_terms: list[str]) -> list[str]:
+    """Query terms go through the same tokenizer (lowercase, splits, filters)."""
+    out: list[str] = []
+    for t in raw_terms:
+        out.extend(tokenize(t, ""))
+    return out
+
+
+def bm25_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list[tuple[int, int, float]]:
+    """Returns [(rank, doc_id, score)], rank 1-based.
+
+    Conjunctive: doc must contain *all* surviving query terms. Terms absent
+    from the lexicon are dropped first; no surviving term -> empty.
+    """
+    terms = sorted({t for t in normalize_query(raw_terms) if t in idx.postings})
+    if not terms:
+        return []
+    doc_sets = [set(idx.postings[t].keys()) for t in terms]
+    docs = set.intersection(*doc_sets)
+    if not docs:
+        return []
+    avgdl = idx.avgdl
+    scored = []
+    for d in docs:
+        s = 0.0
+        for t in terms:  # sorted-term order == canonical summation order
+            s += _bm25_term(idx, t, d, avgdl)
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
+
+
+def tfidf_reference_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list[tuple[int, int, float]]:
+    """Secondary scorer: the reference's ntf·idf formula
+    (IndexMySQLStorage.java:417-470; MatchHandler.java:358-362):
+    ntf = sqrt(tf² / Σ_{t'∈d} tf²), idf = ln(N / df), score = Σ ntf·idf.
+    """
+    terms = sorted({t for t in normalize_query(raw_terms) if t in idx.postings})
+    if not terms:
+        return []
+    docs = set.intersection(*[set(idx.postings[t].keys()) for t in terms])
+    if not docs:
+        return []
+    # Σ tf² per doc over *all* terms in the doc
+    sumsq: dict[int, float] = {}
+    for t, plist in idx.postings.items():
+        for d, tf in plist.items():
+            sumsq[d] = sumsq.get(d, 0.0) + float(tf) * tf
+    n = idx.n_docs
+    scored = []
+    for d in docs:
+        s = 0.0
+        for t in terms:
+            tf = idx.postings[t][d]
+            ntf = math.sqrt(tf * tf / sumsq[d])
+            s += ntf * math.log(n / idx.df(t))
+        scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]

@@ -1,0 +1,140 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Schema mandated by BASELINE.json ``input_hint``:
+``(repo string, path string, commit string, lang string, content string)``.
+
+Replaces the reference's crawled-page input (DynamoDB ``CrawledDocuments_V2``,
+/root/reference backend/src/main/java/api/data/Document.java:13-17) with a
+seed-fixed generator: ~Zipfian file counts per repo, per-``lang`` keyword
+mixes, camelCase/snake_case identifiers, comments, string literals,
+numbers — so the tokenizer and hot-term (skew) paths are exercised.
+
+``doc_id`` = lower 63 bits of ``sha256(repo || '\\x00' || path || '\\x00'
+|| commit)`` — deterministic and order-independent, replacing the
+reference's upload-order counter (crawler/UploadCrawl.java:61-116).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+LANGS = ["python", "java", "js", "go", "c"]
+
+# identifier vocabulary — composed into camelCase / snake_case names
+_PARTS = [
+    "parse", "index", "token", "query", "score", "merge", "fetch", "cache",
+    "node", "graph", "hash", "block", "shard", "rank", "term", "doc",
+    "list", "tree", "heap", "sort", "util", "data", "file", "read",
+    "write", "buffer", "stream", "batch", "count", "max", "min", "scan",
+    "split", "join", "group", "state", "event", "worker", "task", "page",
+]
+
+_LANG_KEYWORDS = {
+    "python": ["def", "return", "import", "class", "self", "for", "in", "if"],
+    "java": ["public", "static", "void", "int", "return", "new", "class", "final"],
+    "js": ["function", "const", "let", "return", "async", "await", "export"],
+    "go": ["func", "package", "return", "var", "range", "defer", "struct"],
+    "c": ["int", "void", "return", "static", "struct", "sizeof", "char"],
+}
+
+_COMMENT_LEAD = {"python": "#", "java": "//", "js": "//", "go": "//", "c": "//"}
+
+_EXT = {"python": "py", "java": "java", "js": "js", "go": "go", "c": "c"}
+
+_COMMENT_WORDS = [
+    "returns", "computes", "the", "result", "over", "given", "input",
+    "sorted", "inverted", "posting", "frequency", "document", "engine",
+    "partition", "shuffle", "lazily", "eagerly", "threadsafe", "helper",
+]
+
+
+def doc_id_of(repo: str, path: str, commit: str) -> int:
+    """Lower 63 bits of sha256(repo \\x00 path \\x00 commit)."""
+    h = hashlib.sha256(
+        repo.encode() + b"\x00" + path.encode() + b"\x00" + commit.encode()
+    ).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def content_sha256(content: str) -> str:
+    return hashlib.sha256(content.encode()).hexdigest()
+
+
+def _identifier(rng: random.Random, style: str) -> str:
+    n = rng.randint(2, 3)
+    parts = [rng.choice(_PARTS) for _ in range(n)]
+    # Zipfian-ish hot terms: re-draw from the head of the vocab often
+    if rng.random() < 0.5:
+        parts[0] = _PARTS[min(int(rng.expovariate(0.35)), len(_PARTS) - 1)]
+    if style == "camel":
+        return parts[0] + "".join(p.capitalize() for p in parts[1:])
+    return "_".join(parts)
+
+
+def _line(rng: random.Random, lang: str) -> str:
+    kind = rng.random()
+    kw = rng.choice(_LANG_KEYWORDS[lang])
+    style = "camel" if lang in ("java", "js") or rng.random() < 0.4 else "snake"
+    ident = _identifier(rng, style)
+    if kind < 0.15:
+        words = " ".join(rng.choice(_COMMENT_WORDS) for _ in range(rng.randint(3, 8)))
+        return f"{_COMMENT_LEAD[lang]} {words}"
+    if kind < 0.30:
+        return f'{ident} = "{rng.choice(_COMMENT_WORDS)}_{rng.randint(0, 999)}"'
+    if kind < 0.55:
+        arg1, arg2 = _identifier(rng, style), _identifier(rng, style)
+        return f"{kw} {ident}({arg1}, {arg2}):" if lang == "python" else f"{kw} {ident}({arg1}, {arg2}) {{"
+    if kind < 0.8:
+        return f"    {ident} = {_identifier(rng, style)}({rng.randint(0, 4096)})"
+    return f"    return {ident} + {rng.randint(1, 64)}"
+
+
+def generate_corpus(n_files: int, seed: int = 42) -> list[dict]:
+    """Deterministic list of rows (repo, path, commit, lang, content)."""
+    rng = random.Random(seed)
+    n_repos = max(2, n_files // 12)
+    repos = [f"org{i % 7}/proj{i}" for i in range(n_repos)]
+    commits = {r: "".join(rng.choice("0123456789abcdef") for _ in range(40)) for r in repos}
+    rows = []
+    seen_paths: set[tuple[str, str]] = set()
+    for i in range(n_files):
+        # ~Zipfian repo sizes: repo index drawn from an exponential
+        repo = repos[min(int(rng.expovariate(2.0 / n_repos)), n_repos - 1)]
+        lang = rng.choice(LANGS)
+        path = f"src/{rng.choice(_PARTS)}/{_identifier(rng, 'snake')}_{i}.{_EXT[lang]}"
+        if (repo, path) in seen_paths:
+            continue
+        seen_paths.add((repo, path))
+        n_lines = rng.randint(10, 400 if rng.random() < 0.1 else 60)
+        content = "\n".join(_line(rng, lang) for _ in range(n_lines))
+        rows.append(
+            {
+                "repo": repo,
+                "path": path,
+                "commit": commits[repo],
+                "lang": lang,
+                "content": content,
+            }
+        )
+    return rows
+
+
+def corpus_df(spark, n_files: int, seed: int = 42, partitions: int | None = None):
+    """Corpus as a Spark DataFrame with the input_hint schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("content", T.StringType(), False),
+        ]
+    )
+    rows = generate_corpus(n_files, seed)
+    df = spark.createDataFrame(rows, schema=schema)
+    if partitions:
+        df = df.repartition(partitions)
+    return df

@@ -1,0 +1,46 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from streamworks_search_engine_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="sse-tests", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def corpus_rows():
+    from streamworks_search_engine_spark.sources.corpus import generate_corpus
+
+    return generate_corpus(200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def oracle_index(corpus_rows):
+    from streamworks_search_engine_spark import oracle
+
+    return oracle.build_index(corpus_rows)
+
+
+@pytest.fixture(scope="session")
+def spark_index(spark, corpus_rows, tmp_path_factory):
+    """Built once: flat index over the 200-file sf-tiny corpus."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index,
+        write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 200, seed=42, partitions=8)
+    idx = build_index(spark, docs)
+    out = str(tmp_path_factory.mktemp("index") / "sf_tiny")
+    write_index(idx, out, term_buckets=8)
+    return load_index(spark, out)

@@ -1,0 +1,76 @@
+"""Index-build correctness vs the pure-Python oracle at sf-tiny (SURVEY.md §5
+layer 2): tf/df/idf/doc_len/positions equality + the sha256 per-row invariant.
+"""
+
+import math
+
+import pytest
+
+from streamworks_search_engine_spark.sources.corpus import doc_id_of
+
+
+def test_doc_id_spark_matches_python(spark, corpus_rows):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    docs = with_doc_id(corpus_df(spark, 200, seed=42))
+    got = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in docs.select("repo", "path", "doc_id").collect()
+    }
+    for row in corpus_rows:
+        assert got[(row["repo"], row["path"])] == doc_id_of(
+            row["repo"], row["path"], row["commit"]
+        )
+
+
+def test_stats_match(spark_index, oracle_index):
+    assert spark_index.n_docs == oracle_index.n_docs
+    assert spark_index.avgdl == pytest.approx(oracle_index.avgdl, abs=1e-9)
+
+
+def test_doclen_matches(spark_index, oracle_index):
+    got = {r["doc_id"]: r["doc_len"] for r in spark_index.doclen.collect()}
+    assert got == oracle_index.doclen
+
+
+def test_postings_tf_and_positions_match(spark_index, oracle_index):
+    rows = spark_index.postings.collect()
+    got_tf = {(r["term"], r["doc_id"]): r["tf"] for r in rows}
+    exp_tf = {
+        (t, d): tf
+        for t, plist in oracle_index.postings.items()
+        for d, tf in plist.items()
+    }
+    assert got_tf == exp_tf
+    got_pos = {(r["term"], r["doc_id"]): list(r["positions"]) for r in rows}
+    for (t, d), pos in got_pos.items():
+        assert pos == oracle_index.positions[t][d]
+
+
+def test_lexicon_df_idf_match(spark_index, oracle_index):
+    rows = spark_index.lexicon.collect()
+    assert {r["term"] for r in rows} == set(oracle_index.postings.keys())
+    for r in rows:
+        assert r["df"] == oracle_index.df(r["term"])
+        assert math.isclose(
+            r["idf"], oracle_index.idf(r["term"]), rel_tol=0, abs_tol=1e-12
+        )
+
+
+def test_content_sha256_invariant(spark, spark_index):
+    from streamworks_search_engine_spark.operators.indexer import (
+        assert_content_sha256,
+    )
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 200, seed=42)
+    assert assert_content_sha256(docs, spark_index.docs_dim) == 0
+
+
+def test_docs_dim_sha_matches_oracle(spark_index, oracle_index):
+    got = {
+        r["doc_id"]: r["content_sha256"] for r in spark_index.docs_dim.collect()
+    }
+    exp = {d: v["content_sha256"] for d, v in oracle_index.docs_dim.items()}
+    assert got == exp

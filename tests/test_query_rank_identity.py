@@ -1,0 +1,92 @@
+"""Query rank-identity vs oracle fixtures (SURVEY.md §5 layer 3).
+
+Covers FIXTURES.md §5 query classes: single term; 2-4 term conjunctive;
+term absent from lexicon (dropped); all-terms-absent (empty); hot term
+(max df); rarest term; mixed-case input; k in {1, 10, 100}; k > #matches.
+"""
+
+import math
+
+import pytest
+
+from streamworks_search_engine_spark import oracle as O
+
+
+def _query_set(oracle_index):
+    by_df = sorted(oracle_index.postings.items(), key=lambda kv: (len(kv[1]), kv[0]))
+    rare = by_df[0][0]
+    hot = by_df[-1][0]
+    mid = by_df[len(by_df) // 2][0]
+    # co-occurring terms: from the doc with the most tokens
+    big_doc = max(oracle_index.doclen, key=lambda d: (oracle_index.doclen[d], d))
+    doc_terms = sorted(
+        t for t, pl in oracle_index.postings.items() if big_doc in pl
+    )
+    co2, co3, co4 = doc_terms[:2], doc_terms[:3], doc_terms[:4]
+    return {
+        "single_hot": ([hot], 10),
+        "single_rare": ([rare], 10),
+        "single_mid_k1": ([mid], 1),
+        "single_mid_k100": ([mid], 100),
+        "conj2": (co2, 10),
+        "conj3": (co3, 10),
+        "conj4": (co4, 100),
+        "absent_dropped": ([hot, "zzqqxxnotaterm"], 10),
+        "all_absent": (["zzqqxxnotaterm", "qqzzyynotaterm"], 10),
+        "mixed_case": ([hot.upper()], 10),
+        "camel_query": ([hot[:1].upper() + hot[1:] + "Case"], 10),
+        "k_gt_matches": ([rare], 100),
+    }
+
+
+def _assert_rank_identical(got_rows, expected):
+    got = [(r["rank"], r["doc_id"], r["score"]) for r in got_rows]
+    got.sort()
+    assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in expected]
+    for (_, _, gs), (_, _, es) in zip(got, expected):
+        assert math.isclose(gs, es, rel_tol=0, abs_tol=1e-12), (gs, es)
+
+
+@pytest.mark.parametrize("qname", [
+    "single_hot", "single_rare", "single_mid_k1", "single_mid_k100",
+    "conj2", "conj3", "conj4", "absent_dropped", "all_absent",
+    "mixed_case", "camel_query", "k_gt_matches",
+])
+def test_bm25_rank_identity(qname, spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+
+    terms, k = _query_set(oracle_index)[qname]
+    expected = O.bm25_topk(oracle_index, terms, k)
+    got = bm25_topk(spark_index, terms, k).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_tfidf_reference_scorer(spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.query import (
+        tfidf_reference_topk,
+    )
+
+    qs = _query_set(oracle_index)
+    for qname in ("single_hot", "conj2", "conj3"):
+        terms, k = qs[qname]
+        expected = O.tfidf_reference_topk(oracle_index, terms, k)
+        got = tfidf_reference_topk(spark_index, terms, k).collect()
+        rows = sorted((r["rank"], r["doc_id"], r["score"]) for r in got)
+        assert [(r, d) for r, d, _ in rows] == [(r, d) for r, d, _ in expected]
+        for (_, _, gs), (_, _, es) in zip(rows, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9)
+
+
+def test_topk_with_metadata(spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.query import topk_with_metadata
+
+    qs = _query_set(oracle_index)
+    terms, k = qs["single_hot"]
+    rows = topk_with_metadata(spark_index, terms, k).collect()
+    expected = O.bm25_topk(oracle_index, terms, k)
+    assert [r["doc_id"] for r in rows] == [d for _, d, _ in expected]
+    for r in rows:
+        dim = oracle_index.docs_dim[r["doc_id"]]
+        assert (r["repo"], r["path"], r["lang"]) == (
+            dim["repo"], dim["path"], dim["lang"],
+        )

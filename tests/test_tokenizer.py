@@ -1,0 +1,74 @@
+"""Tokenizer spec tests (FIXTURES.md §2) + oracle/UDF byte-identity."""
+
+import pandas as pd
+
+from streamworks_search_engine_spark.functions.tokenizer import (
+    tokenize,
+    tokenize_series,
+)
+from streamworks_search_engine_spark.sources.corpus import generate_corpus
+
+
+def test_camel_case_split():
+    assert tokenize("fooBar") == ["foo", "bar"]
+    assert tokenize("parseHTMLDoc") == ["parse", "html", "doc"]
+    assert tokenize("HTMLParser") == ["html", "parser"]
+
+
+def test_snake_and_punct_split():
+    assert tokenize("foo_bar baz.qux(1)") == ["foo", "bar", "baz", "qux"]
+
+
+def test_lowercase():
+    assert tokenize("FooBAR Baz") == ["foo", "bar", "baz"]
+
+
+def test_digits_only_dropped():
+    assert tokenize("x42 4711 leet1337") == ["x42", "leet1337"]
+
+
+def test_length_bounds():
+    assert tokenize("a ab " + "z" * 64 + " " + "z" * 65) == ["ab", "z" * 64]
+
+
+def test_stopwords_english_and_lang():
+    # 'the' is an english stopword everywhere; 'def' only for python
+    assert tokenize("the def value", "python") == ["value"]
+    assert tokenize("the def value", "java") == ["def", "value"]
+    assert tokenize("the def value") == ["def", "value"]
+
+
+def test_empty_and_none():
+    assert tokenize("") == []
+    assert tokenize(None) == []
+    assert tokenize("... !!! 123") == []
+
+
+def test_series_matches_scalar_on_corpus():
+    rows = generate_corpus(100, seed=42)
+    texts = pd.Series([r["content"] for r in rows])
+    langs = pd.Series([r["lang"] for r in rows])
+    vec = tokenize_series(texts, langs)
+    for i, r in enumerate(rows):
+        assert list(vec.iloc[i]) == tokenize(r["content"], r["lang"])
+
+
+def test_udf_matches_oracle(spark, corpus_rows):
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+    from streamworks_search_engine_spark.functions.tokenizer import make_tokens_udf
+
+    docs = corpus_df(spark, 200, seed=42, partitions=4)
+    udf = make_tokens_udf()
+    got = {
+        (r["repo"], r["path"]): r["toks"]
+        for r in docs.select(
+            "repo", "path", udf(F.col("content"), F.col("lang")).alias("toks")
+        ).collect()
+    }
+    assert len(got) == len(corpus_rows)
+    for row in corpus_rows:
+        assert got[(row["repo"], row["path"])] == tokenize(
+            row["content"], row["lang"]
+        )
