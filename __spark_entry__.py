@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k over the sf0.001 documents
+table through the full engine path (Arrow tokenizer UDF -> inverted-index
+build -> lexicon semi-join -> conjunctive intersection -> BM25 -> top-k).
+
+``queries()`` / ``oracle_sql()`` pairs live in
+``streamworks_search_engine_spark.plans.entries`` — one entry per
+implemented operator family from SURVEY.md §2, each with a DuckDB-runnable
+ANSI-SQL oracle (pandas-UDF-hash ops are registered rows-only).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    import os
+
+    from streamworks_search_engine_spark.plans import entries
+
+    # workers must be able to import the package (driver may launch from
+    # any cwd); harmless if the session is already up.
+    os.environ.setdefault("PYTHONPATH", _REPO)
+    return entries.QUERIES["bm25_top10_conj2"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from streamworks_search_engine_spark.plans import entries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(entries.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible entry in queries()."""
+    from streamworks_search_engine_spark.plans import entries
+
+    return dict(entries.ORACLE_SQL)

@@ -1,0 +1,114 @@
+"""Headline benchmark: index-build throughput (files/sec) + BM25 top-k query
+latency at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-step sec...}, "sf": ..., "files_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+BM25_QUERIES = [
+    ["scan"],
+    ["scan", "merge"],
+    ["window", "filter", "stream"],
+    ["column", "order"],
+    ["spark", "query", "data"],
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index_from_tokens,
+        write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import (
+        bm25_topk,
+        load_index,
+    )
+    from streamworks_search_engine_spark.functions.tokenizer import make_tokens_udf
+    from streamworks_search_engine_spark.functions import dedup, similarity
+    from streamworks_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="sse-bench", cores=CPUS)
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_files = docs.count()
+
+    # --- index build (tokenize -> postings/lexicon/doclen -> parquet) ---
+    out_dir = tempfile.mkdtemp(prefix="sse_bench_index_")
+    t0 = time.time()
+    udf = make_tokens_udf()
+    toks = docs.select(
+        "doc_id", udf(F.col("text"), F.col("lang")).alias("tokens")
+    )
+    index = build_index_from_tokens(spark, toks)
+    write_index(index, out_dir, term_buckets=int(CPUS))
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
+
+    # --- BM25 top-k query latency (warm index) ---
+    si = load_index(spark, out_dir)
+    si.postings = si.postings.persist()
+    si.postings.count()  # warm cache
+    lat = []
+    for terms in BM25_QUERIES:
+        t0 = time.time()
+        bm25_topk(si, terms, k=10).collect()
+        lat.append(time.time() - t0)
+    for i, s in enumerate(lat):
+        timings[f"bm25_q{i + 1}"] = round(s, 3)
+    timings["bm25_p50"] = round(statistics.median(lat), 3)
+
+    # --- breadth: dedup + similarity ops ---
+    t0 = time.time()
+    dedup.exact_dup_flags(docs).count()
+    timings["dedup_exact"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.minhash_signatures(toks).count()
+    timings["minhash"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    t0 = time.time()
+    similarity.cosine_topk(emb, 0, k=20).collect()
+    timings["cosine_topk"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_bm25_topk",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": int(CPUS),
+                "n_files": n_files,
+                "files_per_sec": round(n_files / build_s, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

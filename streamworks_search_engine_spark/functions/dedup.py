@@ -1,0 +1,227 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket),
+SimHash, and n-gram Jaccard — all expressed with built-in DataFrame ops
+except SimHash (one Arrow-batched pandas UDF).
+
+The exact-dup flag generalizes the reference's MD5 content dedup
+(/root/reference backend/src/main/java/crawler/CrawlerDocument.java:45-58,
+Crawler.java:163-167) from a driver-side seen-set to a distributed window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dup_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, content_hash, is_dup): is_dup=1 unless this row is the canonical
+    (min id) holder of its hash. One shuffle on the hash."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .withColumn(
+            "is_dup",
+            (F.col(id_col) != F.min(id_col).over(w)).cast("long"),
+        )
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """n-gram shingles of a token array (empty when len < n). JVM-side."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j + 1) for j in range(n)]
+    )
+    return F.when(F.size(tokens) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(
+    toks_df: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, band_id, band_hash) — MinHash over the distinct-token set with
+    md5-lexicographic min per seed, banded for LSH.
+
+    Deterministic and engine-portable (md5 of the same string everywhere);
+    the per-seed min is a plain groupBy agg — map-side combine keeps the
+    shuffle at one row per (doc, seed).
+    """
+    terms = toks_df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(tokens_col))).alias("term")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("term")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    wide = terms.groupBy(id_col).agg(*aggs)
+    n_bands = n_hashes // band_size
+    stack_args = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        stack_args.append((F.lit(b).cast("long"), F.md5(F.concat(*cols))))
+    bands = F.array(
+        *[F.struct(bid.alias("band_id"), bh.alias("band_hash")) for bid, bh in stack_args]
+    )
+    return (
+        wide.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_bucket_counts(sigs: DataFrame) -> DataFrame:
+    """Candidate-duplicate buckets: (band_id, band_hash, n_docs) with >1 doc."""
+    return (
+        sigs.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_pairs(
+    toks_df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    round_digits: int = 6,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    Candidate generation is a shingle-bucket self-join (only pairs sharing
+    >= 1 shingle are materialized — the classic set-similarity-join prefix
+    idea), never an n² cross join.
+    """
+    sh = toks_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(tokens_col), n))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                round_digits,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def make_simhash_udf(bits: int = 64):
+    """Pandas UDF: token array -> SimHash (signed 64-bit long).
+
+    Per-batch: hash the batch's distinct tokens once (md5 -> first 8 bytes),
+    then numpy bit-vote per doc. Arrow-batched; the only python loop is over
+    distinct tokens, not rows*tokens.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def simhash(tokens: pd.Series) -> pd.Series:
+        vocab: dict[str, int] = {}
+        for toks in tokens:
+            for t in toks:
+                if t not in vocab:
+                    vocab[t] = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big"
+                    )
+        bit_cache = {
+            t: ((np.uint64(h) >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            * 2
+            - 1
+            for t, h in vocab.items()
+        }
+        out = np.zeros(len(tokens), dtype=np.int64)
+        for i, toks in enumerate(tokens):
+            if len(toks) == 0:
+                out[i] = 0
+                continue
+            votes = np.zeros(bits, dtype=np.int64)
+            for t in toks:
+                votes += bit_cache[t]
+            sig = np.uint64(0)
+            for j in range(bits):
+                if votes[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig)
+        return pd.Series(out, index=tokens.index)
+
+    return simhash
+
+
+def simhash_near_dup_pairs(
+    toks_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit signature into 4 x 16-bit chunks;
+    by pigeonhole, any pair within hamming distance 3 shares a chunk —
+    candidates via chunk-bucket join, verified with bit_count(xor)."""
+    simhash = make_simhash_udf()
+    sigs = toks_df.select(
+        F.col(id_col).alias("id"), simhash(F.col(tokens_col)).alias("sig")
+    )
+    chunks = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("sig"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sig", "c.chunk_id", "c.chunk")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_id", "chunk"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_id", "chunk"
+    )
+    cand = (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,156 @@
+"""Embedding similarity search — JVM-side vector math + LSH ANN.
+
+Brute-force cosine top-k is expressed entirely with built-in higher-order
+functions (``zip_with`` + ``aggregate``) so it stays inside whole-stage
+codegen; the LSH variant (the 100-TB scale path: bucket first, compare
+within buckets) uses one Arrow-batched pandas UDF doing a numpy matmul
+per batch — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in float64 (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector.
+
+    The 1-row query side is broadcast (crossJoin of a broadcast single row):
+    no shuffle of the big side — the scale baseline an IVF/LSH variant is
+    measured against.
+    """
+    q = emb_df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        emb_df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def near_dup_pairs_cosine(
+    emb_df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
+
+    Brute-force n² — correctness baseline; at scale run lsh_buckets first
+    and only compare within buckets.
+    """
+    a = emb_df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb_df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _planes(n_planes: int, dim: int, seed: str = "sse-lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: float64 in [-1, 1) derived
+    from sha256(seed:plane:chunk) — reproducible across runs/executors."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals: list[float] = []
+        chunk = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(f"{seed}:{p}:{chunk}".encode()).digest()
+            for i in range(0, 32, 4):
+                v = int.from_bytes(h[i : i + 4], "big")
+                vals.append(v / 2**31 - 1.0)
+            chunk += 1
+        out[p] = vals[:dim]
+    return out
+
+
+def make_lsh_bucket_udf(n_planes: int = 16, dim: int = 64, seed: str = "sse-lsh"):
+    """Pandas UDF: embedding -> hex bucket of sign bits (random hyperplane
+    LSH). numpy matmul per Arrow batch — vectorized, no per-row Python math."""
+    planes = _planes(n_planes, dim, seed)
+
+    @F.pandas_udf(T.StringType())
+    def lsh_bucket(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (batch, dim)
+        signs = (mat @ planes.T) >= 0  # (batch, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.uint64)
+        codes = (signs.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series([format(c, "x") for c in codes], index=emb.index)
+
+    return lsh_bucket
+
+
+def ann_lsh_topk(
+    emb_df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: restrict brute-force cosine to the query's LSH bucket.
+
+    Scale path: bucket assignment is a map-only pass; the per-bucket
+    candidate set is ~n/2^planes, so the expensive cosine runs on a tiny
+    slice. Recall is tunable via multi-probe / fewer planes.
+    """
+    udf = make_lsh_bucket_udf(n_planes, dim)
+    bucketed = emb_df.withColumn("__bucket", udf(F.col(vec_col)))
+    qrow = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    cand = bucketed.join(
+        F.broadcast(qrow), F.col("__bucket") == F.col("__qbucket")
+    ).filter(F.col(id_col) != query_vec_id)
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,116 @@
+"""Text analysis for training-data pipelines: quality scoring, language-ID
+heuristic, token counting, document fingerprinting. All JVM-side built-ins
+(no UDFs) so they survive whole-stage codegen at 100-TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .tokenizer import ENGLISH_STOPWORDS
+
+_STOP = sorted(ENGLISH_STOPWORDS)
+
+
+def raw_tokens(text: Column) -> Column:
+    """Pre-filter token stream: lowercase split on non-alphanumerics,
+    empties removed (the SQL-portable 'simple mode' of the tokenizer)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: F.length(t) >= 1
+    )
+
+
+def sql_mode_tokens(text: Column) -> Column:
+    """Filtered token stream: length in [2, 64], not digits-only, not an
+    English stopword — matches functions.tokenizer for camelCase-free text."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"),
+        lambda t: (F.length(t) >= 2)
+        & (F.length(t) <= 64)
+        & ~t.rlike("^[0-9]+$")
+        & ~t.isin(_STOP),
+    )
+
+
+def quality_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, distinct_ratio, stopword_ratio,
+    avg_token_len) — the length/punct/stopword-ratio style quality score."""
+    raw = raw_tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in _STOP])
+    n_raw = F.size(raw)
+    n_stop = F.size(F.array_intersect(raw, stop_arr))  # distinct-stopword hits
+    n_stop_occ = F.size(F.filter(raw, lambda t: t.isin(_STOP)))
+    return df.select(
+        F.col(id_col),
+        n_raw.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(raw)).cast("long").alias("n_distinct"),
+        F.round(
+            F.size(F.array_distinct(raw))
+            / F.when(n_raw > 0, n_raw.cast("double")).otherwise(F.lit(1.0)),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(
+            n_stop_occ
+            / F.when(n_raw > 0, n_raw.cast("double")).otherwise(F.lit(1.0)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(raw, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.when(n_raw > 0, n_raw.cast("double")).otherwise(F.lit(1.0)),
+            6,
+        ).alias("avg_token_len"),
+        n_stop.cast("long").alias("n_stopword_kinds"),
+    )
+
+
+def english_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-ID heuristic: share of tokens that are English stopwords.
+    (n-gram LM would be the real thing; the stopword ratio is the classic
+    cheap gate, cf. the reference's <html lang> filter,
+    IndexFileSpout.java:111-123.)"""
+    raw = raw_tokens(F.col(text_col))
+    n_raw = F.size(raw)
+    n_stop = F.size(F.filter(raw, lambda t: t.isin(_STOP)))
+    score = F.round(
+        n_stop / F.when(n_raw > 0, n_raw.cast("double")).otherwise(F.lit(1.0)), 6
+    )
+    return df.select(
+        F.col(id_col),
+        score.alias("en_score"),
+        (score >= 0.05).cast("long").alias("pred_en"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized token
+    stream (dedup key robust to whitespace/punctuation differences)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.col(tokens_col))).alias("fingerprint"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace count + BPE-ish subword-regex count (approximate LLM
+    token estimate: runs of letters, runs of digits, single punct)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda t: F.length(t) > 0))
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit("([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])"), 0
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        ws.cast("long").alias("ws_tokens"),
+        bpe_ish.cast("long").alias("bpe_ish_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )

@@ -59,7 +59,7 @@ class IndexTables:
     postings: DataFrame  # (term, doc_id, tf, positions array<int>, doc_len)
     lexicon: DataFrame  # (term, df, idf)
     doclen: DataFrame  # (doc_id, doc_len)
-    docs_dim: DataFrame  # (doc_id, repo, path, commit, lang, doc_len, content_sha256)
+    docs_dim: DataFrame | None  # (doc_id, repo, path, commit, lang, doc_len, content_sha256)
     n_docs: int
     avgdl: float
 
@@ -72,8 +72,10 @@ def tokenized(docs_df: DataFrame) -> DataFrame:
     )
 
 
-def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
-    """Flat (uncompressed) index build — M1 of SURVEY.md §7.2.
+def build_index_from_tokens(
+    spark: SparkSession, toks: DataFrame, docs_dim: DataFrame | None = None
+) -> IndexTables:
+    """Core build over a pre-tokenized frame ``(doc_id, tokens, ...)``.
 
     Mirrors reference stages:
       posexplode == hit emission (job/ShortDocIndex.java:81-104, M2)
@@ -82,18 +84,9 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
       idf formula per BM25 spec (replaces IndexMySQLStorage.updateIDF:376-415, A6)
       doc_len/avgdl replaces the L2 ntf norm (updateTFIDF:426-436, A5)
     """
-    toks = tokenized(docs_df).persist()
+    toks = toks.persist()
 
-    doclen = toks.select("doc_id", F.size("tokens").alias("doc_len"))
-    docs_dim = toks.select(
-        "doc_id",
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        F.size("tokens").alias("doc_len"),
-        "content_sha256",
-    )
+    doclen = toks.select("doc_id", F.size("tokens").cast("long").alias("doc_len"))
 
     stats_row = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -102,10 +95,11 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
 
     hits = toks.select(
         "doc_id",
-        F.size("tokens").alias("doc_len"),
+        F.size("tokens").cast("long").alias("doc_len"),
         F.posexplode("tokens").alias("pos", "term"),
     )
-    # ONE wide shuffle: (term, doc_id) hash agg with map-side partial combine.
+    # ONE wide shuffle: (term, doc_id) hash agg with map-side partial combine;
+    # doc_id in the key spreads hot terms (skew-neutral by construction).
     postings = hits.groupBy("term", "doc_id").agg(
         F.count("*").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
@@ -135,6 +129,24 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
     )
 
 
+def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
+    """Flat (uncompressed) index build over the input_hint corpus schema
+    ``(repo, path, commit, lang, content)`` — M1 of SURVEY.md §7.2."""
+    toks = tokenized(docs_df).persist()
+    docs_dim = toks.select(
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.size("tokens").cast("long").alias("doc_len"),
+        "content_sha256",
+    )
+    return build_index_from_tokens(
+        spark, toks.select("doc_id", "tokens"), docs_dim=docs_dim
+    )
+
+
 def write_index(index: IndexTables, out_dir: str, term_buckets: int = 32) -> None:
     """Persist index tables as parquet, postings hash-distributed by term.
 
@@ -148,7 +160,8 @@ def write_index(index: IndexTables, out_dir: str, term_buckets: int = 32) -> Non
     )
     index.lexicon.write.mode("overwrite").parquet(f"{out_dir}/lexicon")
     index.doclen.write.mode("overwrite").parquet(f"{out_dir}/doclen")
-    index.docs_dim.write.mode("overwrite").parquet(f"{out_dir}/docs_dim")
+    if index.docs_dim is not None:
+        index.docs_dim.write.mode("overwrite").parquet(f"{out_dir}/docs_dim")
     spark = index.postings.sparkSession
     spark.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"

@@ -117,9 +117,10 @@ def _score_and_topk(
         )
         .select("doc_id", "score")
     )
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id"))
-    if k is not None:
-        ordered = ordered.limit(k)
+    if k is None:
+        # full match set: no global sort / rank needed (callers hash-compare)
+        return scored
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     # rank over <= k rows (post-limit), single partition is fine
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return ordered.withColumn("rank", F.row_number().over(w)).select(

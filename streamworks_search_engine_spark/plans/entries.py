@@ -1,0 +1,557 @@
+"""Driver-contract queries: each entry pairs a Spark DataFrame pipeline with
+an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet tables.
+
+The search-engine entries exercise the REAL engine path (pandas-UDF
+tokenizer -> build_index_from_tokens -> operators.query); their SQL oracles
+re-express the same spec relationally. On the driver's ``documents`` table
+(text is pure ``[a-z0-9 ]``, lang values outside the code-keyword map) the
+code tokenizer reduces exactly to the SQL-expressible simple mode, so both
+sides are comparable bit-for-bit up to float rounding (scores rounded to 6dp
+on BOTH sides; fp sums agree to ~1e-15 so 6dp is safe).
+
+Integer columns are cast to long and rank columns to long on the Spark side
+because DuckDB counts/row_numbers are BIGINT.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup, similarity, textstats
+from ..functions.tokenizer import make_tokens_udf
+from ..operators.indexer import IndexTables, build_index_from_tokens
+from ..operators.query import SearchIndex, bm25_topk, tfidf_reference_topk
+
+# ---------------------------------------------------------------- shared ----
+
+_STOPWORDS = sorted(
+    json.load(open(Path(__file__).resolve().parents[2] / "fixtures" / "stopwords.json"))[
+        "english"
+    ]
+)
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+# Terms chosen from the generator vocabulary (present at every SF).
+Q_SINGLE = ["scan"]
+Q_CONJ2 = ["scan", "merge"]
+Q_CONJ3 = ["window", "filter", "stream"]
+Q_ABSENT_MIX = ["scan", "zzqqxxnotaterm"]
+Q_ALL_ABSENT = ["zzqqxxnotaterm", "qqzzyynotaterm"]
+
+_SQL_TOKS = f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    t -> length(t) >= 2 AND length(t) <= 64
+         AND NOT regexp_matches(t, '^[0-9]+$')
+         AND NOT list_contains({_STOP_SQL}, t)) AS tokens
+  FROM documents)"""
+
+_SQL_INDEX = f"""{_SQL_TOKS},
+doclen AS (SELECT doc_id, len(tokens) AS doc_len FROM toks),
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM doclen),
+hits AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM hits GROUP BY term, doc_id),
+lexicon AS (SELECT term, count(*) AS df,
+                   ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+                          / (count(*) + 0.5)) AS idf
+            FROM postings GROUP BY term)"""
+
+
+def _sql_terms_array(terms: list[str]) -> str:
+    return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+
+def _bm25_sql(terms: list[str], k: int | None = None) -> str:
+    arr = _sql_terms_array(terms)
+    base = f"""{_SQL_INDEX},
+qsurv AS (SELECT term, idf FROM lexicon WHERE list_contains({arr}, term)),
+nq AS (SELECT count(*) AS n FROM qsurv),
+scored AS (
+  SELECT p.doc_id,
+         q.idf * p.tf * 2.2
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / (SELECT avgdl FROM stats)))
+           AS contrib
+  FROM postings p JOIN qsurv q USING (term) JOIN doclen d USING (doc_id)),
+agg AS (SELECT doc_id, count(*) AS nm, sum(contrib) AS s
+        FROM scored GROUP BY doc_id),
+matched AS (SELECT doc_id, s FROM agg WHERE nm = (SELECT n FROM nq))"""
+    if k is None:
+        return base + "\nSELECT doc_id, round(s, 6) AS score FROM matched"
+    return base + f"""
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM matched ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
+# ------------------------------------------------------------ spark side ----
+
+_INDEX_CACHE: dict[tuple[str, str], IndexTables] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, tokens) via the engine's Arrow tokenizer UDF."""
+    udf = make_tokens_udf()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", udf(F.col("text"), F.col("lang")).alias("tokens")
+    )
+
+
+def _index(spark: SparkSession, sf_dir: str) -> IndexTables:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index_from_tokens(
+            spark, _doc_tokens(spark, sf_dir)
+        )
+    return _INDEX_CACHE[key]
+
+
+def _search_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    t = _index(spark, sf_dir)
+    return SearchIndex(
+        postings=t.postings,
+        lexicon=t.lexicon,
+        doclen=t.doclen,
+        docs_dim=None,
+        n_docs=t.n_docs,
+        avgdl=t.avgdl,
+    )
+
+
+def _bm25_matches(terms):
+    def run(spark, sf_dir):
+        res = bm25_topk(_search_index(spark, sf_dir), terms, k=None)
+        return res.select("doc_id", F.round("score", 6).alias("score"))
+
+    return run
+
+
+def _bm25_top10(terms):
+    def run(spark, sf_dir):
+        res = bm25_topk(_search_index(spark, sf_dir), terms, k=10)
+        return res.select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+
+    return run
+
+
+# ------------------------------------------------------- query registry ----
+
+
+def q_index_wordcount(spark, sf_dir):
+    """M3/A7: word count over the corpus (WordCount.java:16-38 analog)."""
+    toks = _doc_tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_index_postings(spark, sf_dir):
+    """A2: tf per (term, doc) — ShortDocWords analog."""
+    return _index(spark, sf_dir).postings.select("term", "doc_id", "tf")
+
+
+def q_index_lexicon(spark, sf_dir):
+    """A3/A4/A6: df + BM25 idf per term — ShortLexicon analog."""
+    lex = _index(spark, sf_dir).lexicon
+    return lex.select("term", "df", F.round("idf", 9).alias("idf"))
+
+
+def q_index_doclen(spark, sf_dir):
+    """A5: doc length (replaces the reference's L2 ntf norm)."""
+    return _index(spark, sf_dir).doclen
+
+
+def q_index_stats(spark, sf_dir):
+    """Corpus stats: N and avgdl."""
+    return (
+        _index(spark, sf_dir)
+        .doclen.agg(
+            F.count("*").alias("n_docs"), F.round(F.avg("doc_len"), 6).alias("avgdl")
+        )
+    )
+
+
+def q_term_semi_join(spark, sf_dir):
+    """F1/J4: query terms surviving the lexicon semi-join."""
+    lex = _index(spark, sf_dir).lexicon
+    return lex.filter(F.col("term").isin(Q_ABSENT_MIX + Q_CONJ2)).select("term")
+
+
+def q_tfidf_reference(spark, sf_dir):
+    """Reference ntf*idf scorer (secondary scorer, MatchHandler.java:358-362)."""
+    res = tfidf_reference_topk(_search_index(spark, sf_dir), Q_SINGLE, k=None)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """F4: exact content dedup via hash + window."""
+    return dedup.exact_dup_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash LSH band signatures (8 hashes, 4 bands of 2)."""
+    return dedup.minhash_signatures(_doc_tokens(spark, sf_dir))
+
+
+def q_minhash_buckets(spark, sf_dir):
+    """LSH candidate buckets with >1 member."""
+    return dedup.lsh_bucket_counts(
+        dedup.minhash_signatures(_doc_tokens(spark, sf_dir))
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs among doc_id < 200 (shingle-bucket join)."""
+    toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.jaccard_pairs(toks, n=3, threshold=0.01)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash-style document fingerprint (md5 of normalized stream)."""
+    return textstats.fingerprint(_doc_tokens(spark, sf_dir))
+
+
+def q_quality_stats(spark, sf_dir):
+    return textstats.quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_langid_en(spark, sf_dir):
+    return textstats.english_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-20 vs vec_id=0."""
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), 0, k=20)
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(similarity.l2_norm(F.col("embedding")), 6).alias("l2"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_customer_order_agg(spark, sf_dir):
+    """J-family: broadcast dim join + agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+def q_window_order_rank(spark, sf_dir):
+    """O-family: top-3 orders per customer via ranking window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 5-min window agg (batch analog of the streaming path)."""
+    ev = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so ltz->long == naive epoch secs
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    bucket = ((epoch / 300).cast("long") * 300).alias("bucket")
+    return ev.groupBy(bucket, "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + running sum."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("long").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    new_sess = (
+        (F.col("es") - F.lag("es").over(w) > 1800)
+        | F.lag("es").over(w).isNull()
+    ).cast("long")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+# rows-only entries (no SQL-expressible oracle; checked by pytest instead)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN (numpy pandas-UDF bucketer)."""
+    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), 0, k=20)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (pandas-UDF signature + banded hamming join)."""
+    toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_dup_pairs(toks, max_hamming=8)
+
+
+QUERIES = {
+    "index_wordcount": q_index_wordcount,
+    "index_postings": q_index_postings,
+    "index_lexicon": q_index_lexicon,
+    "index_doclen": q_index_doclen,
+    "index_stats": q_index_stats,
+    "term_semi_join": q_term_semi_join,
+    "bm25_matches_single": _bm25_matches(Q_SINGLE),
+    "bm25_matches_conj2": _bm25_matches(Q_CONJ2),
+    "bm25_matches_conj3": _bm25_matches(Q_CONJ3),
+    "bm25_absent_term_dropped": _bm25_matches(Q_ABSENT_MIX),
+    "bm25_all_absent_empty": _bm25_matches(Q_ALL_ABSENT),
+    "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
+    "tfidf_reference": q_tfidf_reference,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_buckets": q_minhash_buckets,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_stats": q_quality_stats,
+    "langid_en": q_langid_en,
+    "token_counts": q_token_counts,
+    "cosine_topk": q_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+    "tpch_q1": q_tpch_q1,
+    "top_orders": q_top_orders,
+    "customer_order_agg": q_customer_order_agg,
+    "window_order_rank": q_window_order_rank,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "simhash_near_dups": q_simhash_near_dups,
+}
+
+# ------------------------------------------------------------- oracles ----
+
+_MINHASH_WIDE = f"""{_SQL_TOKS},
+terms AS (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM toks),
+wide AS (SELECT doc_id,
+  min(md5('0:' || term)) AS h0, min(md5('1:' || term)) AS h1,
+  min(md5('2:' || term)) AS h2, min(md5('3:' || term)) AS h3,
+  min(md5('4:' || term)) AS h4, min(md5('5:' || term)) AS h5,
+  min(md5('6:' || term)) AS h6, min(md5('7:' || term)) AS h7
+  FROM terms GROUP BY doc_id),
+sigs AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS band_id, md5(h0 || h1) AS band_hash FROM wide
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM wide
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM wide
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM wide)"""
+
+_QUALITY_RAW = """raw AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> length(t) >= 1) AS raw
+  FROM documents)"""
+
+ORACLE_SQL = {
+    "index_wordcount": f"""{_SQL_TOKS}
+SELECT term, count(*) AS n
+FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term""",
+    "index_postings": f"""{_SQL_INDEX}
+SELECT term, doc_id, tf FROM postings""",
+    "index_lexicon": f"""{_SQL_INDEX}
+SELECT term, df, round(idf, 9) AS idf FROM lexicon""",
+    "index_doclen": f"""{_SQL_TOKS}
+SELECT doc_id, len(tokens) AS doc_len FROM toks""",
+    "index_stats": f"""{_SQL_TOKS}
+SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
+    "term_semi_join": f"""{_SQL_INDEX}
+SELECT term FROM lexicon
+WHERE list_contains({_sql_terms_array(sorted(set(Q_ABSENT_MIX + Q_CONJ2)))}, term)""",
+    "bm25_matches_single": _bm25_sql(Q_SINGLE),
+    "bm25_matches_conj2": _bm25_sql(Q_CONJ2),
+    "bm25_matches_conj3": _bm25_sql(Q_CONJ3),
+    "bm25_absent_term_dropped": _bm25_sql(Q_ABSENT_MIX),
+    "bm25_all_absent_empty": _bm25_sql(Q_ALL_ABSENT),
+    "bm25_top10_conj2": _bm25_sql(Q_CONJ2, k=10),
+    "tfidf_reference": f"""{_SQL_INDEX},
+sumsq AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * tf) AS ss
+          FROM postings GROUP BY doc_id)
+SELECT p.doc_id,
+       round(sqrt(p.tf * p.tf / ss)
+             * ln((SELECT n_docs FROM stats) / CAST(l.df AS DOUBLE)), 6) AS score
+FROM postings p JOIN lexicon l USING (term) JOIN sumsq USING (doc_id)
+WHERE p.term = '{Q_SINGLE[0]}'""",
+    "dedup_exact": """
+SELECT doc_id, md5(text) AS content_hash,
+       CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS is_dup
+FROM documents""",
+    "minhash_signatures": f"""{_MINHASH_WIDE}
+SELECT doc_id, band_id, band_hash FROM sigs""",
+    "minhash_buckets": f"""{_MINHASH_WIDE}
+SELECT band_id, band_hash, count(*) AS n_docs FROM sigs
+GROUP BY band_id, band_hash HAVING count(*) > 1""",
+    "ngram_jaccard_pairs": f"""{_SQL_TOKS},
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, len(tokens) - 2),
+                i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS sh
+       FROM toks WHERE len(tokens) >= 3 AND doc_id < 200),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+           FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= 0.01""",
+    "doc_fingerprint": f"""{_SQL_TOKS}
+SELECT doc_id, md5(array_to_string(tokens, ' ')) AS fingerprint FROM toks""",
+    "quality_stats": f"""WITH {_QUALITY_RAW}
+SELECT doc_id,
+  CAST(len(raw) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(raw)) AS BIGINT) AS n_distinct,
+  round(len(list_distinct(raw))
+        / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
+    AS distinct_ratio,
+  round(len(list_filter(raw, t -> list_contains({_STOP_SQL}, t)))
+        / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
+    AS stopword_ratio,
+  round(coalesce(list_sum(list_transform(raw, t -> CAST(length(t) AS DOUBLE))), 0.0)
+        / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
+    AS avg_token_len,
+  CAST(len(list_intersect(list_distinct(raw), {_STOP_SQL})) AS BIGINT)
+    AS n_stopword_kinds
+FROM raw""",
+    "langid_en": f"""WITH {_QUALITY_RAW}
+SELECT doc_id,
+  round(len(list_filter(raw, t -> list_contains({_STOP_SQL}, t)))
+        / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
+    AS en_score,
+  CAST(round(len(list_filter(raw, t -> list_contains({_STOP_SQL}, t)))
+        / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
+       >= 0.05 AS BIGINT) AS pred_en
+FROM raw""",
+    "token_counts": r"""
+SELECT doc_id,
+  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS BIGINT)
+    AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])')) AS BIGINT)
+    AS bpe_ish_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents""",
+    "cosine_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(
+    list_sum(list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+                                      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6)
+    AS cos_sim
+FROM embeddings, q WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+    "embedding_norms": """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+  round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                                     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6)
+    AS l2
+FROM embeddings""",
+    "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+    "top_orders": """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "customer_order_agg": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+    "window_order_rank": """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders) WHERE rn <= 3""",
+    "events_tumbling": """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS bucket, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+    "events_sessionize": """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+flagged AS (
+  SELECT user_id, event_id, es,
+         CAST(CASE WHEN lag(es) OVER w IS NULL THEN 1
+                   WHEN es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS BIGINT)
+           AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+sess AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sess GROUP BY user_id, session_id""",
+    # ann_lsh_topk / simhash_near_dups: intentionally no SQL oracle
+    # (pandas-UDF hashing not expressible in ANSI SQL) -> rows-only check.
+}

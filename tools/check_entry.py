@@ -1,0 +1,136 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, compares row count, schema (column names sorted), and an
+order-insensitive value hash. Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(repr(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for row in canon:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def canon_cell(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return "0.0"
+        return repr(v)  # strict: exact float equality required
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return repr(v)
+
+
+def value_hash2(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for row in canon:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    import __spark_entry__ as E
+    from streamworks_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="check_entry", cores=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+
+    print("== smoke: entry(spark) ==")
+    t0 = time.time()
+    edf = E.entry(spark)
+    erows = edf.collect()
+    print(f"entry -> {len(erows)} rows, schema={edf.columns}, {time.time()-t0:.1f}s")
+
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"     WARNING {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {exc}")
+            continue
+        ok_count = len(srows) == len(drows)
+        ok_schema = sorted(scols) == sorted(dcols)
+        ok_hash = value_hash2(scols, srows) == value_hash2(dcols, drows)
+        status = "PASS" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(drows)}"
+            f" schema={'ok' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'}"
+            f" hash={'ok' if ok_hash else 'MISMATCH'} ({time.time()-t0:.1f}s)"
+        )
+        if not ok_hash and ok_count and ok_schema:
+            sset = {tuple(canon_cell(v) for v in r) for r in srows}
+            dset = {tuple(canon_cell(v) for v in r) for r in drows}
+            sonly = list(sset - dset)[:3]
+            donly = list(dset - sset)[:3]
+            print(f"     spark-only: {sonly}")
+            print(f"     duck-only : {donly}")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
