@@ -1,0 +1,82 @@
+"""Delta-gap + varint posting-list compression (FIXTURES.md §3).
+
+The reference stores posting lists as Java-serialized ``ArrayList<WordHit>``
+blobs in BerkeleyDB (/root/reference backend/src/main/java/edu/upenn/cis455/
+mapreduce/worker/storage/HitStorage.java:99-107) — no compression. This
+module supplies the real thing: unsigned LEB128 varints over delta gaps,
+encoded inside Arrow-batch kernels (encode is a tight Python loop per block,
+decode is vectorized numpy — the query-side hot path).
+
+All values must be non-negative; doc_ids are 63-bit so gaps fit uint64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def encode_varints(values) -> bytes:
+    """Unsigned LEB128 encode a sequence of non-negative ints."""
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        if v < 0:
+            raise ValueError(f"varint requires non-negative values, got {v}")
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.nonzero((a & 0x80) == 0)[0]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    idx = np.arange(len(a))
+    group = np.searchsorted(ends, idx)
+    shift = ((idx - starts[group]) * 7).astype(np.uint64)
+    contrib = (a & 0x7F).astype(np.uint64) << shift
+    out = np.zeros(len(ends), dtype=np.uint64)
+    np.add.at(out, group, contrib)
+    return out
+
+
+def delta_encode(sorted_values) -> np.ndarray:
+    """Strictly-increasing values -> [first, gap, gap, ...]."""
+    arr = np.asarray(sorted_values, dtype=np.uint64)
+    if arr.size == 0:
+        return arr
+    out = np.empty_like(arr)
+    out[0] = arr[0]
+    np.subtract(arr[1:], arr[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.asarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def encode_doc_ids(sorted_doc_ids) -> bytes:
+    return encode_varints(delta_encode(sorted_doc_ids))
+
+
+def decode_doc_ids(buf: bytes) -> np.ndarray:
+    """-> int64 array of doc_ids (63-bit, so int64-safe)."""
+    return delta_decode(decode_varints(buf)).astype(np.int64)
+
+
+def encode_positions(positions) -> bytes:
+    """Per-doc position list (ascending, duplicates impossible)."""
+    return encode_varints(delta_encode(positions))
+
+
+def decode_positions(buf: bytes) -> np.ndarray:
+    return delta_decode(decode_varints(buf)).astype(np.int64)

@@ -147,17 +147,34 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
     )
 
 
-def write_index(index: IndexTables, out_dir: str, term_buckets: int = 32) -> None:
+def write_index(
+    index: IndexTables,
+    out_dir: str,
+    term_buckets: int = 32,
+    pack: bool = True,
+) -> None:
     """Persist index tables as parquet, postings hash-distributed by term.
 
     At cluster scale this is an Iceberg table with ``bucket(N, term)``
     partitioning (mirrors the reference's 12 hash shards,
     indexer/scorer/IndexScorer.java:612-625); parquet + repartition(term)
     is the sandbox stand-in (Iceberg jars not in the image).
+
+    The flat postings are persisted before the fan-out so the wide
+    tokenize+aggregate shuffle runs once, not once per output table.
     """
+    index.postings.persist()
     index.postings.repartition(term_buckets, "term").write.mode("overwrite").parquet(
         f"{out_dir}/postings"
     )
+    if pack:
+        from .postings import pack_postings, write_packed
+
+        packed = pack_postings(
+            index.postings, index.lexicon, index.avgdl,
+            num_partitions=term_buckets,
+        )
+        write_packed(packed, out_dir)
     index.lexicon.write.mode("overwrite").parquet(f"{out_dir}/lexicon")
     index.doclen.write.mode("overwrite").parquet(f"{out_dir}/doclen")
     if index.docs_dim is not None:
@@ -166,6 +183,7 @@ def write_index(index: IndexTables, out_dir: str, term_buckets: int = 32) -> Non
     spark.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    index.postings.unpersist()
 
 
 def assert_content_sha256(docs_df: DataFrame, docs_dim: DataFrame) -> int:

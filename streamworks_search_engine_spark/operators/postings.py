@@ -1,0 +1,196 @@
+"""Block-packed posting lists (M2, SURVEY.md §7.2).
+
+Reifies what the reference fakes with Java-serialized ``ArrayList<WordHit>``
+BDB blobs served from 12 hash shards (/root/reference
+backend/src/main/java/edu/upenn/cis455/mapreduce/worker/storage/
+HitStorage.java:59-157, indexer/scorer/IndexScorer.java:612-625):
+per-term doc_id-sorted runs, chunked into blocks of <=128 docs, delta-gap +
+varint compressed into BinaryType columns, with per-block metadata
+(first/last doc_id, n, max tf, max BM25 score) enabling block-max pruning.
+
+Scale design: ``repartitionByRange(term, doc_id)`` + ``sortWithinPartitions``
+gives globally non-overlapping sorted runs WITHOUT requiring a whole term's
+postings in one task — a hot term ("def", "return") spans many partitions and
+each packs its own contiguous block range. The packing kernel is a
+mapInPandas Arrow pass; numpy does the scoring, the varint encoder is the
+only tight loop (bounded by block size).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codec import (
+    decode_doc_ids,
+    decode_varints,
+    encode_doc_ids,
+    encode_varints,
+)
+
+K1 = 1.2
+B = 0.75
+BLOCK_SIZE = 128
+
+PACKED_SCHEMA = (
+    "term string, first_doc_id long, last_doc_id long, n long, "
+    "doc_ids binary, tfs binary, doclens binary, "
+    "block_max_tf long, block_max_score double"
+)
+
+DECODED_SCHEMA = "term string, doc_id long, tf long, doc_len long"
+
+
+def _pack_run(
+    term: str,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    idf: float,
+    avgdl: float,
+    block_size: int,
+) -> list[tuple]:
+    rows = []
+    for i in range(0, len(ids), block_size):
+        bi = ids[i : i + block_size]
+        bt = tfs[i : i + block_size]
+        bd = dls[i : i + block_size]
+        tf64 = bt.astype(np.float64)
+        score = (
+            idf
+            * tf64
+            * (K1 + 1.0)
+            / (tf64 + K1 * (1.0 - B + B * bd.astype(np.float64) / avgdl))
+        )
+        rows.append(
+            (
+                term,
+                int(bi[0]),
+                int(bi[-1]),
+                int(len(bi)),
+                encode_doc_ids(bi),
+                encode_varints(bt),
+                encode_varints(bd),
+                int(bt.max()),
+                float(score.max()),
+            )
+        )
+    return rows
+
+
+def pack_postings(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """postings (term, doc_id, tf, doc_len) -> packed blocks.
+
+    One range shuffle on (term, doc_id); block boundaries fall at partition/
+    Arrow-batch edges at worst (short blocks are valid — metadata carries n).
+    """
+    scored = postings.join(lexicon.select("term", "idf"), "term").select(
+        "term", "doc_id", "tf", "doc_len", "idf"
+    )
+    if num_partitions is None:
+        num_partitions = postings.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+    arranged = scored.repartitionByRange(
+        int(num_partitions), "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        cols = [
+            "term", "first_doc_id", "last_doc_id", "n",
+            "doc_ids", "tfs", "doclens", "block_max_tf", "block_max_score",
+        ]
+
+        def flush(pdf: pd.DataFrame, final: bool) -> tuple[list[tuple], pd.DataFrame | None]:
+            rows: list[tuple] = []
+            terms = pdf["term"].to_numpy()
+            # boundaries of equal-term runs
+            change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(terms)]))
+            last_start = starts[-1] if len(starts) else 0
+            hold = None
+
+            def pack_slice(s: int, e: int) -> None:
+                rows.extend(
+                    _pack_run(
+                        terms[s],
+                        pdf["doc_id"].to_numpy()[s:e].astype(np.int64),
+                        pdf["tf"].to_numpy()[s:e].astype(np.int64),
+                        pdf["doc_len"].to_numpy()[s:e].astype(np.int64),
+                        float(pdf["idf"].to_numpy()[s]),
+                        avgdl,
+                        block_size,
+                    )
+                )
+
+            for s, e in zip(starts, ends):
+                if not final and s == last_start:
+                    # trailing run may continue in the next Arrow batch: pack
+                    # its complete blocks now, carry only the partial tail so
+                    # a hot term spanning the whole partition stays bounded.
+                    n_full = ((e - s) // block_size) * block_size
+                    if n_full:
+                        pack_slice(s, s + n_full)
+                    hold = pdf.iloc[s + n_full : e]
+                    break
+                pack_slice(s, e)
+            if hold is not None and not len(hold):
+                hold = None
+            return rows, hold
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            rows, carry = flush(pdf, final=False)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if carry is not None and len(carry):
+            rows, _ = flush(carry, final=True)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return arranged.mapInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """packed blocks -> (term, doc_id, tf, doc_len) rows, vectorized decode."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms, ids, tfs, dls = [], [], [], []
+            for term, blob_ids, blob_tfs, blob_dls, n in zip(
+                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"], pdf["n"]
+            ):
+                d = decode_doc_ids(bytes(blob_ids))
+                terms.append(np.repeat(term, len(d)))
+                ids.append(d)
+                tfs.append(decode_varints(bytes(blob_tfs)).astype(np.int64))
+                dls.append(decode_varints(bytes(blob_dls)).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "doc_len": np.concatenate(dls),
+                }
+            )
+
+    return blocks.mapInPandas(dec, schema=DECODED_SCHEMA)
+
+
+def write_packed(packed: DataFrame, out_dir: str) -> None:
+    packed.write.mode("overwrite").parquet(f"{out_dir}/postings_packed")

@@ -154,6 +154,114 @@ def bm25_topk(
     return _score_and_topk(hits, len(term_list), k)
 
 
+def _contribs_from_decoded(decoded: DataFrame, survivors: list[tuple[str, float]], avgdl: float) -> DataFrame:
+    idf_map = F.create_map(
+        *[x for t, idf in survivors for x in (F.lit(t), F.lit(idf))]
+    )
+    return decoded.select(
+        "term",
+        "doc_id",
+        _bm25_contrib(
+            idf_map[F.col("term")], F.col("tf"), F.col("doc_len"), avgdl
+        ).alias("contrib"),
+    )
+
+
+def bm25_topk_packed(
+    index: SearchIndex,
+    raw_terms: list[str],
+    k: int | None = 10,
+    prune: bool = True,
+    semi_join_df_threshold: int = 200_000,
+) -> DataFrame:
+    """BM25 top-k over block-packed postings with lossless pruning (M3).
+
+    Block-max WAND, restated for a distributed conjunctive engine
+    (the reference has NO pruning — full SQL join chain then app-side sort,
+    MatchHandler.java:317-335; this is the §4.2 'top-k pruning' gap we add):
+
+    - single-term: decode the k best blocks by ``block_max_score`` -> exact
+      threshold theta = k-th best decoded score -> decode only blocks with
+      ``block_max_score >= theta``. Lossless: a doc in a pruned block scores
+      <= its block max < theta.
+    - multi-term (conjunctive): (a) global doc-range intersection across the
+      query terms' block metadata; (b) if the rarest term is small enough
+      (known df from the lexicon — no extra job), decode it first and
+      semi-join the other terms' BLOCKS on range containment (broadcast),
+      i.e. distributed skip pointers. Both prunings only drop blocks that
+      cannot contain a doc present in ALL terms.
+    """
+    from .postings import decode_blocks
+
+    spark = index.lexicon.sparkSession
+    assert index.packed is not None, "index has no packed postings"
+    terms = normalize_terms(raw_terms)
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    lex_rows = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf", "df")
+        .collect()
+    )
+    survivors = sorted([(r["term"], float(r["idf"])) for r in lex_rows])
+    if not survivors:
+        return empty
+    dfs = {r["term"]: int(r["df"]) for r in lex_rows}
+    term_list = [t for t, _ in survivors]
+
+    blocks = index.packed.filter(F.col("term").isin(term_list))
+
+    if prune and len(term_list) == 1 and k is not None:
+        probe = decode_blocks(
+            blocks.orderBy(F.desc("block_max_score")).limit(k)
+        )
+        probe_scores = (
+            _contribs_from_decoded(probe, survivors, index.avgdl)
+            .orderBy(F.desc("contrib"))
+            .limit(k)
+            .collect()
+        )
+        if len(probe_scores) == k:
+            theta = probe_scores[-1]["contrib"]
+            blocks = blocks.filter(F.col("block_max_score") >= theta)
+    elif prune and len(term_list) > 1:
+        ranges = (
+            blocks.groupBy("term")
+            .agg(
+                F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
+            )
+            .collect()
+        )
+        if len(ranges) < len(term_list):
+            return empty  # a surviving lexicon term with zero blocks: impossible, but safe
+        lo = max(r["lo"] for r in ranges)
+        hi = min(r["hi"] for r in ranges)
+        if lo > hi:
+            return empty
+        blocks = blocks.filter(
+            (F.col("last_doc_id") >= lo) & (F.col("first_doc_id") <= hi)
+        )
+        rarest = min(term_list, key=lambda t: (dfs[t], t))
+        if dfs[rarest] <= semi_join_df_threshold:
+            cand = (
+                decode_blocks(blocks.filter(F.col("term") == rarest))
+                .select(F.col("doc_id").alias("cand_id"))
+            )
+            others = blocks.filter(F.col("term") != rarest)
+            surviving_others = others.join(
+                F.broadcast(cand),
+                (F.col("cand_id") >= F.col("first_doc_id"))
+                & (F.col("cand_id") <= F.col("last_doc_id")),
+                "left_semi",
+            )
+            blocks = surviving_others.unionByName(
+                blocks.filter(F.col("term") == rarest)
+            )
+
+    decoded = decode_blocks(blocks)
+    hits = _contribs_from_decoded(decoded, survivors, index.avgdl)
+    return _score_and_topk(hits, len(term_list), k)
+
+
 def tfidf_reference_topk(
     index: SearchIndex, raw_terms: list[str], k: int | None = 10
 ) -> DataFrame:

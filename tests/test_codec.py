@@ -1,0 +1,60 @@
+"""Varint/delta round-trip property tests (SURVEY.md §5 layer 2)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from streamworks_search_engine_spark.functions.codec import (
+    decode_doc_ids,
+    decode_varints,
+    delta_decode,
+    delta_encode,
+    encode_doc_ids,
+    encode_varints,
+)
+
+
+def test_varint_roundtrip_edges():
+    cases = [0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**62, 2**63 - 1]
+    assert decode_varints(encode_varints(cases)).tolist() == cases
+
+
+def test_varint_empty():
+    assert encode_varints([]) == b""
+    assert decode_varints(b"").size == 0
+
+
+def test_varint_negative_rejected():
+    with pytest.raises(ValueError):
+        encode_varints([-1])
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_varint_roundtrip_random(seed):
+    rng = random.Random(seed)
+    vals = [rng.randrange(0, 2**63) for _ in range(rng.randint(1, 500))]
+    assert decode_varints(encode_varints(vals)).tolist() == vals
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_doc_id_delta_roundtrip(seed):
+    rng = random.Random(100 + seed)
+    n = rng.randint(1, 400)
+    ids = sorted(rng.sample(range(0, 2**63 - 1), n))
+    got = decode_doc_ids(encode_doc_ids(ids))
+    assert got.tolist() == ids
+    assert got.dtype == np.int64
+
+
+def test_delta_monotone():
+    ids = [5, 6, 100, 2**62]
+    gaps = delta_encode(ids)
+    assert gaps.tolist() == [5, 1, 94, 2**62 - 100]
+    assert delta_decode(gaps).tolist() == ids
+
+
+def test_compression_wins_on_dense_ids():
+    ids = list(range(10_000, 10_000 + 128))
+    blob = encode_doc_ids(ids)
+    assert len(blob) < 128 * 3  # gaps of 1 -> ~1 byte each (+ first id)

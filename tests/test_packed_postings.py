@@ -1,0 +1,101 @@
+"""M2/M3: packed posting blocks — round-trip, block invariants, and
+rank-identity of the pruned packed query path vs the oracle."""
+
+import math
+
+import pytest
+
+from streamworks_search_engine_spark import oracle as O
+from tests.test_query_rank_identity import _assert_rank_identical, _query_set
+
+
+def test_packed_exists_and_roundtrips(spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.postings import decode_blocks
+
+    assert spark_index.packed is not None
+    decoded = decode_blocks(spark_index.packed).collect()
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["doc_len"]) for r in decoded}
+    exp = {
+        (t, d): (tf, oracle_index.doclen[d])
+        for t, plist in oracle_index.postings.items()
+        for d, tf in plist.items()
+    }
+    assert got == exp
+
+
+def test_block_invariants(spark_index):
+    rows = spark_index.packed.collect()
+    per_term: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r["n"] <= 128
+        assert r["first_doc_id"] <= r["last_doc_id"]
+        per_term.setdefault(r["term"], []).append(
+            (r["first_doc_id"], r["last_doc_id"])
+        )
+    for term, ranges in per_term.items():
+        ranges.sort()
+        for (af, al), (bf, bl) in zip(ranges, ranges[1:]):
+            assert al < bf, f"overlapping blocks for {term}"
+
+
+def test_block_max_score_is_max(spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.postings import decode_blocks
+
+    avgdl = spark_index.avgdl
+    blocks = {
+        (r["term"], r["first_doc_id"]): r["block_max_score"]
+        for r in spark_index.packed.collect()
+    }
+    # recompute from oracle: group decoded rows by (term, block first id)
+    rows = decode_blocks(spark_index.packed).collect()
+    import collections
+
+    by_block = collections.defaultdict(list)
+    meta = sorted(blocks.keys())
+    import bisect
+
+    for r in rows:
+        t = r["term"]
+        term_firsts = [f for (tt, f) in meta if tt == t]
+        i = bisect.bisect_right(term_firsts, r["doc_id"]) - 1
+        by_block[(t, term_firsts[i])].append(r)
+    for key, rs in by_block.items():
+        t = key[0]
+        idf = oracle_index.idf(t)
+        mx = max(
+            idf
+            * r["tf"]
+            * 2.2
+            / (r["tf"] + 1.2 * (1 - 0.75 + 0.75 * r["doc_len"] / avgdl))
+            for r in rs
+        )
+        assert math.isclose(blocks[key], mx, rel_tol=0, abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("qname", [
+    "single_hot", "single_rare", "single_mid_k1", "single_mid_k100",
+    "conj2", "conj3", "conj4", "absent_dropped", "all_absent",
+    "mixed_case", "k_gt_matches",
+])
+@pytest.mark.parametrize("prune", [True, False])
+def test_bm25_packed_rank_identity(qname, prune, spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.query import bm25_topk_packed
+
+    terms, k = _query_set(oracle_index)[qname]
+    expected = O.bm25_topk(oracle_index, terms, k)
+    got = bm25_topk_packed(spark_index, terms, k, prune=prune).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_packed_semi_join_path_forced(spark_index, oracle_index):
+    """Force the rarest-term block semi-join (threshold high) and the
+    range-only path (threshold 0); both must stay rank-identical."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk_packed
+
+    terms, k = _query_set(oracle_index)["conj3"]
+    expected = O.bm25_topk(oracle_index, terms, k)
+    for thr in (0, 10**9):
+        got = bm25_topk_packed(
+            spark_index, terms, k, prune=True, semi_join_df_threshold=thr
+        ).collect()
+        _assert_rank_identical(got, expected)
