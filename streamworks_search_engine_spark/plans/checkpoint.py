@@ -1,0 +1,225 @@
+"""Checkpointed, resumable index build with per-partition lineage + metrics
+(north_rule; SURVEY.md §2.12/§4.2 'fault tolerance' gap).
+
+The reference restarts indexing jobs from scratch — its only resume aid is a
+``seenDoc`` map (/root/reference backend/src/main/java/edu/upenn/cis455/
+mapreduce/worker/storage/IndexStorage.java:320-345) plus idempotent task DBs.
+Here every input partition (``pmod(doc_id, P)``) commits independently:
+
+  partials/<table>/part=<p>/   parquet rows for that slice of documents
+  manifest/part-<p>.json       lineage + metrics, written AFTER the data
+                               via tmp+atomic-rename
+
+A killed build leaves either (data+manifest) or (data without manifest);
+resume re-processes exactly the partitions without a manifest, verifies
+recorded input lineage (sha256 over the slice's content hashes) against the
+current input, and ``finalize()`` merges partials into the standard index
+layout. Because partitioning is by doc_id, a (term, doc_id) posting pair
+lives in exactly one partition — the merge is a pure union + the global
+lexicon/stats aggregations, so a resumed build is content-identical to an
+uninterrupted one.
+
+On a cluster the manifest directory lives on the object store / HDFS and the
+atomic rename is the same trick streaming sinks use for exactly-once commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import make_tokens_udf
+from ..operators.indexer import IndexTables, with_doc_id
+
+
+@dataclass
+class PartitionRecord:
+    partition_id: int
+    input_snapshot: str
+    state: str
+    rows_out: int
+    docs_in: int
+    wall_ms: int
+    committed_at: str
+
+
+class CheckpointedIndexBuild:
+    def __init__(self, spark: SparkSession, out_dir: str, n_partitions: int = 32):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_partitions = n_partitions
+        Path(f"{out_dir}/manifest").mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ manifest
+    def _manifest_path(self, p: int) -> str:
+        return f"{self.out_dir}/manifest/part-{p}.json"
+
+    def committed(self) -> dict[int, PartitionRecord]:
+        out = {}
+        for f in Path(f"{self.out_dir}/manifest").glob("part-*.json"):
+            rec = PartitionRecord(**json.loads(f.read_text()))
+            if rec.state == "committed":
+                out[rec.partition_id] = rec
+        return out
+
+    def _commit(self, rec: PartitionRecord) -> None:
+        tmp = self._manifest_path(rec.partition_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec.__dict__, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(rec.partition_id))  # atomic
+
+    # ------------------------------------------------------------ building
+    def _slice(self, docs: DataFrame, p: int) -> DataFrame:
+        return docs.filter(F.pmod(F.col("doc_id"), F.lit(self.n_partitions)) == p)
+
+    @staticmethod
+    def _lineage(sl: DataFrame) -> str:
+        """Order-independent sha256 over the slice's per-row content hashes
+        (the input_hint invariant, aggregated): sha256 of the sorted list."""
+        row = sl.agg(
+            F.sha2(
+                F.concat_ws(
+                    "\x00", F.sort_array(F.collect_list("content_sha256"))
+                ),
+                256,
+            ).alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return f"{row['n']}:{row['h']}"
+
+    def build(
+        self,
+        docs_df: DataFrame,
+        max_partitions: int | None = None,
+        verify_lineage: bool = True,
+    ) -> int:
+        """Process uncommitted partitions (optionally at most
+        ``max_partitions`` — the kill-injection hook for tests).
+        Returns the number of partitions processed this call."""
+        udf = make_tokens_udf()
+        docs = with_doc_id(docs_df)
+        done = self.committed()
+        processed = 0
+        for p in range(self.n_partitions):
+            if p in done:
+                if verify_lineage:
+                    cur = self._lineage(self._slice(docs, p))
+                    if cur != done[p].input_snapshot:
+                        raise ValueError(
+                            f"partition {p}: input changed since checkpoint "
+                            f"({done[p].input_snapshot} -> {cur}); delete its "
+                            "manifest to force a rebuild"
+                        )
+                continue
+            if max_partitions is not None and processed >= max_partitions:
+                break
+            t0 = time.time()
+            sl = self._slice(docs, p).persist()
+            snapshot = self._lineage(sl)
+            toks = sl.select(
+                "doc_id",
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                "content_sha256",
+                udf(F.col("content"), F.col("lang")).alias("tokens"),
+            ).persist()
+            hits = toks.select(
+                "doc_id",
+                F.size("tokens").cast("long").alias("doc_len"),
+                F.posexplode("tokens").alias("pos", "term"),
+            )
+            postings = hits.groupBy("term", "doc_id").agg(
+                F.count("*").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.first("doc_len").alias("doc_len"),
+            )
+            postings.write.mode("overwrite").parquet(
+                f"{self.out_dir}/partials/postings/part={p}"
+            )
+            docs_dim = toks.select(
+                "doc_id", "repo", "path", "commit", "lang",
+                F.size("tokens").cast("long").alias("doc_len"),
+                "content_sha256",
+            )
+            docs_dim.write.mode("overwrite").parquet(
+                f"{self.out_dir}/partials/docs_dim/part={p}"
+            )
+            rows_out = self.spark.read.parquet(
+                f"{self.out_dir}/partials/postings/part={p}"
+            ).count()
+            docs_in = sl.count()
+            toks.unpersist()
+            sl.unpersist()
+            self._commit(
+                PartitionRecord(
+                    partition_id=p,
+                    input_snapshot=snapshot,
+                    state="committed",
+                    rows_out=rows_out,
+                    docs_in=docs_in,
+                    wall_ms=int((time.time() - t0) * 1000),
+                    committed_at=time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                )
+            )
+            processed += 1
+        return processed
+
+    def is_complete(self) -> bool:
+        return len(self.committed()) == self.n_partitions
+
+    # ------------------------------------------------------------ finalize
+    def finalize(self, term_buckets: int = 32, pack: bool = True) -> IndexTables:
+        """Merge partials into the standard index layout. Pure union +
+        global aggregations — (term, doc_id) pairs are disjoint across
+        partitions, so df/tf need no re-reduction."""
+        assert self.is_complete(), (
+            f"only {len(self.committed())}/{self.n_partitions} partitions committed"
+        )
+        from ..operators.indexer import write_index
+
+        postings = self.spark.read.parquet(f"{self.out_dir}/partials/postings")
+        docs_dim = self.spark.read.parquet(f"{self.out_dir}/partials/docs_dim")
+        doclen = docs_dim.select("doc_id", "doc_len")
+        stats = doclen.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 0.0)
+        lexicon = (
+            postings.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+        )
+        tables = IndexTables(
+            postings=postings.select("term", "doc_id", "tf", "positions", "doc_len"),
+            lexicon=lexicon,
+            doclen=doclen,
+            docs_dim=docs_dim.select(
+                "doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256"
+            ),
+            n_docs=n_docs,
+            avgdl=avgdl,
+        )
+        write_index(tables, f"{self.out_dir}/index", term_buckets, pack=pack)
+        return tables
+
+    def metrics(self) -> list[dict]:
+        return [r.__dict__ for r in sorted(self.committed().values(), key=lambda r: r.partition_id)]

@@ -1,0 +1,114 @@
+"""Kill-resume test (SURVEY.md §5 layer 4): a build killed after a partial
+set of partition commits, then resumed, must produce the same index content
+as an uninterrupted build, and the per-partition lineage must detect input
+mutation."""
+
+import hashlib
+
+import pytest
+
+from streamworks_search_engine_spark.plans.checkpoint import CheckpointedIndexBuild
+from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+
+def _content_hash(df, cols):
+    rows = sorted(tuple(repr(v) for v in r) for r in df.select(*cols).collect())
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def _index_fingerprint(spark, index_dir):
+    fp = {}
+    fp["postings"] = _content_hash(
+        spark.read.parquet(f"{index_dir}/postings"),
+        ["term", "doc_id", "tf", "positions", "doc_len"],
+    )
+    fp["lexicon"] = _content_hash(
+        spark.read.parquet(f"{index_dir}/lexicon"), ["term", "df", "idf"]
+    )
+    fp["doclen"] = _content_hash(
+        spark.read.parquet(f"{index_dir}/doclen"), ["doc_id", "doc_len"]
+    )
+    fp["stats"] = _content_hash(
+        spark.read.parquet(f"{index_dir}/stats"), ["n_docs", "avgdl"]
+    )
+    return fp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return corpus_df(spark, 120, seed=7, partitions=4)
+
+
+def test_kill_resume_content_identical(spark, docs, tmp_path):
+    # uninterrupted reference build
+    full = CheckpointedIndexBuild(spark, str(tmp_path / "full"), n_partitions=4)
+    assert full.build(docs) == 4
+    full.finalize(term_buckets=4, pack=False)
+
+    # killed build: only 2 partitions commit, then a NEW builder resumes
+    killed = CheckpointedIndexBuild(spark, str(tmp_path / "killed"), n_partitions=4)
+    assert killed.build(docs, max_partitions=2) == 2
+    assert not killed.is_complete()
+    assert len(killed.committed()) == 2
+
+    resumed = CheckpointedIndexBuild(spark, str(tmp_path / "killed"), n_partitions=4)
+    assert resumed.build(docs) == 2  # only the missing partitions run
+    assert resumed.is_complete()
+    resumed.finalize(term_buckets=4, pack=False)
+
+    assert _index_fingerprint(spark, f"{tmp_path}/full/index") == _index_fingerprint(
+        spark, f"{tmp_path}/killed/index"
+    )
+
+
+def test_resume_is_noop_when_complete(spark, docs, tmp_path):
+    b = CheckpointedIndexBuild(spark, str(tmp_path / "b"), n_partitions=3)
+    assert b.build(docs) == 3
+    assert b.build(docs) == 0  # all committed -> nothing to do
+
+
+def test_lineage_detects_input_change(spark, docs, tmp_path):
+    b = CheckpointedIndexBuild(spark, str(tmp_path / "c"), n_partitions=3)
+    b.build(docs, max_partitions=3)
+    mutated = corpus_df(spark, 120, seed=8, partitions=4)  # different corpus
+    with pytest.raises(ValueError, match="input changed"):
+        b.build(mutated)
+
+
+def test_metrics_recorded(spark, docs, tmp_path):
+    b = CheckpointedIndexBuild(spark, str(tmp_path / "d"), n_partitions=2)
+    b.build(docs)
+    m = b.metrics()
+    assert len(m) == 2
+    for rec in m:
+        assert rec["state"] == "committed"
+        assert rec["rows_out"] > 0
+        assert rec["docs_in"] > 0
+        assert rec["wall_ms"] >= 0
+        assert rec["input_snapshot"].count(":") == 1
+
+
+def test_finalized_index_answers_queries(spark, docs, tmp_path):
+    from streamworks_search_engine_spark import oracle as O
+    from streamworks_search_engine_spark.operators.query import (
+        bm25_topk,
+        load_index,
+    )
+    from streamworks_search_engine_spark.sources.corpus import generate_corpus
+
+    b = CheckpointedIndexBuild(spark, str(tmp_path / "e"), n_partitions=3)
+    b.build(docs)
+    b.finalize(term_buckets=4, pack=True)
+    si = load_index(spark, f"{tmp_path}/e/index")
+
+    oidx = O.build_index(generate_corpus(120, seed=7))
+    hot = max(oidx.postings, key=lambda t: len(oidx.postings[t]))
+    expected = O.bm25_topk(oidx, [hot], 10)
+    got = bm25_topk(si, [hot], 10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (r, d) for r, d, _ in expected
+    ]
