@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with Arrow-batched decode / feature-extract / resize / frame-sample
+plumbing.
+
+The image/audio libraries are not in this container, so the *codec* step is
+stubbed two ways (per the build spec):
+
+- ``fake`` codec: a deterministic 16-byte header format (magic, kind, width,
+  height, channels/rate) that the kernels really parse — this keeps the
+  Spark-side plumbing (schemas, mapInPandas batch shape, partitioning) real
+  and testable end-to-end;
+- ``real`` codec: raises ``NotImplementedError`` with the dependency that a
+  production deployment would add (pillow / torchaudio / pyav).
+
+Header layout (big-endian): magic ``SSE0`` | kind u8 (1=img 2=audio 3=video)
+| width u16 | height u16 | channels u8 | extra u32 (frame count / sample
+rate) | payload bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"SSE0"
+_HDR = ">4sBHHBI"  # magic, kind, width, height, channels, extra
+HDR_LEN = struct.calcsize(_HDR)
+
+KIND_IMAGE, KIND_AUDIO, KIND_VIDEO = 1, 2, 3
+
+META_SCHEMA = (
+    "media_id long, kind long, width long, height long, channels long, "
+    "extra long, payload_bytes long, valid boolean"
+)
+
+
+def encode_fake_media(
+    media_id: int, kind: int, width: int, height: int, channels: int, extra: int
+) -> bytes:
+    """Deterministic fake blob: header + pseudo-random payload from a seed."""
+    payload_len = min(width * height * channels, 4096)
+    rng = np.random.default_rng(media_id * 2654435761 % 2**32)
+    payload = rng.integers(0, 256, size=payload_len, dtype=np.uint8).tobytes()
+    return struct.pack(_HDR, MAGIC, kind, width, height, channels, extra) + payload
+
+
+def fake_media_df(spark, n: int = 64) -> DataFrame:
+    """(media_id long, blob binary) test table, deterministic."""
+    rows = []
+    for i in range(n):
+        kind = 1 + (i % 3)
+        rows.append(
+            (
+                i,
+                encode_fake_media(
+                    i, kind, 16 + (i % 8) * 16, 16 + (i % 5) * 16, 3, 10 + i
+                ),
+            )
+        )
+    return spark.createDataFrame(rows, "media_id long, blob binary")
+
+
+def extract_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """mapInPandas metadata extraction — parses the (fake) container header
+    per Arrow batch; malformed blobs yield valid=false rows, never a crash."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob)
+                if len(b) >= HDR_LEN and b[:4] == MAGIC:
+                    _, kind, w, h, c, extra = struct.unpack(_HDR, b[:HDR_LEN])
+                    out.append((mid, kind, w, h, c, extra, len(b) - HDR_LEN, True))
+                else:
+                    out.append((mid, 0, 0, 0, 0, 0, len(b), False))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "width", "height", "channels",
+                    "extra", "payload_bytes", "valid",
+                ],
+            )
+
+    return df.mapInPandas(extract, schema=META_SCHEMA)
+
+
+def media_features(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Deterministic feature extraction over payload bytes (mean/std/hist4):
+    the Arrow/numpy plumbing a real embedding model would slot into."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob)
+                payload = np.frombuffer(b[HDR_LEN:], dtype=np.uint8)
+                if payload.size == 0:
+                    rows.append((mid, 0.0, 0.0, [0.0, 0.0, 0.0, 0.0]))
+                    continue
+                hist = np.histogram(payload, bins=4, range=(0, 256))[0]
+                rows.append(
+                    (
+                        mid,
+                        float(payload.mean()),
+                        float(payload.std()),
+                        (hist / payload.size).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mean_byte", "std_byte", "hist4"]
+            )
+
+    return df.mapInPandas(
+        feats,
+        schema="media_id long, mean_byte double, std_byte double, hist4 array<double>",
+    )
+
+
+def decode_image(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Image decode. ``fake``: header parse + payload stats (real plumbing).
+    ``real``: requires pillow — NOT available in this environment."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real image decoding requires pillow/opencv, not present in this "
+            "container; deploy with the imaging extra and swap codec='real'"
+        )
+    return extract_media_meta(df).filter(F.col("kind") == KIND_IMAGE)
+
+
+def resize_images(df: DataFrame, width: int, height: int, codec: str = "fake") -> DataFrame:
+    """Resize plumbing: fake codec rewrites the header dims (payload kept),
+    exercising binary-out mapInPandas; real codec is a stub."""
+    if codec == "real":
+        raise NotImplementedError("real resize requires pillow; see decode_image")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_blobs = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if len(b) >= HDR_LEN and b[:4] == MAGIC:
+                    _, kind, _, _, c, extra = struct.unpack(_HDR, b[:HDR_LEN])
+                    out_ids.append(mid)
+                    out_blobs.append(
+                        struct.pack(_HDR, MAGIC, kind, width, height, c, extra)
+                        + b[HDR_LEN:]
+                    )
+            yield pd.DataFrame({"media_id": out_ids, "blob": out_blobs})
+
+    return df.mapInPandas(resize, schema="media_id long, blob binary")
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, codec: str = "fake") -> DataFrame:
+    """Frame sampling for video blobs: emits one row per sampled frame index
+    (1->N row explosion through mapInPandas, the real batch shape)."""
+    if codec == "real":
+        raise NotImplementedError("real frame sampling requires pyav; see decode_image")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames = [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                if len(b) >= HDR_LEN and b[:4] == MAGIC:
+                    _, kind, _, _, _, extra = struct.unpack(_HDR, b[:HDR_LEN])
+                    if kind == KIND_VIDEO:
+                        for f in range(0, int(extra), every_n):
+                            ids.append(mid)
+                            frames.append(f)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": frames})
+
+    return df.mapInPandas(sample, schema="media_id long, frame_idx long")

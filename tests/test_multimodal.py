@@ -1,0 +1,64 @@
+"""Multimodal binary-column plumbing: header parse, features, resize,
+frame sampling — fake codec end-to-end, real codec stubbed."""
+
+import pytest
+
+from streamworks_search_engine_spark.functions import multimodal as MM
+
+
+def test_meta_extraction_roundtrip(spark):
+    df = MM.fake_media_df(spark, 30)
+    meta = {r["media_id"]: r for r in MM.extract_media_meta(df).collect()}
+    assert len(meta) == 30
+    for i in range(30):
+        r = meta[i]
+        assert r["valid"]
+        assert r["kind"] == 1 + (i % 3)
+        assert r["width"] == 16 + (i % 8) * 16
+        assert r["height"] == 16 + (i % 5) * 16
+        assert r["payload_bytes"] > 0
+
+
+def test_malformed_blob_flagged_not_crashed(spark):
+    df = spark.createDataFrame(
+        [(99, b"not-a-media-blob"), (100, b"")], "media_id long, blob binary"
+    )
+    rows = {r["media_id"]: r for r in MM.extract_media_meta(df).collect()}
+    assert not rows[99]["valid"] and not rows[100]["valid"]
+
+
+def test_features_deterministic(spark):
+    df = MM.fake_media_df(spark, 10)
+    a = sorted(map(tuple, MM.media_features(df).collect()))
+    b = sorted(map(tuple, MM.media_features(df.repartition(5)).collect()))
+    assert a == b
+
+
+def test_resize_rewrites_dims(spark):
+    df = MM.fake_media_df(spark, 6)
+    resized = MM.resize_images(df, 32, 32)
+    meta = MM.extract_media_meta(resized).collect()
+    assert len(meta) == 6
+    assert all(r["width"] == 32 and r["height"] == 32 for r in meta)
+
+
+def test_frame_sampling(spark):
+    df = MM.fake_media_df(spark, 12)
+    frames = MM.sample_frames(df, every_n=4).collect()
+    metas = MM.extract_media_meta(df).collect()
+    expected = sum(
+        len(range(0, r["extra"], 4)) for r in metas if r["kind"] == MM.KIND_VIDEO
+    )
+    assert len(frames) == expected
+    assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
+
+def test_real_codec_stubbed(spark):
+    df = MM.fake_media_df(spark, 2)
+    for fn in (
+        lambda: MM.decode_image(df, codec="real"),
+        lambda: MM.resize_images(df, 8, 8, codec="real"),
+        lambda: MM.sample_frames(df, codec="real"),
+    ):
+        with pytest.raises(NotImplementedError):
+            fn()

@@ -1,0 +1,86 @@
+"""Structured-Streaming incremental index + windowed event aggregation."""
+
+import pytest
+
+from streamworks_search_engine_spark import oracle as O
+from streamworks_search_engine_spark.sources.corpus import corpus_df, generate_corpus
+
+
+def test_incremental_index_two_batches(spark, tmp_path):
+    from streamworks_search_engine_spark.streaming.incremental import (
+        refresh_index,
+        start_incremental_index,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    work = str(tmp_path / "work")
+    rows = generate_corpus(80, seed=11)
+    all_docs = corpus_df(spark, 80, seed=11)
+
+    # batch 1: first 50 docs land
+    all_docs.limit(50).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = start_incremental_index(spark, in_dir, work)
+    q.awaitTermination(120)
+
+    # batch 2: full file set (new file with remaining docs)
+    all_docs.subtract(all_docs.limit(50)).coalesce(1).write.mode("append").parquet(
+        in_dir
+    )
+    q2 = start_incremental_index(spark, in_dir, work)
+    q2.awaitTermination(120)
+
+    idx = refresh_index(spark, work)
+    oidx = O.build_index(rows)
+    assert idx.n_docs == oidx.n_docs
+    got_lex = {r["term"]: r["df"] for r in idx.lexicon.collect()}
+    exp_lex = {t: len(p) for t, p in oidx.postings.items()}
+    assert got_lex == exp_lex
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = windowed_event_counts(ev, "5 minutes").collect()
+    exp = (
+        ev.groupBy(
+            ((F.col("ts").cast("timestamp_ltz").cast("long") / 300).cast("long") * 300),
+            "event_type",
+        )
+        .count()
+        .count()
+    )
+    assert len(got) == exp
+    assert all(r["n"] > 0 for r in got)
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    """Drive the same aggregation as a real stream into a memory sink."""
+    from streamworks_search_engine_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "events_in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_event_counts(stream, "5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = windowed_event_counts(
+        spark.read.parquet(src), "5 minutes"
+    ).collect()
+    streamed = spark.sql("SELECT * FROM win_out").collect()
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
