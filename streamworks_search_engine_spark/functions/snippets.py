@@ -1,0 +1,54 @@
+"""Context snippets + keyword highlighting + spellcheck suggestions.
+
+Analogs of the reference's display path: +/-50-char context window
+(/root/reference backend/src/main/java/edu/upenn/cis455/mapreduce/job/
+ShortDocIndex.java:31-61, C3), ``<b>`` keyword bolding
+(indexer/scorer/IndexScorer.java:794-821, C10), and the spellchecker's
+memoized edit distance (engine/handlers/SpellcheckHandler.java:54-77, C7 —
+theirs counts insert/delete only; we use full Levenshtein, which is built
+into both Spark and the SQL oracle engine). All JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def snippet(text: Column, term: str, radius: int = 24) -> Column:
+    """Substring of +/-radius chars around the first occurrence of ``term``
+    (case-insensitive find); NULL when absent."""
+    pos = F.locate(term.lower(), F.lower(text))
+    start = F.greatest(F.lit(1), pos - radius)
+    length = F.lit(2 * radius + len(term))
+    return F.when(pos > 0, text.substr(start, length))
+
+
+def highlight(snip: Column, term: str, tag: str = "b") -> Column:
+    """Wrap every occurrence of ``term`` in <tag>..</tag> (plain-text term)."""
+    import re
+
+    return F.regexp_replace(snip, re.escape(term), f"<{tag}>{term}</{tag}>")
+
+
+def spellcheck_suggestions(
+    lexicon: DataFrame, word: str, max_distance: int = 2, k: int = 5
+) -> DataFrame:
+    """Top-k lexicon terms by (levenshtein distance, df desc, term asc).
+
+    At scale, prefilter by length band (|len(term) - len(word)| <= d) so the
+    distance function runs on a sliver of the lexicon — that predicate is a
+    scan-level pushdown, unlike the distance itself.
+    """
+    w = word.lower()
+    cand = lexicon.filter(
+        F.abs(F.length("term") - F.lit(len(w))) <= max_distance
+    )
+    scored = cand.select(
+        "term",
+        F.levenshtein(F.col("term"), F.lit(w)).cast("long").alias("distance"),
+        "df",
+    ).filter(F.col("distance") <= max_distance)
+    return scored.orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    ).limit(k)

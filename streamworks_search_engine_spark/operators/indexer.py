@@ -162,10 +162,18 @@ def write_index(
 
     The flat postings are persisted before the fan-out so the wide
     tokenize+aggregate shuffle runs once, not once per output table.
+
+    Layout: range-partitioned + sorted by (term, doc_id) so every parquet
+    file covers a tight term range — a query's ``term IN (...)`` filter
+    prunes whole files via row-group min/max stats (hash bucketing would
+    leave every file's term range wide open).
     """
     index.postings.persist()
-    index.postings.repartition(term_buckets, "term").write.mode("overwrite").parquet(
-        f"{out_dir}/postings"
+    (
+        index.postings.repartitionByRange(term_buckets, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings")
     )
     if pack:
         from .postings import pack_postings, write_packed

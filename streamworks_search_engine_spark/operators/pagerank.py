@@ -1,0 +1,104 @@
+"""PageRank — DataFrame power iteration.
+
+Re-expresses the reference's single-process, in-memory power iteration
+(/root/reference backend/src/main/java/pagerank/PageRank.java:306-376:
+damping 0.85, uniform init 1/N, random-surfer term (1-d)/N, L1 convergence
+eps, max iterations) as iterative DataFrame joins: contributions =
+edges ⋈ ranks grouped by dst, dangling-node mass redistributed uniformly
+(the reference drops it; we keep both modes, default matching the
+reference). The loop is driver-side; each iteration is one shuffle.
+
+At scale: ranks are checkpoint-truncated every few iterations to cut the
+lineage, edges are pre-partitioned once on src and reused by every join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,  # (src long, dst long)
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+    redistribute_dangling: bool = False,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Returns (node long, rank double). Deterministic for a fixed graph."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank double")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    edges_deg = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .persist()
+    )
+    edges_deg.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+
+    for it in range(max_iter):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        dangling_term = 0.0
+        if redistribute_dangling:
+            dangling = (
+                ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            dangling_term = damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                    + F.lit(dangling_term)
+                ).alias("rank"),
+            )
+        )
+        new_ranks = new_ranks.persist()
+        delta = None
+        if tol > 0:
+            # convergence check costs one job per iteration; tol<=0 runs a
+            # fixed iteration count with no mid-loop action
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0]
+            )
+        ranks.unpersist() if it > 0 else None
+        ranks = new_ranks
+        if (it + 1) % checkpoint_every == 0:
+            # truncate lineage: materialize to a local checkpoint
+            ranks = ranks.localCheckpoint()
+        if delta is not None and delta < tol:
+            break
+    return ranks
+
+
+def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """O5 analog (PageRank.java:196-234): top-N by rank, doc_id tiebreak."""
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(k)

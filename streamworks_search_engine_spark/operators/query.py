@@ -131,27 +131,55 @@ def _score_and_topk(
 def bm25_topk(
     index: SearchIndex, raw_terms: list[str], k: int | None = 10
 ) -> DataFrame:
-    """Flat-postings BM25 top-k. Returns (rank, doc_id, score)."""
+    """Flat-postings BM25 top-k. Returns (rank, doc_id, score).
+
+    Single-job plan: the lexicon semi-join runs as a broadcast hash join
+    inside the query (no driver round-trip), the ``term IN (...)`` predicate
+    pushes into the range-partitioned parquet scan (file pruning via
+    row-group stats), and the conjunctive count compares against a
+    broadcast 1-row scalar (# surviving terms) — the reference needed a
+    lexicon RPC + an n-way SQL join chain for the same thing
+    (MatchHandler.java:186-213,317-335).
+    """
     spark = index.postings.sparkSession
     terms = normalize_terms(raw_terms)
-    survivors = surviving_terms(index, terms)
-    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
-    if not survivors:
-        return empty
+    if not terms:
+        return spark.createDataFrame([], "rank int, doc_id long, score double")
 
-    term_list = [t for t, _ in survivors]
-    idf_map = F.create_map(
-        *[x for t, idf in survivors for x in (F.lit(t), F.lit(idf))]
+    lex_mini = index.lexicon.filter(F.col("term").isin(terms)).select(
+        "term", "idf"
     )
-    # IN-list filter pushes into the scan; bucketed-by-term layout prunes files
-    hits = index.postings.filter(F.col("term").isin(term_list)).select(
-        "term",
-        "doc_id",
-        _bm25_contrib(
-            idf_map[F.col("term")], F.col("tf"), F.col("doc_len"), index.avgdl
-        ).alias("contrib"),
+    nq = lex_mini.agg(F.count("*").alias("nq_n"))
+    hits = (
+        index.postings.filter(F.col("term").isin(terms))
+        .join(F.broadcast(lex_mini), "term")
+        .select(
+            "term",
+            "doc_id",
+            _bm25_contrib(
+                F.col("idf"), F.col("tf"), F.col("doc_len"), index.avgdl
+            ).alias("contrib"),
+        )
     )
-    return _score_and_topk(hits, len(term_list), k)
+    agg = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_matched"),
+        F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"),
+    )
+    scored = (
+        agg.join(F.broadcast(nq), F.col("n_matched") == F.col("nq_n"))
+        .withColumn(
+            "score",
+            F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+        )
+        .select("doc_id", "score")
+    )
+    if k is None:
+        return scored
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ordered.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
 
 
 def _contribs_from_decoded(decoded: DataFrame, survivors: list[tuple[str, float]], avgdl: float) -> DataFrame:

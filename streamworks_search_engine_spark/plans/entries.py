@@ -64,9 +64,9 @@ def _sql_terms_array(terms: list[str]) -> str:
     return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
 
 
-def _bm25_sql(terms: list[str], k: int | None = None) -> str:
+def _bm25_sql_base(terms: list[str]) -> str:
     arr = _sql_terms_array(terms)
-    base = f"""{_SQL_INDEX},
+    return f"""{_SQL_INDEX},
 qsurv AS (SELECT term, idf FROM lexicon WHERE list_contains({arr}, term)),
 nq AS (SELECT count(*) AS n FROM qsurv),
 scored AS (
@@ -78,6 +78,10 @@ scored AS (
 agg AS (SELECT doc_id, count(*) AS nm, sum(contrib) AS s
         FROM scored GROUP BY doc_id),
 matched AS (SELECT doc_id, s FROM agg WHERE nm = (SELECT n FROM nq))"""
+
+
+def _bm25_sql(terms: list[str], k: int | None = None) -> str:
+    base = _bm25_sql_base(terms)
     if k is None:
         return base + "\nSELECT doc_id, round(s, 6) AS score FROM matched"
     return base + f"""
@@ -335,6 +339,49 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_bm25_top10_snippet(spark, sf_dir):
+    """C3/C10 analog: top-10 for 'scan' with +/-24-char context + bolding."""
+    from ..functions.snippets import highlight, snippet
+
+    res = bm25_topk(_search_index(spark, sf_dir), Q_SINGLE, k=10)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snip = snippet(F.col("text"), Q_SINGLE[0], radius=24)
+    return (
+        res.join(docs, "doc_id")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            snip.alias("snippet"),
+            highlight(snip, Q_SINGLE[0]).alias("snippet_bold"),
+        )
+    )
+
+
+def q_spellcheck(spark, sf_dir):
+    """C7 analog: suggestions for the misspelling 'scann'."""
+    from ..functions.snippets import spellcheck_suggestions
+
+    return spellcheck_suggestions(
+        _index(spark, sf_dir).lexicon, "scann", max_distance=2, k=5
+    )
+
+
+def q_pagerank_top20(spark, sf_dir):
+    """A10/O5 analog: PageRank over a graph derived from lineitem
+    (supplier -> part-bucket edges), fixed 8 iterations, top-20."""
+    from ..operators.pagerank import pagerank, top_ranked
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.pmod(F.col("l_partkey"), F.lit(500)) + 100000).alias("dst"),
+    ).distinct()
+    ranks = pagerank(spark, edges, max_iter=8, tol=0.0)
+    top = top_ranked(ranks, 20)
+    return top.select("node", F.round("rank", 9).alias("rank"))
+
+
 # rows-only entries (no SQL-expressible oracle; checked by pytest instead)
 
 
@@ -379,6 +426,9 @@ QUERIES = {
     "window_order_rank": q_window_order_rank,
     "events_tumbling": q_events_tumbling,
     "events_sessionize": q_events_sessionize,
+    "bm25_top10_snippet": q_bm25_top10_snippet,
+    "spellcheck": q_spellcheck,
+    "pagerank_top20": q_pagerank_top20,
     "ann_lsh_topk": q_ann_lsh_topk,
     "simhash_near_dups": q_simhash_near_dups,
 }
@@ -552,6 +602,27 @@ sess AS (
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events
 FROM sess GROUP BY user_id, session_id""",
-    # ann_lsh_topk / simhash_near_dups: intentionally no SQL oracle
-    # (pandas-UDF hashing not expressible in ANSI SQL) -> rows-only check.
+    "bm25_top10_snippet": _bm25_sql_base(Q_SINGLE)
+    + f""",
+topk AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+                doc_id, round(s, 6) AS score
+         FROM matched ORDER BY s DESC, doc_id LIMIT 10)
+SELECT rank, doc_id, score,
+  CASE WHEN strpos(lower(text), '{Q_SINGLE[0]}') > 0
+       THEN substr(text, greatest(1, strpos(lower(text), '{Q_SINGLE[0]}') - 24),
+                   {2 * 24 + len(Q_SINGLE[0])}) END AS snippet,
+  CASE WHEN strpos(lower(text), '{Q_SINGLE[0]}') > 0
+       THEN replace(
+              substr(text, greatest(1, strpos(lower(text), '{Q_SINGLE[0]}') - 24),
+                     {2 * 24 + len(Q_SINGLE[0])}),
+              '{Q_SINGLE[0]}', '<b>{Q_SINGLE[0]}</b>') END AS snippet_bold
+FROM topk JOIN documents USING (doc_id)""",
+    "spellcheck": f"""{_SQL_INDEX}
+SELECT term, CAST(levenshtein(term, 'scann') AS BIGINT) AS distance, df
+FROM lexicon
+WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'scann') <= 2
+ORDER BY distance, df DESC, term LIMIT 5""",
+    # ann_lsh_topk / simhash_near_dups / pagerank_top20: intentionally no SQL
+    # oracle (pandas-UDF hashing / iterative algorithm) -> rows-only check;
+    # each is oracle-tested in pytest instead.
 }

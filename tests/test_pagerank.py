@@ -1,0 +1,69 @@
+"""PageRank vs a pure-Python power-iteration oracle on seeded random graphs."""
+
+import random
+
+import pytest
+
+
+def _oracle_pagerank(edges, damping=0.85, max_iter=100, tol=1e-9, redistribute=False):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        mass = {v: 0.0 for v in nodes}
+        for s, ds in adj.items():
+            c = ranks[s] / out[s]
+            for d in ds:
+                mass[d] += c
+        dang = 0.0
+        if redistribute:
+            dang = damping * sum(ranks[v] for v in nodes if v not in out) / n
+        new = {v: base + damping * mass[v] + dang for v in nodes}
+        delta = sum(abs(new[v] - ranks[v]) for v in nodes)
+        ranks = new
+        if delta < tol:
+            break
+    return ranks
+
+
+@pytest.mark.parametrize("seed", [1])
+@pytest.mark.parametrize("redistribute", [False, True])
+def test_pagerank_matches_oracle(spark, seed, redistribute):
+    from streamworks_search_engine_spark.operators.pagerank import pagerank
+
+    rng = random.Random(seed)
+    edges = sorted(
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark, df, max_iter=12, tol=0.0, redistribute_dangling=redistribute
+        ).collect()
+    }
+    exp = _oracle_pagerank(edges, max_iter=12, tol=0.0, redistribute=redistribute)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], abs=1e-9)
+
+
+def test_top_ranked_deterministic(spark):
+    from streamworks_search_engine_spark.operators.pagerank import (
+        pagerank,
+        top_ranked,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = pagerank(spark, df, max_iter=15, tol=0.0)
+    top = top_ranked(ranks, 3).collect()
+    assert len(top) == 3
+    assert top[0]["node"] == 1  # most in-links via cycle + two feeders
