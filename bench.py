@@ -35,14 +35,17 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from streamworks_search_engine_spark.operators.indexer import (
-        build_index_from_tokens,
+        build_index_from_plist,
         write_index,
     )
     from streamworks_search_engine_spark.operators.query import (
         bm25_topk,
         load_index,
     )
-    from streamworks_search_engine_spark.functions.tokenizer import make_tokens_udf
+    from streamworks_search_engine_spark.functions.tokenizer import (
+        make_doc_postings_udf,
+        make_tokens_udf,
+    )
     from streamworks_search_engine_spark.functions import dedup, similarity
     from streamworks_search_engine_spark.session import get_spark
 
@@ -56,14 +59,18 @@ def main() -> None:
     # --- index build (tokenize -> postings/lexicon/doclen -> parquet) ---
     out_dir = tempfile.mkdtemp(prefix="sse_bench_index_")
     t0 = time.time()
+    pudf = make_doc_postings_udf()
+    plist = docs.select(
+        "doc_id", pudf(F.col("text"), F.col("lang")).alias("plist")
+    ).persist()
+    index = build_index_from_plist(spark, plist)
+    write_index(index, out_dir, term_buckets=int(CPUS))
+    build_s = time.time() - t0
+    timings["index_build"] = round(build_s, 3)
     udf = make_tokens_udf()
     toks = docs.select(
         "doc_id", udf(F.col("text"), F.col("lang")).alias("tokens")
     )
-    index = build_index_from_tokens(spark, toks)
-    write_index(index, out_dir, term_buckets=int(CPUS))
-    build_s = time.time() - t0
-    timings["index_build"] = round(build_s, 3)
 
     # --- BM25 top-k query latency (warm index) ---
     si = load_index(spark, out_dir)

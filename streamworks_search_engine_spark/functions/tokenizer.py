@@ -26,14 +26,18 @@ from __future__ import annotations
 
 import json
 import re
-from pathlib import Path
+from importlib.resources import files as _resource_files
 
 import pandas as pd
 
-_STOPWORDS_PATH = Path(__file__).resolve().parents[2] / "fixtures" / "stopwords.json"
-
-with open(_STOPWORDS_PATH) as _f:
-    _RAW = json.load(_f)
+# packaged copy of fixtures/stopwords.json — importlib.resources works when
+# the package ships as a spark-submit --py-files zip, where a plain open()
+# on a path relative to __file__ would not
+_RAW = json.loads(
+    _resource_files("streamworks_search_engine_spark.resources")
+    .joinpath("stopwords.json")
+    .read_text()
+)
 
 ENGLISH_STOPWORDS = frozenset(_RAW["english"])
 
@@ -96,6 +100,49 @@ def tokenize_series(texts: pd.Series, langs: pd.Series | None = None) -> pd.Seri
         [_filter(toks, _stopset(lang)) for toks, lang in zip(raw, lang_values)],
         index=texts.index,
     )
+
+
+def doc_postings_from_tokens(toks: list[str]) -> list[tuple[str, int, list[int]]]:
+    """Per-doc posting fragments: (term, tf, sorted positions). The per-doc
+    'reduce' runs doc-locally — a document is one record, so grouping its own
+    hits needs no shuffle (unlike the reference's line-level map that ships
+    every hit through the topology, IndexMapBolt -> IndexReduceBolt)."""
+    acc: dict[str, list[int]] = {}
+    for pos, t in enumerate(toks):
+        acc.setdefault(t, []).append(pos)
+    return [(t, len(ps), ps) for t, ps in acc.items()]
+
+
+def make_doc_postings_udf():
+    """Pandas UDF ``(content, lang) -> array<struct<term, tf, positions>>``.
+
+    Emitting doc-aggregated postings from the tokenizer keeps the build's
+    wide shuffle at one compact row per (doc, distinct term) instead of one
+    row per token occurrence — the difference between shuffling doc_len and
+    shuffling distinct_terms rows per document (~5-10x less at code-like
+    token distributions, and positions travel as packed arrays).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("tf", T.LongType()),
+                T.StructField("positions", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def doc_postings_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+        toks = tokenize_series(content, lang)
+        return pd.Series(
+            [doc_postings_from_tokens(t) for t in toks], index=content.index
+        )
+
+    return doc_postings_udf
 
 
 def make_tokens_udf():

@@ -106,9 +106,35 @@ def build_index_from_tokens(
         F.first("doc_len").alias("doc_len"),
     )
 
-    lexicon = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
+    lexicon = salted_lexicon(postings, n_docs)
+
+    return IndexTables(
+        postings=postings,
+        lexicon=lexicon,
+        doclen=doclen,
+        docs_dim=docs_dim,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+
+
+def salted_lexicon(
+    postings: DataFrame, n_docs: int, salt_buckets: int = 16
+) -> DataFrame:
+    """df/idf per term via an EXPLICIT two-stage salted aggregation
+    (north_rule: hot-term salting). Zipfian terms ("def", "return") would
+    funnel their whole partial-count stream through one reducer; salting on
+    ``pmod(doc_id, S)`` splits stage one S-ways, stage two merges S tiny
+    rows per term. The salt is hash-derived (deterministic), never random,
+    so builds stay reproducible. Equivalent by construction to a direct
+    ``groupBy(term).count()`` — asserted in tests.
+    """
+    partial = postings.groupBy(
+        "term", F.pmod(F.col("doc_id"), F.lit(salt_buckets)).alias("salt")
+    ).agg(F.count("*").alias("pdf"))
+    return (
+        partial.groupBy("term")
+        .agg(F.sum("pdf").alias("df"))
         .withColumn(
             "idf",
             F.log(
@@ -119,6 +145,38 @@ def build_index_from_tokens(
         )
     )
 
+
+def build_index_from_plist(
+    spark: SparkSession, docs_plist: DataFrame, docs_dim: DataFrame | None = None
+) -> IndexTables:
+    """Shuffle-free postings build over ``(doc_id, plist)`` where plist is
+    ``array<struct<term, tf, positions>>`` (doc-aggregated in the tokenizer
+    UDF). Exploding plist yields the flat postings directly — (term, doc_id)
+    is already unique, so the reference's reduce stage disappears; the only
+    remaining exchanges are the tiny lexicon aggregation and the writer's
+    range partitioning.
+
+    Callers should persist ``docs_plist`` (build_index persists its parent
+    frame) — this function reads it for stats, postings, and doclen."""
+    doc_len = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
+    )
+    doclen = docs_plist.select("doc_id", doc_len.alias("doc_len"))
+    stats_row = doclen.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+
+    postings = docs_plist.select(
+        "doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("p")
+    ).select(
+        F.col("p.term").alias("term"),
+        "doc_id",
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
+        "doc_len",
+    )
+    lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
     return IndexTables(
         postings=postings,
         lexicon=lexicon,
@@ -131,19 +189,33 @@ def build_index_from_tokens(
 
 def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
     """Flat (uncompressed) index build over the input_hint corpus schema
-    ``(repo, path, commit, lang, content)`` — M1 of SURVEY.md §7.2."""
-    toks = tokenized(docs_df).persist()
-    docs_dim = toks.select(
+    ``(repo, path, commit, lang, content)`` — M1 of SURVEY.md §7.2, using
+    the doc-local aggregation path (see build_index_from_plist)."""
+    from ..functions.tokenizer import make_doc_postings_udf
+
+    udf = make_doc_postings_udf()
+    base = (
+        with_doc_id(docs_df)
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            udf(F.col("content"), F.col("lang")).alias("plist"),
+        )
+        .persist()
+    )
+    doc_len = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
+    )
+    docs_dim = base.select(
         "doc_id",
         "repo",
         "path",
         "commit",
         "lang",
-        F.size("tokens").cast("long").alias("doc_len"),
+        doc_len.alias("doc_len"),
         "content_sha256",
     )
-    return build_index_from_tokens(
-        spark, toks.select("doc_id", "tokens"), docs_dim=docs_dim
+    return build_index_from_plist(
+        spark, base.select("doc_id", "plist"), docs_dim=docs_dim
     )
 
 

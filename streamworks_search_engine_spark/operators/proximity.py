@@ -1,0 +1,175 @@
+"""Positional operators: phrase match, minimal window, proximity-boosted
+BM25 — the code-corpus analog of the reference's proximity scorer
+(/root/reference backend/src/main/java/indexer/scorer/IndexScorer.java:
+666-710: all-terms-in-one-tag -> x1.5, >=2 terms -> x1.2, else x1.0; we key
+the boost on exact phrase / window containment over token positions, which
+the reference stores per hit (WordHit.pos) but only uses tag-locally).
+
+Phrase matching is pure JVM higher-order functions over the positions
+arrays (exists + array_contains — no UDF); the minimal-window is a k-way
+merge in an Arrow-batched pandas UDF (positions lists are per-doc small).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .query import SearchIndex, bm25_topk, normalize_terms
+
+PHRASE_BOOST = 1.5
+WINDOW_BOOST = 1.2
+
+
+def _positions_pivot(index: SearchIndex, terms: list[str]) -> DataFrame:
+    """One row per doc containing ALL terms: (doc_id, pos_0..pos_{n-1}).
+    Left-deep join chain like the reference's (term count is tiny)."""
+    parts = []
+    for i, t in enumerate(terms):
+        parts.append(
+            index.postings.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"pos_{i}")
+            )
+        )
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.join(p, "doc_id")
+    return joined
+
+
+def _phrase_cond(n_terms: int):
+    def cond(p):
+        c = F.lit(True)
+        for i in range(1, n_terms):
+            c = c & F.array_contains(F.col(f"pos_{i}"), p + i)
+        return c
+
+    return cond
+
+
+def phrase_match(index: SearchIndex, raw_terms: list[str]) -> DataFrame:
+    """Docs containing the terms as a contiguous phrase, in the given order:
+    exists(p in pos_0) with (p+i) in pos_i for all i. No UDF."""
+    terms = [t for rt in raw_terms for t in normalize_terms([rt])]
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    piv = _positions_pivot(index, terms)
+    if len(terms) == 1:
+        return piv.select("doc_id")
+    return piv.filter(
+        F.exists(F.col("pos_0"), _phrase_cond(len(terms)))
+    ).select("doc_id")
+
+
+def make_min_window_udf():
+    """pandas UDF: array<array<int>> (per-term sorted positions) -> minimal
+    span (#tokens, inclusive) of a window containing one position from each
+    list; -1 when any list is empty (cannot happen after a conjunctive join).
+    """
+
+    @F.pandas_udf(T.LongType())
+    def min_window(pos_lists: pd.Series) -> pd.Series:
+        out = np.empty(len(pos_lists), dtype=np.int64)
+        for r, lists in enumerate(pos_lists):
+            arrs = [np.asarray(a, dtype=np.int64) for a in lists]
+            if any(len(a) == 0 for a in arrs):
+                out[r] = -1
+                continue
+            labeled = np.concatenate(
+                [
+                    np.stack([a, np.full(len(a), i)], axis=1)
+                    for i, a in enumerate(arrs)
+                ]
+            )
+            labeled = labeled[np.argsort(labeled[:, 0], kind="stable")]
+            k = len(arrs)
+            counts = np.zeros(k, dtype=np.int64)
+            have = 0
+            best = np.iinfo(np.int64).max
+            left = 0
+            for right in range(len(labeled)):
+                lab = labeled[right, 1]
+                counts[lab] += 1
+                if counts[lab] == 1:
+                    have += 1
+                while have == k:
+                    span = labeled[right, 0] - labeled[left, 0] + 1
+                    if span < best:
+                        best = span
+                    llab = labeled[left, 1]
+                    counts[llab] -= 1
+                    if counts[llab] == 0:
+                        have -= 1
+                    left += 1
+            out[r] = best
+        return pd.Series(out, index=pos_lists.index)
+
+    return min_window
+
+
+def min_window_per_doc(index: SearchIndex, raw_terms: list[str]) -> DataFrame:
+    """(doc_id, min_window) over docs containing all (normalized) terms."""
+    terms = sorted({t for rt in raw_terms for t in normalize_terms([rt])})
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, min_window long")
+    piv = _positions_pivot(index, terms)
+    mw = make_min_window_udf()
+    return piv.select(
+        "doc_id",
+        mw(F.array(*[F.col(f"pos_{i}") for i in range(len(terms))])).alias(
+            "min_window"
+        ),
+    )
+
+
+def proximity_topk(
+    index: SearchIndex,
+    raw_terms: list[str],
+    k: int = 10,
+    window: int = 8,
+) -> DataFrame:
+    """BM25 x proximity boost (reference weights): exact phrase (raw term
+    order) -> x1.5, all terms within ``window`` tokens -> x1.2, else x1.0.
+    Returns (rank, doc_id, score, boost); ties boosted desc, doc_id asc."""
+    terms = sorted({t for rt in raw_terms for t in normalize_terms([rt])})
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame(
+        [], "rank int, doc_id long, score double, boost double"
+    )
+    if not terms:
+        return empty
+    base = bm25_topk(index, terms, k=None)  # (doc_id, score), conjunctive
+    if len(terms) == 1:
+        scored = base.select("doc_id", "score", F.lit(1.0).alias("boost"))
+    else:
+        feats = min_window_per_doc(index, raw_terms)
+        phrased = phrase_match(index, raw_terms).distinct().withColumn(
+            "is_phrase", F.lit(True)
+        )
+        feats = feats.join(phrased, "doc_id", "left").fillna(
+            {"is_phrase": False}
+        )
+        boost = (
+            F.when(F.col("is_phrase"), F.lit(PHRASE_BOOST))
+            .when(F.col("min_window") <= window, F.lit(WINDOW_BOOST))
+            .otherwise(F.lit(1.0))
+        )
+        scored = base.join(feats, "doc_id").select(
+            "doc_id", "score", boost.alias("boost")
+        )
+    ranked = (
+        scored.select(
+            "doc_id", (F.col("score") * F.col("boost")).alias("score"), "boost"
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score", "boost"
+    )

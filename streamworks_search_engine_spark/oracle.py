@@ -120,6 +120,75 @@ def bm25_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list[tuple[int,
     return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
 
 
+def phrase_docs(idx: OracleIndex, raw_terms: list[str]) -> set[int]:
+    """Docs containing the normalized terms as a contiguous phrase."""
+    terms: list[str] = []
+    for rt in raw_terms:
+        terms.extend(tokenize(rt, ""))
+    if not terms or any(t not in idx.positions for t in terms):
+        return set()
+    docs = set.intersection(*[set(idx.positions[t].keys()) for t in terms])
+    out = set()
+    for d in docs:
+        first = idx.positions[terms[0]][d]
+        rest = [set(idx.positions[t][d]) for t in terms[1:]]
+        for p in first:
+            if all(p + i + 1 in rest[i] for i in range(len(rest))):
+                out.add(d)
+                break
+    return out
+
+
+def min_window(idx: OracleIndex, terms: list[str], doc_id: int) -> int:
+    """Minimal token span covering one position of every term."""
+    labeled = sorted(
+        (p, i) for i, t in enumerate(terms) for p in idx.positions[t][doc_id]
+    )
+    k = len(terms)
+    counts = [0] * k
+    have = 0
+    best = None
+    left = 0
+    for right in range(len(labeled)):
+        counts[labeled[right][1]] += 1
+        if counts[labeled[right][1]] == 1:
+            have += 1
+        while have == k:
+            span = labeled[right][0] - labeled[left][0] + 1
+            if best is None or span < best:
+                best = span
+            counts[labeled[left][1]] -= 1
+            if counts[labeled[left][1]] == 0:
+                have -= 1
+            left += 1
+    return best
+
+
+def proximity_topk(
+    idx: OracleIndex, raw_terms: list[str], k: int, window: int = 8
+) -> list[tuple[int, int, float, float]]:
+    """BM25 x proximity boost: phrase 1.5, window 1.2, else 1.0
+    (reference weights, IndexScorer.java:407-409,666-710)."""
+    base = bm25_topk(idx, raw_terms, k=len(idx.doclen) or 1)
+    terms = sorted({t for t in normalize_query(raw_terms) if t in idx.postings})
+    if not terms:
+        return []
+    phrased = phrase_docs(idx, raw_terms) if len(terms) > 1 else set()
+    scored = []
+    for _, d, s in base:
+        if len(terms) == 1:
+            boost = 1.0
+        elif d in phrased:
+            boost = 1.5
+        elif min_window(idx, terms, d) <= window:
+            boost = 1.2
+        else:
+            boost = 1.0
+        scored.append((d, s * boost, boost))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s, b) for i, (d, s, b) in enumerate(scored[:k])]
+
+
 def tfidf_reference_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list[tuple[int, int, float]]:
     """Secondary scorer: the reference's ntf·idf formula
     (IndexMySQLStorage.java:417-470; MatchHandler.java:358-362):

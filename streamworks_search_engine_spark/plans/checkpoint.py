@@ -34,7 +34,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import make_tokens_udf
+from ..functions.tokenizer import make_doc_postings_udf
 from ..operators.indexer import IndexTables, with_doc_id
 
 
@@ -104,7 +104,7 @@ class CheckpointedIndexBuild:
         """Process uncommitted partitions (optionally at most
         ``max_partitions`` — the kill-injection hook for tests).
         Returns the number of partitions processed this call."""
-        udf = make_tokens_udf()
+        udf = make_doc_postings_udf()
         docs = with_doc_id(docs_df)
         done = self.committed()
         processed = 0
@@ -131,24 +131,27 @@ class CheckpointedIndexBuild:
                 "commit",
                 "lang",
                 "content_sha256",
-                udf(F.col("content"), F.col("lang")).alias("tokens"),
+                udf(F.col("content"), F.col("lang")).alias("plist"),
             ).persist()
-            hits = toks.select(
-                "doc_id",
-                F.size("tokens").cast("long").alias("doc_len"),
-                F.posexplode("tokens").alias("pos", "term"),
+            doc_len = F.aggregate(
+                "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
             )
-            postings = hits.groupBy("term", "doc_id").agg(
-                F.count("*").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-                F.first("doc_len").alias("doc_len"),
+            # doc-local aggregation: exploding plist IS the postings table
+            postings = toks.select(
+                "doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("h")
+            ).select(
+                F.col("h.term").alias("term"),
+                "doc_id",
+                F.col("h.tf").alias("tf"),
+                F.col("h.positions").alias("positions"),
+                "doc_len",
             )
             postings.write.mode("overwrite").parquet(
                 f"{self.out_dir}/partials/postings/part={p}"
             )
             docs_dim = toks.select(
                 "doc_id", "repo", "path", "commit", "lang",
-                F.size("tokens").cast("long").alias("doc_len"),
+                doc_len.alias("doc_len"),
                 "content_sha256",
             )
             docs_dim.write.mode("overwrite").parquet(

@@ -15,24 +15,21 @@ because DuckDB counts/row_numbers are BIGINT.
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dedup, similarity, textstats
-from ..functions.tokenizer import make_tokens_udf
-from ..operators.indexer import IndexTables, build_index_from_tokens
+from ..functions.tokenizer import (
+    ENGLISH_STOPWORDS,
+    make_doc_postings_udf,
+    make_tokens_udf,
+)
+from ..operators.indexer import IndexTables, build_index_from_plist
 from ..operators.query import SearchIndex, bm25_topk, tfidf_reference_topk
 
 # ---------------------------------------------------------------- shared ----
 
-_STOPWORDS = sorted(
-    json.load(open(Path(__file__).resolve().parents[2] / "fixtures" / "stopwords.json"))[
-        "english"
-    ]
-)
+_STOPWORDS = sorted(ENGLISH_STOPWORDS)
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 # Terms chosen from the generator vocabulary (present at every SF).
@@ -110,9 +107,13 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _index(spark: SparkSession, sf_dir: str) -> IndexTables:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
-        _INDEX_CACHE[key] = build_index_from_tokens(
-            spark, _doc_tokens(spark, sf_dir)
+        udf = make_doc_postings_udf()
+        plist = (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", udf(F.col("text"), F.col("lang")).alias("plist"))
+            .persist()
         )
+        _INDEX_CACHE[key] = build_index_from_plist(spark, plist)
     return _INDEX_CACHE[key]
 
 

@@ -58,6 +58,27 @@ def test_lexicon_df_idf_match(spark_index, oracle_index):
         )
 
 
+def test_salted_lexicon_equals_direct_groupby(spark, spark_index):
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.operators.indexer import salted_lexicon
+
+    direct = {
+        r["term"]: r["df"]
+        for r in spark_index.postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    for buckets in (1, 4, 16):
+        salted = {
+            r["term"]: r["df"]
+            for r in salted_lexicon(
+                spark_index.postings, spark_index.n_docs, salt_buckets=buckets
+            ).collect()
+        }
+        assert salted == direct
+
+
 def test_content_sha256_invariant(spark, spark_index):
     from streamworks_search_engine_spark.operators.indexer import (
         assert_content_sha256,

@@ -1,0 +1,81 @@
+"""Phrase / min-window / proximity-boosted BM25 vs the oracle."""
+
+import math
+
+import pytest
+
+from streamworks_search_engine_spark import oracle as O
+
+
+def _phrase_from_corpus(oracle_index, corpus_rows):
+    """Pick a real 2-token phrase from the biggest doc's token stream."""
+    from streamworks_search_engine_spark.functions.tokenizer import tokenize
+
+    row = max(corpus_rows, key=lambda r: len(r["content"]))
+    toks = tokenize(row["content"], row["lang"])
+    for a, b in zip(toks, toks[1:]):
+        if a != b:
+            return [a, b]
+    raise AssertionError("no phrase found")
+
+
+def test_phrase_match_oracle(spark_index, oracle_index, corpus_rows):
+    from streamworks_search_engine_spark.operators.proximity import phrase_match
+
+    phrase = _phrase_from_corpus(oracle_index, corpus_rows)
+    got = {r["doc_id"] for r in phrase_match(spark_index, phrase).collect()}
+    assert got == O.phrase_docs(oracle_index, phrase)
+    assert got, "phrase should match at least its source doc"
+
+
+def test_phrase_order_matters(spark_index, oracle_index, corpus_rows):
+    from streamworks_search_engine_spark.operators.proximity import phrase_match
+
+    phrase = _phrase_from_corpus(oracle_index, corpus_rows)
+    rev = list(reversed(phrase))
+    got = {r["doc_id"] for r in phrase_match(spark_index, rev).collect()}
+    assert got == O.phrase_docs(oracle_index, rev)
+
+
+def test_min_window_matches_oracle(spark_index, oracle_index, corpus_rows):
+    from streamworks_search_engine_spark.operators.proximity import (
+        min_window_per_doc,
+    )
+
+    phrase = _phrase_from_corpus(oracle_index, corpus_rows)
+    terms = sorted(set(phrase))
+    got = {
+        r["doc_id"]: r["min_window"]
+        for r in min_window_per_doc(spark_index, phrase).collect()
+    }
+    docs = set.intersection(
+        *[set(oracle_index.positions[t].keys()) for t in terms]
+    )
+    assert set(got) == docs
+    for d in docs:
+        assert got[d] == O.min_window(oracle_index, terms, d)
+
+
+def test_proximity_topk_rank_identity(spark_index, oracle_index, corpus_rows):
+    from streamworks_search_engine_spark.operators.proximity import proximity_topk
+
+    phrase = _phrase_from_corpus(oracle_index, corpus_rows)
+    expected = O.proximity_topk(oracle_index, phrase, 10, window=8)
+    got = proximity_topk(spark_index, phrase, 10, window=8).collect()
+    assert [(r["rank"], r["doc_id"], r["boost"]) for r in got] == [
+        (rk, d, b) for rk, d, _, b in expected
+    ]
+    for r, (_, _, es, _) in zip(got, expected):
+        assert math.isclose(r["score"], es, rel_tol=0, abs_tol=1e-12)
+
+
+def test_proximity_single_term_no_boost(spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.proximity import proximity_topk
+
+    hot = max(oracle_index.postings, key=lambda t: len(oracle_index.postings[t]))
+    got = proximity_topk(spark_index, [hot], 5).collect()
+    assert all(r["boost"] == 1.0 for r in got)
+    expected = O.bm25_topk(oracle_index, [hot], 5)
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (rk, d) for rk, d, _ in expected
+    ]

@@ -9,6 +9,20 @@ from streamworks_search_engine_spark.functions.tokenizer import (
 from streamworks_search_engine_spark.sources.corpus import generate_corpus
 
 
+def test_packaged_stopwords_match_frozen_fixture():
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    frozen = json.loads((repo / "fixtures" / "stopwords.json").read_text())
+    packaged = json.loads(
+        (
+            repo / "streamworks_search_engine_spark" / "resources" / "stopwords.json"
+        ).read_text()
+    )
+    assert frozen == packaged
+
+
 def test_camel_case_split():
     assert tokenize("fooBar") == ["foo", "bar"]
     assert tokenize("parseHTMLDoc") == ["parse", "html", "doc"]

@@ -1,0 +1,133 @@
+"""Two-cluster-size scaling evidence (north_rule: efficiency >= 0.8 from N
+to 4N executors; sandbox stand-in = local[8] vs local[32] on the same input).
+
+1. Generates a deterministic synthetic source-code corpus (input_hint shape)
+   once, via pyarrow (seed=42), sized so per-task compute dominates.
+2. Zips the package, runs tools/scale_job.py twice via real
+   ``spark-submit --master local[{8,32}] --py-files`` (fresh JVM each).
+3. Prints both throughputs + scaling efficiency and rewrites BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_FILES = int(os.environ.get("SSE_SCALE_FILES", "40000"))
+CORPUS = os.environ.get("SSE_SCALE_CORPUS", "/tmp/sse_scale_corpus.parquet")
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+CORE_COUNTS = (8, 32)
+
+
+def ensure_corpus() -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streamworks_search_engine_spark.sources.corpus import generate_corpus
+
+    marker = Path(CORPUS + f".n{N_FILES}.ok")
+    if marker.exists():
+        return
+    print(f"generating corpus: {N_FILES} files -> {CORPUS}", file=sys.stderr)
+    rows = generate_corpus(N_FILES, seed=42)
+    table = pa.Table.from_pylist(rows)
+    # small row groups => the scan itself parallelizes across cores
+    pq.write_table(table, CORPUS, compression="zstd", row_group_size=2000)
+    marker.write_text("ok")
+
+
+def make_pkg_zip() -> str:
+    zpath = "/tmp/sse_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for pat in ("*.py", "*.json"):
+            for f in (REPO / "streamworks_search_engine_spark").rglob(pat):
+                z.write(f, f.relative_to(REPO))
+    return zpath
+
+
+def run_at(cores: int, pkg_zip: str) -> dict:
+    out_dir = f"/tmp/sse_scale_out_{cores}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--py-files", pkg_zip,
+        str(REPO / "tools" / "scale_job.py"),
+        CORPUS,
+        out_dir,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"files_per_sec"' in line:
+            return json.loads(line)
+    raise RuntimeError(
+        f"scale job at local[{cores}] produced no result:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ensure_corpus()
+    pkg = make_pkg_zip()
+    results = {c: run_at(c, pkg) for c in CORE_COUNTS}
+    lo, hi = CORE_COUNTS
+    thr_lo = results[lo]["files_per_sec"]
+    thr_hi = results[hi]["files_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    summary = {
+        "job": "full index build (tokenize -> postings/lexicon/doclen -> flat+packed parquet)",
+        "input_files": results[lo]["files"],
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "speedup": round(thr_hi / thr_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": ">= 0.8",
+    }
+    print(json.dumps(summary, indent=2))
+    write_bench_md(summary)
+
+
+def write_bench_md(s: dict) -> None:
+    lo, hi = CORE_COUNTS
+    md = f"""# BENCH — scaling + throughput evidence
+
+## Two-cluster-size scaling (north_rule)
+
+Same job, same input, fresh JVM per run, launched with real
+`spark-submit --master local[N] --py-files /tmp/sse_pkg.zip tools/scale_job.py`
+(the sandbox stand-in for N vs 4N executors).
+
+Job: {s['job']}
+Input: {s['input_files']} synthetic source files (input_hint schema, seed=42).
+
+| parallelism | wall (s) | throughput (files/sec) |
+|---|---|---|
+| local[{lo}] | {s[f'local[{lo}]']['wall_s']} | {s[f'local[{lo}]']['files_per_sec']} |
+| local[{hi}] | {s[f'local[{hi}]']['wall_s']} | {s[f'local[{hi}]']['files_per_sec']} |
+
+Speedup {lo}->{hi} cores: **{s['speedup']}x** (ideal {hi // lo}x).
+Scaling efficiency: **{s['scaling_efficiency']}** (target >= 0.8).
+
+Reproduce: `python tools/bench_scaling.py` (env `SSE_SCALE_FILES` sizes the corpus).
+
+## Per-round headline bench
+
+`python bench.py` (driver-recorded as BENCH_r{{N}}.json) reports index-build
+files/sec and BM25 top-k latency at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].
+"""
+    (REPO / "BENCH.md").write_text(md)
+    print(f"wrote {REPO / 'BENCH.md'}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""The scaling-evidence job: full index build (tokenize -> postings/lexicon/
+doclen -> flat + packed parquet) over a corpus parquet.
+
+Run via spark-submit so --master local[N] and --py-files provide the
+parallelism and the package (the sandbox stand-in for N vs 4N executors on a
+cluster):
+
+  spark-submit --master local[8] --py-files /tmp/sse_pkg.zip \
+      tools/scale_job.py <corpus_parquet> <out_dir>
+
+Prints one JSON line: {"files": N, "wall_s": s, "files_per_sec": r, ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(corpus_path: str, out_dir: str) -> None:
+    spark = (
+        SparkSession.builder.appName("sse-scale-job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index,
+        write_index,
+    )
+
+    docs = spark.read.parquet(corpus_path)
+    n_files = docs.count()  # warms the scan; excluded from the timed section
+
+    t0 = time.time()
+    index = build_index(spark, docs.repartition(max(8, cores) * 2))
+    write_index(index, out_dir, term_buckets=max(8, cores), pack=True)
+    wall = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "files": n_files,
+                "cores": cores,
+                "wall_s": round(wall, 2),
+                "files_per_sec": round(n_files / wall, 2),
+                "n_docs": index.n_docs,
+                "avgdl": round(index.avgdl, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
