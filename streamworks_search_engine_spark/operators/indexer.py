@@ -219,11 +219,102 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
     )
 
 
+def build_and_write_index(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    out_dir: str,
+    term_buckets: int = 32,
+    pack: bool = True,
+    flat: bool = False,
+    timings: dict | None = None,
+) -> IndexTables:
+    """Scale-path build: ONE tokenize+explode pass checkpointed to a FLAT
+    parquet (no shuffle — doc-local aggregation in the UDF means (term,
+    doc_id) is already unique), then every output derives from the staged
+    flat table with parquet column pruning.
+
+    Why not ``build_index`` + ``write_index`` (which persist() the tokenized
+    frame)? A multi-GB deserialized cache of nested plist rows lives in the
+    old generation and turns every young GC into a long evacuation pause that
+    stops all task threads — measured at 32 cores: GC was 64% of stage run
+    time. A flat checkpoint costs one extra write but re-reads decode at
+    columnar speed with zero long-lived heap residency, and the staged file
+    doubles as the tokenize-stage resume point (plans.checkpoint adds
+    per-partition lineage/manifests on top of the same idea).
+    """
+    import time as _time
+
+    t = timings if timings is not None else {}
+    t0 = _time.time()
+    from ..functions.tokenizer import make_doc_postings_udf
+
+    udf = make_doc_postings_udf()
+    staged_path = f"{out_dir}/staged_postings"
+    doc_len = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
+    )
+    posting_cols = [
+        F.col("p.term").alias("term"),
+        F.col("doc_id"),
+        F.col("p.tf").alias("tf"),
+        F.col("doc_len"),
+    ]
+    if flat:
+        posting_cols.insert(3, F.col("p.positions").alias("positions"))
+    (
+        with_doc_id(docs_df).select(
+            F.col("doc_id"),
+            udf(F.col("content"), F.col("lang")).alias("plist"),
+        )
+        .select("doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("p"))
+        .select(*posting_cols)
+        .write.mode("overwrite")
+        .parquet(staged_path)
+    )
+    t["tokenize_checkpoint"] = round(_time.time() - t0, 2)
+
+    t0 = _time.time()
+    sp = spark.read.parquet(staged_path)
+    # doc dimension: doc_len from the staged table (column-pruned distinct);
+    # identity/sha from a content-only pass over the source (no tokenize)
+    doclen = sp.select("doc_id", "doc_len").distinct()
+    docs_dim = (
+        with_doc_id(docs_df.select("repo", "path", "commit", "lang", "content"))
+        .select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "doc_len",
+            "content_sha256",
+        )
+    )
+    stats_row = doclen.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+    lexicon = salted_lexicon(sp.select("term", "doc_id"), n_docs)
+    index = IndexTables(
+        postings=sp,
+        lexicon=lexicon,
+        doclen=doclen,
+        docs_dim=docs_dim,
+        n_docs=n_docs,
+        avgdl=avgdl,
+    )
+    t["stats"] = round(_time.time() - t0, 2)
+    write_index(
+        index, out_dir, term_buckets=term_buckets, pack=pack, flat=flat,
+        timings=t,
+    )
+    return index
+
+
 def write_index(
     index: IndexTables,
     out_dir: str,
     term_buckets: int = 32,
     pack: bool = True,
+    flat: bool = True,
+    timings: dict | None = None,
 ) -> None:
     """Persist index tables as parquet, postings hash-distributed by term.
 
@@ -232,29 +323,53 @@ def write_index(
     indexer/scorer/IndexScorer.java:612-625); parquet + repartition(term)
     is the sandbox stand-in (Iceberg jars not in the image).
 
-    The flat postings are persisted before the fan-out so the wide
-    tokenize+aggregate shuffle runs once, not once per output table.
-
     Layout: range-partitioned + sorted by (term, doc_id) so every parquet
     file covers a tight term range — a query's ``term IN (...)`` filter
     prunes whole files via row-group min/max stats (hash bucketing would
     leave every file's term range wide open).
     """
-    index.postings.persist()
-    (
-        index.postings.repartitionByRange(term_buckets, "term", "doc_id")
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/postings")
-    )
-    if pack:
-        from .postings import pack_postings, write_packed
+    import time as _time
 
-        packed = pack_postings(
-            index.postings, index.lexicon, index.avgdl,
-            num_partitions=term_buckets,
+    t = timings if timings is not None else {}
+    t0 = _time.time()
+    # lexicon is read twice (broadcast idf join + its own write) — cache the
+    # tiny table so the df aggregation over the postings runs once
+    index.lexicon.persist()
+    # ONE range shuffle serves both outputs: join idf in (broadcast — no
+    # shuffle), arrange by (term, doc_id); the flat write is a narrow
+    # projection and the pack is a narrow Arrow pass over the same shuffle
+    # output. NOT persisted: both consumers re-read the stage's shuffle
+    # files (map outputs are kept), which costs a second in-task sort but
+    # avoids materializing a multi-GB deserialized row cache in the heap —
+    # heap caches amplify 3-5x in fresh pages and first-touch page faults
+    # dominate on memory-ballooned hosts.
+    base = index.postings
+    if not flat:
+        # packed-only (the 100-TB mode: the compressed blocks ARE the
+        # postings table; storing an uncompressed copy alongside would
+        # double write volume) — prune positions before the shuffle
+        base = base.select("term", "doc_id", "tf", "doc_len")
+    arranged = (
+        base.join(F.broadcast(index.lexicon.select("term", "idf")), "term")
+        .repartitionByRange(term_buckets, "term", "doc_id")
+        .sortWithinPartitions("term", "doc_id")
+    )
+    if flat:
+        arranged.drop("idf").write.mode("overwrite").parquet(
+            f"{out_dir}/postings"
+        )
+        t["write_flat_postings"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+    if pack:
+        from .postings import pack_arranged, write_packed
+
+        packed = pack_arranged(
+            arranged.select("term", "doc_id", "tf", "doc_len", "idf"),
+            index.avgdl,
         )
         write_packed(packed, out_dir)
+        t["write_packed_postings"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     index.lexicon.write.mode("overwrite").parquet(f"{out_dir}/lexicon")
     index.doclen.write.mode("overwrite").parquet(f"{out_dir}/doclen")
     if index.docs_dim is not None:
@@ -263,7 +378,8 @@ def write_index(
     spark.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
-    index.postings.unpersist()
+    t["write_small_tables"] = round(_time.time() - t0, 2)
+    index.lexicon.unpersist()
 
 
 def assert_content_sha256(docs_df: DataFrame, docs_dim: DataFrame) -> int:

@@ -93,8 +93,9 @@ def pack_postings(
 
     One range shuffle on (term, doc_id); block boundaries fall at partition/
     Arrow-batch edges at worst (short blocks are valid — metadata carries n).
+    The idf join broadcasts the lexicon (small dim) so it adds no shuffle.
     """
-    scored = postings.join(lexicon.select("term", "idf"), "term").select(
+    scored = postings.join(F.broadcast(lexicon.select("term", "idf")), "term").select(
         "term", "doc_id", "tf", "doc_len", "idf"
     )
     if num_partitions is None:
@@ -104,6 +105,16 @@ def pack_postings(
     arranged = scored.repartitionByRange(
         int(num_partitions), "term", "doc_id"
     ).sortWithinPartitions("term", "doc_id")
+    return pack_arranged(arranged, avgdl, block_size)
+
+
+def pack_arranged(
+    arranged: DataFrame, avgdl: float, block_size: int = BLOCK_SIZE
+) -> DataFrame:
+    """Pack an ALREADY range-partitioned + (term, doc_id)-sorted frame with
+    columns (term, doc_id, tf, doc_len, idf) — a narrow Arrow pass, no
+    shuffle. Lets the writer arrange once and reuse the layout for both the
+    flat parquet and the packed blocks."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None

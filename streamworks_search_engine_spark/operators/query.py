@@ -52,8 +52,17 @@ def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
     docs_dim = None
     if os.path.isdir(f"{index_dir}/docs_dim"):
         docs_dim = spark.read.parquet(f"{index_dir}/docs_dim")
+    if os.path.isdir(f"{index_dir}/postings"):
+        postings = spark.read.parquet(f"{index_dir}/postings")
+    else:
+        # packed-only index (write_index(flat=False)): serve the flat view
+        # by decoding blocks lazily (no positions column in this mode)
+        from .postings import decode_blocks
+
+        assert packed is not None, f"no postings in {index_dir}"
+        postings = decode_blocks(packed)
     return SearchIndex(
-        postings=spark.read.parquet(f"{index_dir}/postings"),
+        postings=postings,
         lexicon=spark.read.parquet(f"{index_dir}/lexicon"),
         doclen=spark.read.parquet(f"{index_dir}/doclen"),
         docs_dim=docs_dim,

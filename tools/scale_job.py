@@ -25,6 +25,13 @@ def main(corpus_path: str, out_dir: str) -> None:
     spark = (
         SparkSession.builder.appName("sse-scale-job")
         .config("spark.sql.adaptive.enabled", "true")
+        # never let AQE coalesce below the core count — on a small-SF run the
+        # 64MB advisory size would collapse every post-shuffle stage to a
+        # handful of tasks and flatline the N -> 4N scaling curve
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        # the corpus is a single parquet file; default 128MB split = 1 scan
+        # task. Small splits let the first stage use every core.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -32,20 +39,27 @@ def main(corpus_path: str, out_dir: str) -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores) * 2))
 
     from streamworks_search_engine_spark.operators.indexer import (
-        build_index,
-        write_index,
+        build_and_write_index,
     )
 
     docs = spark.read.parquet(corpus_path)
     n_files = docs.count()  # warms the scan; excluded from the timed section
 
-    t0 = time.time()
-    index = build_index(spark, docs.repartition(max(8, cores) * 2))
-    write_index(index, out_dir, term_buckets=max(8, cores), pack=True)
-    wall = time.time() - t0
+    timings: dict = {}
+    t_all = time.time()
+    # packed-only: at cluster scale the delta+varint blocks ARE the postings
+    # table (north_star); an uncompressed flat copy would double write volume
+    # no input repartition: spark.sql.files.maxPartitionBytes=4m already
+    # splits the scan ~40 ways; shuffling 1GB of raw content would only add
+    # kernel page traffic
+    index = build_and_write_index(
+        spark, docs, out_dir,
+        term_buckets=max(8, cores), pack=True, flat=False, timings=timings,
+    )
+    wall = time.time() - t_all
 
     print(
         json.dumps(
@@ -54,6 +68,7 @@ def main(corpus_path: str, out_dir: str) -> None:
                 "cores": cores,
                 "wall_s": round(wall, 2),
                 "files_per_sec": round(n_files / wall, 2),
+                "phases": timings,
                 "n_docs": index.n_docs,
                 "avgdl": round(index.avgdl, 3),
             }
