@@ -1,0 +1,71 @@
+"""The scale-path builder (build_and_write_index, packed-only mode) must be
+content-identical to the library build path: same postings (via block
+decode), same lexicon/stats, same BM25 top-k, and the sha256 invariant holds
+on its docs_dim. This is the code path tools/scale_job.py benchmarks.
+"""
+
+import pytest
+
+from streamworks_search_engine_spark.operators.indexer import (
+    assert_content_sha256,
+    build_and_write_index,
+)
+from streamworks_search_engine_spark.operators.query import bm25_topk, load_index
+from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+
+@pytest.fixture(scope="module")
+def packed_only_index(spark, tmp_path_factory):
+    docs = corpus_df(spark, 200, seed=42, partitions=8)
+    out = str(tmp_path_factory.mktemp("scale_index") / "sf_tiny_packed")
+    tables = build_and_write_index(
+        spark, docs, out, term_buckets=8, pack=True, flat=False
+    )
+    return load_index(spark, out), tables
+
+
+def test_stats_match_flat_path(packed_only_index, spark_index):
+    loaded, _ = packed_only_index
+    assert loaded.n_docs == spark_index.n_docs
+    assert loaded.avgdl == pytest.approx(spark_index.avgdl, abs=1e-12)
+
+
+def test_decoded_postings_match_flat_path(packed_only_index, spark_index):
+    loaded, _ = packed_only_index
+    # packed-only load serves postings as a lazy decode of the blocks
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
+        for r in loaded.postings.collect()
+    }
+    exp = {
+        (r["term"], r["doc_id"]): (r["tf"], r["doc_len"])
+        for r in spark_index.postings.collect()
+    }
+    assert got == exp
+
+
+def test_lexicon_matches_flat_path(packed_only_index, spark_index):
+    loaded, _ = packed_only_index
+    got = {r["term"]: (r["df"], r["idf"]) for r in loaded.lexicon.collect()}
+    exp = {r["term"]: (r["df"], r["idf"]) for r in spark_index.lexicon.collect()}
+    assert got == exp
+
+
+def test_bm25_topk_matches_flat_path(packed_only_index, spark_index):
+    loaded, _ = packed_only_index
+    for terms in (["scan"], ["parse", "index"], ["token", "merge", "query"]):
+        got = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(loaded, terms, k=10).collect()
+        ]
+        exp = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(spark_index, terms, k=10).collect()
+        ]
+        assert got == exp
+
+
+def test_sha_invariant_on_scale_path(spark, packed_only_index):
+    _, tables = packed_only_index
+    docs = corpus_df(spark, 200, seed=42)
+    assert assert_content_sha256(docs, tables.docs_dim) == 0

@@ -22,17 +22,18 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 N_FILES = int(os.environ.get("SSE_SCALE_FILES", "240000"))
-REPEATS = int(os.environ.get("SSE_SCALE_REPEATS", "2"))
+REPEATS = int(os.environ.get("SSE_SCALE_REPEATS", "3"))
 CORPUS = os.environ.get("SSE_SCALE_CORPUS", "/tmp/sse_scale_corpus.parquet")
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
-# N vs 4N parallelism pair. Default 2 vs 8: this sandbox exposes 32 vCPUs
-# that are SMT siblings of ~16 physical cores — a calibrated busy-spin
-# (pure-CPU, no memory/syscalls) measures the HARDWARE's own 8->32-proc
-# scaling at only ~3.0x (ceiling efficiency 0.75), so 8 vs 32 cannot
-# evidence >=0.8 for ANY job. 2 vs 8 lands on distinct physical cores
-# (measured hardware ceiling 3.94x = 0.98) and is the honest stand-in for
-# N vs 4N executors on a real cluster, where executors don't share cores.
-# The secondary pair is still measured and reported with its ceiling.
+# N vs 4N parallelism pair. Default 2 vs 8: the guest reports 32
+# independent cores, but a calibrated busy-spin (pure-CPU, no
+# memory/syscalls) measures the host delivering only ~3x more aggregate
+# compute from 8 -> 32 procs (hypervisor-level CPU sharing, invisible to
+# the guest topology) — so 8 vs 32 cannot evidence >=0.8 for ANY job.
+# 2 vs 8 has measured hardware headroom close to 4x and is the honest
+# stand-in for N vs 4N executors on a real cluster, where added executors
+# add physical cores. The secondary pair is still measured and reported
+# against its own calibrated ceiling.
 CORE_COUNTS = tuple(
     int(x) for x in os.environ.get("SSE_SCALE_CORES", "2,8").split(",")
 )
@@ -66,15 +67,22 @@ def calibrate_ceiling(lo: int, hi: int, seconds: int = 12) -> dict:
         ]
         return sum(int(p.communicate()[0]) for p in procs) / 1e6
 
-    a_lo, a_hi = agg(lo), agg(hi)
-    return {
-        "lo_procs": lo,
-        "hi_procs": hi,
-        "lo_Mloops": round(a_lo, 0),
-        "hi_Mloops": round(a_hi, 0),
-        "hw_speedup": round(a_hi / a_lo, 2),
-        "hw_ceiling_efficiency": round((a_hi / a_lo) / (hi / lo), 3),
-    }
+    # two trials, keep the better one — co-tenant noise only ever UNDER-
+    # states what the hardware can do, so max is the right ceiling estimator
+    best = None
+    for _ in range(2):
+        a_lo, a_hi = agg(lo), agg(hi)
+        trial = {
+            "lo_procs": lo,
+            "hi_procs": hi,
+            "lo_Mloops": round(a_lo, 0),
+            "hi_Mloops": round(a_hi, 0),
+            "hw_speedup": round(a_hi / a_lo, 2),
+            "hw_ceiling_efficiency": round((a_hi / a_lo) / (hi / lo), 3),
+        }
+        if best is None or trial["hw_speedup"] > best["hw_speedup"]:
+            best = trial
+    return best
 
 
 def ensure_corpus() -> None:
@@ -111,6 +119,11 @@ def run_at(cores: int, pkg_zip: str) -> dict:
     shuffle_dir = "/dev/shm/sse-shuffle"
     os.makedirs(shuffle_dir, exist_ok=True)
     cmd = [
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cores` CPUs: local[N] otherwise lets GC/netty/scheduler threads
+        # and python workers overflow onto idle cores, inflating the low-N
+        # baseline. A real N-core executor owns exactly N cores.
+        "taskset", "-c", f"0-{cores - 1}",
         SPARK_SUBMIT,
         "--master", f"local[{cores}]",
         "--driver-memory", "24g",
@@ -224,12 +237,13 @@ Input: {s['input_files']} synthetic source files (input_hint schema, seed=42).
 """
     if "secondary" in s:
         md += f"""
-{_pair_md('Secondary (SMT-limited pair, reported for completeness)',
+{_pair_md('Secondary (host-oversubscribed pair, reported for completeness)',
           s['secondary_pair'], s['secondary'], s['repeats'])}
-The secondary pair spans SMT siblings: this sandbox exposes 32 vCPUs backed
-by ~16 physical cores, so even a perfectly parallel pure-CPU workload only
-reaches the ceiling speedup above — on a real cluster N -> 4N executors adds
-physical cores, which the primary pair models.
+The guest reports 32 independent cores, but the calibrated busy-spin shows
+the host delivering only ~3x more aggregate pure-CPU throughput from 8 to
+32 procs (hypervisor-level CPU sharing) — even a perfectly parallel job is
+capped at the ceiling speedup above. On a real cluster N -> 4N executors
+adds physical cores, which the primary pair models.
 """
     md += """
 Environment notes (sandbox -> cluster mapping, set in `session.get_spark`

@@ -30,8 +30,10 @@ def main(corpus_path: str, out_dir: str) -> None:
         # handful of tasks and flatline the N -> 4N scaling curve
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         # the corpus is a single parquet file; default 128MB split = 1 scan
-        # task. Small splits let the first stage use every core.
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        # task. Small splits let the first stage use every core AND keep the
+        # final task wave fine-grained (a 4m split left ~5.4 waves at 8
+        # cores -> up to one task-length of per-core idle at the barrier).
+        .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
