@@ -35,11 +35,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
         build_index_from_plist,
         write_index,
     )
     from streamworks_search_engine_spark.operators.query import (
         bm25_topk,
+        bm25_topk_packed,
         load_index,
     )
     from streamworks_search_engine_spark.functions.tokenizer import (
@@ -85,6 +87,14 @@ def main() -> None:
         timings[f"bm25_q{i + 1}"] = round(s, 3)
     timings["bm25_p50"] = round(statistics.median(lat), 3)
 
+    # --- packed path (block-max pruning) over the same queries ---
+    plat = []
+    for terms in BM25_QUERIES:
+        t0 = time.time()
+        bm25_topk_packed(si, terms, k=10).collect()
+        plat.append(time.time() - t0)
+    timings["bm25_packed_p50"] = round(statistics.median(plat), 3)
+
     # --- breadth: dedup + similarity ops ---
     t0 = time.time()
     dedup.exact_dup_flags(docs).count()
@@ -99,6 +109,39 @@ def main() -> None:
     similarity.cosine_topk(emb, 0, k=20).collect()
     timings["cosine_topk"] = round(time.time() - t0, 3)
 
+    # --- headline build throughput on a 40k-file input_hint corpus ---
+    # (the driver SF tables are small; this measures the build at a size
+    # where parallel compute dominates fixed overhead — same job as
+    # tools/scale_job.py, packed-only)
+    corpus_path = "/tmp/sse_bench_corpus_40k.parquet"
+    if not os.path.exists(corpus_path + ".ok"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from streamworks_search_engine_spark.sources.corpus import (
+            generate_corpus,
+        )
+
+        pq.write_table(
+            pa.Table.from_pylist(generate_corpus(40000, seed=42)),
+            corpus_path, compression="zstd", row_group_size=2000,
+        )
+        with open(corpus_path + ".ok", "w") as fh:
+            fh.write("ok")
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    corpus = spark.read.parquet(corpus_path)
+    n_corpus = corpus.count()
+    corpus_out = tempfile.mkdtemp(prefix="sse_bench_corpus_index_")
+    t0 = time.time()
+    build_and_write_index(
+        spark, corpus, corpus_out, term_buckets=int(CPUS), pack=True,
+        flat=False,
+    )
+    corpus_build_s = time.time() - t0
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    timings["corpus_index_build_40k"] = round(corpus_build_s, 3)
+
     total = time.time() - t_all
     print(
         json.dumps(
@@ -111,6 +154,7 @@ def main() -> None:
                 "cpus": int(CPUS),
                 "n_files": n_files,
                 "files_per_sec": round(n_files / build_s, 1),
+                "corpus_files_per_sec": round(n_corpus / corpus_build_s, 1),
             }
         )
     )

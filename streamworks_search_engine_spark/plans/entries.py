@@ -383,7 +383,49 @@ def q_pagerank_top20(spark, sf_dir):
     return top.select("node", F.round("rank", 9).alias("rank"))
 
 
+PHRASE = ["table", "hash"]  # bigram present at every SF in the documents text
+
+
+def q_phrase_match(spark, sf_dir):
+    """J2/M2 positional analog: docs containing the exact phrase
+    'table hash' over tokenizer positions (proximity.phrase_match)."""
+    from ..operators.proximity import phrase_match
+
+    return phrase_match(_search_index(spark, sf_dir), PHRASE)
+
+
+def q_trending_topk(spark, sf_dir):
+    """O4 analog (KeywordCountService.java:54): top-5 event types by count."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(5)
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (vec_id < 200, cos >= 0.35)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return similarity.near_dup_pairs_cosine(emb, threshold=0.35)
+
+
 # rows-only entries (no SQL-expressible oracle; checked by pytest instead)
+
+
+def q_proximity_top10(spark, sf_dir):
+    """Proximity-boosted BM25 (reference tag/proximity weights, rows-only:
+    the min-window kernel is a pandas UDF; oracle-tested in pytest)."""
+    from ..operators.proximity import proximity_topk
+
+    res = proximity_topk(_search_index(spark, sf_dir), Q_CONJ2, k=10)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        F.round("boost", 2).alias("boost"),
+    )
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -430,8 +472,12 @@ QUERIES = {
     "bm25_top10_snippet": q_bm25_top10_snippet,
     "spellcheck": q_spellcheck,
     "pagerank_top20": q_pagerank_top20,
+    "phrase_match": q_phrase_match,
+    "trending_topk": q_trending_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "simhash_near_dups": q_simhash_near_dups,
+    "proximity_top10": q_proximity_top10,
 }
 
 # ------------------------------------------------------------- oracles ----
@@ -623,7 +669,30 @@ SELECT term, CAST(levenshtein(term, 'scann') AS BIGINT) AS distance, df
 FROM lexicon
 WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'scann') <= 2
 ORDER BY distance, df DESC, term LIMIT 5""",
-    # ann_lsh_topk / simhash_near_dups / pagerank_top20: intentionally no SQL
-    # oracle (pandas-UDF hashing / iterative algorithm) -> rows-only check;
-    # each is oracle-tested in pytest instead.
+    "phrase_match": f"""{_SQL_TOKS}
+SELECT doc_id FROM toks
+WHERE len(tokens) >= 2 AND len(list_filter(
+        generate_series(1, len(tokens) - 1),
+        i -> tokens[i] = '{PHRASE[0]}' AND tokens[i + 1] = '{PHRASE[1]}')) > 0""",
+    "trending_topk": """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
+    "embedding_near_dups": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+      6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
+    # ann_lsh_topk / simhash_near_dups / pagerank_top20 / proximity_top10:
+    # intentionally no SQL oracle (pandas-UDF hashing / iterative algorithm /
+    # pandas-UDF min-window kernel) -> rows-only check; each is
+    # oracle-tested in pytest instead.
 }
