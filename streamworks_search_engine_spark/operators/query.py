@@ -208,8 +208,9 @@ def bm25_topk_packed(
     index: SearchIndex,
     raw_terms: list[str],
     k: int | None = 10,
-    prune: bool = True,
+    prune: bool | None = None,
     semi_join_df_threshold: int = 200_000,
+    prune_min_df: int = 20_000,
 ) -> DataFrame:
     """BM25 top-k over block-packed postings with lossless pruning (M3).
 
@@ -246,6 +247,14 @@ def bm25_topk_packed(
     term_list = [t for t, _ in survivors]
 
     blocks = index.packed.filter(F.col("term").isin(term_list))
+
+    # prune=None -> adaptive: pruning costs 1-2 extra driver round-trips
+    # (probe / range collect). When the candidate posting mass is small
+    # (known df from the lexicon — no extra job), decoding everything is
+    # cheaper than probing; at cluster scale dfs are large and pruning
+    # engages. Explicit True/False overrides (tests force both paths).
+    if prune is None:
+        prune = sum(dfs.values()) >= prune_min_df
 
     if prune and len(term_list) == 1 and k is not None:
         probe = decode_blocks(

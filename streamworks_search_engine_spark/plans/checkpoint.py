@@ -78,6 +78,11 @@ class CheckpointedIndexBuild:
 
     # ------------------------------------------------------------ building
     def _slice(self, docs: DataFrame, p: int) -> DataFrame:
+        """One resume partition. NOTE on scan cost: against plain parquet
+        this filter re-scans the input per slice; at cluster scale the input
+        is an Iceberg table bucketed by doc_id (``bucket(P, doc_id)``), the
+        pmod filter aligns with the bucket transform, and each slice is a
+        partition-pruned read — one input pass total across all slices."""
         return docs.filter(F.pmod(F.col("doc_id"), F.lit(self.n_partitions)) == p)
 
     @staticmethod
