@@ -22,24 +22,60 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+_PKG_ZIP_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on Spark's python workers regardless of
+    how the caller built their SparkSession.
+
+    The pandas UDFs are cloudpickled BY REFERENCE — workers re-import
+    ``streamworks_search_engine_spark``. If the JVM was started without this
+    repo on PYTHONPATH (the driver owns its own session), workers raise
+    ModuleNotFoundError. ``addPyFile`` of a package zip is the supported
+    fix (same mechanism as ``spark-submit --py-files``) and is a no-op for
+    sessions that already have the path."""
+    import os
+    import zipfile
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PKG_ZIP_SHIPPED:
+        return
+    zpath = os.path.join("/tmp", f"sse_pkg_entry_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            root = Path(_REPO) / "streamworks_search_engine_spark"
+            for pat in ("*.py", "*.json"):
+                for f in root.rglob(pat):
+                    z.write(f, f.relative_to(_REPO))
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this context
+    _PKG_ZIP_SHIPPED.add(app_id)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    import os
-
+    _ship_package(spark)
     from streamworks_search_engine_spark.plans import entries
 
-    # workers must be able to import the package (driver may launch from
-    # any cwd); harmless if the session is already up.
-    os.environ.setdefault("PYTHONPATH", _REPO)
     return entries.QUERIES["bm25_top10_conj2"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2. Each callable
+    ships the package to the session's python workers before running."""
     from streamworks_search_engine_spark.plans import entries
 
-    return dict(entries.QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in entries.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
