@@ -44,6 +44,7 @@ def main(corpus_path: str, out_dir: str) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores) * 2))
 
     from streamworks_search_engine_spark.operators.indexer import (
+        assert_content_sha256,
         build_and_write_index,
     )
 
@@ -63,6 +64,12 @@ def main(corpus_path: str, out_dir: str) -> None:
     )
     wall = time.time() - t_all
 
+    # north_rule invariant (outside the throughput-timed section): per-row
+    # sha256(content) of the source table must equal what the build recorded
+    t0 = time.time()
+    sha_mismatches = assert_content_sha256(docs, index.docs_dim)
+    timings["sha256_invariant_check"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -70,6 +77,7 @@ def main(corpus_path: str, out_dir: str) -> None:
                 "cores": cores,
                 "wall_s": round(wall, 2),
                 "files_per_sec": round(n_files / wall, 2),
+                "sha_mismatches": sha_mismatches,
                 "phases": timings,
                 "n_docs": index.n_docs,
                 "avgdl": round(index.avgdl, 3),
