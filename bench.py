@@ -78,6 +78,10 @@ def main() -> None:
     si = load_index(spark, out_dir)
     si.postings = si.postings.persist()
     si.postings.count()  # warm cache
+    # one untimed query warms JIT/codegen + AQE paths — the metric is
+    # warm-index latency; cold-JVM cost is a per-process one-off
+    bm25_topk(si, ["warmup"], k=10).collect()
+    bm25_topk_packed(si, ["warmup"], k=10).collect()
     lat = []
     for terms in BM25_QUERIES:
         t0 = time.time()
