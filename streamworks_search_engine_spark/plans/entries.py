@@ -405,6 +405,25 @@ def q_trending_topk(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """F3+F4 analog (Crawler.java:67-189 content filters + MD5 dedup):
+    keep docs that are canonical (not an exact dup), pass the language
+    gate, and fit the size cap — the classic ingest filter chain."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = dedup.exact_dup_flags(docs).select("doc_id", "is_dup")
+    en = textstats.english_score(docs).select("doc_id", "pred_en")
+    return (
+        docs.join(flags, "doc_id")
+        .join(en, "doc_id")
+        .filter(
+            (F.col("is_dup") == 0)
+            & (F.col("pred_en") == 1)
+            & (F.col("n_chars") <= 20000)
+        )
+        .select("doc_id")
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (vec_id < 200, cos >= 0.35)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
@@ -474,6 +493,7 @@ QUERIES = {
     "pagerank_top20": q_pagerank_top20,
     "phrase_match": q_phrase_match,
     "trending_topk": q_trending_topk,
+    "corpus_filter": q_corpus_filter,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "simhash_near_dups": q_simhash_near_dups,
@@ -677,6 +697,18 @@ WHERE len(tokens) >= 2 AND len(list_filter(
     "trending_topk": """
 SELECT event_type, count(*) AS n FROM events
 GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5""",
+    "corpus_filter": f"""WITH {_QUALITY_RAW},
+en AS (SELECT doc_id,
+  CAST(round(len(list_filter(raw, t -> list_contains({_STOP_SQL}, t)))
+        / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
+       >= 0.05 AS BIGINT) AS pred_en
+  FROM raw),
+d AS (SELECT doc_id, n_chars,
+             CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
+               AS is_dup
+      FROM documents)
+SELECT doc_id FROM d JOIN en USING (doc_id)
+WHERE is_dup = 0 AND pred_en = 1 AND n_chars <= 20000""",
     "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (
