@@ -245,6 +245,16 @@ the host delivering only ~3x more aggregate pure-CPU throughput from 8 to
 capped at the ceiling speedup above. On a real cluster N -> 4N executors
 adds physical cores, which the primary pair models.
 """
+    hi = s["primary_pair"][1]
+    sha = s["primary"][f"local[{hi}]"].get("sha_mismatches")
+    if sha is not None:
+        md += f"""
+## Per-row invariant (north_rule)
+
+Each run asserts per-row `sha256(content)` equality between the source
+table and the build's `docs_dim` after the timed section (reported as the
+`sha256_invariant_check` phase): **sha_mismatches = {sha}**.
+"""
     md += """
 Environment notes (sandbox -> cluster mapping, set in `session.get_spark`
 and exported by this harness):
