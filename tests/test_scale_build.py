@@ -69,3 +69,19 @@ def test_sha_invariant_on_scale_path(spark, packed_only_index):
     _, tables = packed_only_index
     docs = corpus_df(spark, 200, seed=42)
     assert assert_content_sha256(docs, tables.docs_dim) == 0
+
+
+def test_flat_mode_keeps_positions(spark, spark_index, tmp_path):
+    docs = corpus_df(spark, 200, seed=42, partitions=8)
+    out = str(tmp_path / "sf_tiny_flat_staged")
+    build_and_write_index(spark, docs, out, term_buckets=8, pack=True, flat=True)
+    loaded = load_index(spark, out)
+    got = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in loaded.postings.collect()
+    }
+    exp = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in spark_index.postings.collect()
+    }
+    assert got == exp
