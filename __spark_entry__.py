@@ -52,6 +52,10 @@ def _ship_package(spark: SparkSession) -> None:
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass  # already registered in this context
+    # event-time queries convert TIMESTAMP_NTZ -> epoch via the session TZ;
+    # the DuckDB oracles use naive epoch(). Pin UTC so both sides agree even
+    # if the caller's JVM runs in a non-UTC zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _PKG_ZIP_SHIPPED.add(app_id)
 
 
