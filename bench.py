@@ -51,6 +51,11 @@ def main() -> None:
     from streamworks_search_engine_spark.functions import dedup, similarity
     from streamworks_search_engine_spark.session import get_spark
 
+    # bench harness tuning (NOT a library default): shuffle temp on tmpfs —
+    # cluster analog is executor-local NVMe; the sandbox virtio disk would
+    # serialize shuffle I/O
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/sse-shuffle")
     spark = get_spark(app_name="sse-bench", cores=CPUS)
     timings: dict[str, float] = {}
     t_all = time.time()

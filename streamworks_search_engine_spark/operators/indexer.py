@@ -241,9 +241,21 @@ def build_and_write_index(
     columnar speed with zero long-lived heap residency, and the staged file
     doubles as the tokenize-stage resume point (plans.checkpoint adds
     per-partition lineage/manifests on top of the same idea).
+
+    Token-free docs (empty files) are kept: the stage uses ``explode_outer``
+    so every input doc lands in the staged table (null term, doc_len 0) and
+    doclen/n_docs/avgdl/docs_dim agree exactly with ``build_index`` — only
+    the postings view filters the null-term rows out.
+
+    In packed-only mode (``flat=False``) the staged checkpoint is deleted
+    after the derived tables are written (it is a build intermediate, not
+    part of the index layout) and the returned tables re-read the written
+    outputs.
     """
     import time as _time
 
+    if not flat and not pack:
+        raise ValueError("flat=False requires pack=True (no postings otherwise)")
     t = timings if timings is not None else {}
     t0 = _time.time()
     from ..functions.tokenizer import make_doc_postings_udf
@@ -266,7 +278,9 @@ def build_and_write_index(
             F.col("doc_id"),
             udf(F.col("content"), F.col("lang")).alias("plist"),
         )
-        .select("doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("p"))
+        .select(
+            "doc_id", doc_len.alias("doc_len"), F.explode_outer("plist").alias("p")
+        )
         .select(*posting_cols)
         .write.mode("overwrite")
         .parquet(staged_path)
@@ -274,10 +288,13 @@ def build_and_write_index(
     t["tokenize_checkpoint"] = round(_time.time() - t0, 2)
 
     t0 = _time.time()
-    sp = spark.read.parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+    # postings drop the explode_outer placeholder rows; doclen keeps them so
+    # empty docs still count in n_docs/avgdl (build_index parity)
+    sp = staged.filter(F.col("term").isNotNull())
     # doc dimension: doc_len from the staged table (column-pruned distinct);
     # identity/sha from a content-only pass over the source (no tokenize)
-    doclen = sp.select("doc_id", "doc_len").distinct()
+    doclen = staged.select("doc_id", "doc_len").distinct()
     docs_dim = (
         with_doc_id(docs_df.select("repo", "path", "commit", "lang", "content"))
         .select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
@@ -305,6 +322,26 @@ def build_and_write_index(
         index, out_dir, term_buckets=term_buckets, pack=pack, flat=flat,
         timings=t,
     )
+    if not flat:
+        # the staged checkpoint is a build intermediate — in packed-only
+        # mode nothing in the final layout references it, so keeping it
+        # would double the on-disk write volume the mode exists to avoid.
+        # Re-point the returned tables at the written outputs first.
+        import shutil
+
+        from .postings import decode_blocks
+
+        index = IndexTables(
+            postings=decode_blocks(
+                spark.read.parquet(f"{out_dir}/postings_packed")
+            ),
+            lexicon=spark.read.parquet(f"{out_dir}/lexicon"),
+            doclen=spark.read.parquet(f"{out_dir}/doclen"),
+            docs_dim=spark.read.parquet(f"{out_dir}/docs_dim"),
+            n_docs=index.n_docs,
+            avgdl=index.avgdl,
+        )
+        shutil.rmtree(staged_path, ignore_errors=True)
     return index
 
 

@@ -78,11 +78,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # shuffle/spill temp on tmpfs when available — cluster analog is
-    # executor-local NVMe; the sandbox's virtio disk serializes shuffle I/O
+    # shuffle/spill temp dir is OPT-IN (SPARK_GRAFT_LOCAL_DIR): the bench
+    # harness points it at tmpfs (cluster analog: executor-local NVMe), but
+    # shuffle/spill is exactly the data that exceeds memory, so a RAM-backed
+    # default would trade large-build robustness (tmpfs ENOSPC / heap
+    # pressure) for benchmark speed — a tuning that belongs in the harness,
+    # not the library default.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/sse-shuffle"
     if local_dir:
         try:
             os.makedirs(local_dir, exist_ok=True)

@@ -71,6 +71,34 @@ def test_sha_invariant_on_scale_path(spark, packed_only_index):
     assert assert_content_sha256(docs, tables.docs_dim) == 0
 
 
+def test_empty_docs_counted_in_stats(spark, tmp_path):
+    """Token-free docs (empty/comment-free files) must survive into doclen/
+    n_docs/avgdl/docs_dim on the scale path — parity with build_index."""
+    from streamworks_search_engine_spark.operators.indexer import build_index
+
+    docs = corpus_df(spark, 50, seed=42, partitions=4)
+    empty = spark.createDataFrame(
+        [("r0", "empty.py", "c0", "python", ""),
+         ("r0", "stop_only.py", "c1", "python", "the and for")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    docs = docs.unionByName(empty)
+    ref = build_index(spark, docs)
+    out = str(tmp_path / "empty_doc_idx")
+    got = build_and_write_index(
+        spark, docs, out, term_buckets=4, pack=True, flat=False
+    )
+    assert got.n_docs == ref.n_docs == 52
+    assert got.avgdl == pytest.approx(ref.avgdl, abs=1e-12)
+    assert got.doclen.count() == 52
+    assert got.docs_dim.count() == 52
+    assert assert_content_sha256(docs, got.docs_dim) == 0
+    # the staged checkpoint must not ship inside the packed-only layout
+    import os
+
+    assert not os.path.exists(f"{out}/staged_postings")
+
+
 def test_flat_mode_keeps_positions(spark, spark_index, tmp_path):
     docs = corpus_df(spark, 200, seed=42, partitions=8)
     out = str(tmp_path / "sf_tiny_flat_staged")

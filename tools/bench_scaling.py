@@ -47,7 +47,12 @@ SECONDARY_CORES = tuple(
 def calibrate_ceiling(lo: int, hi: int, seconds: int = 12) -> dict:
     """Measure the machine's own lo->hi-proc scaling with a pure-CPU
     busy-spin (no memory traffic, no syscalls): the upper bound any job can
-    reach at these parallelism levels on this host."""
+    reach at these parallelism levels on this host.
+
+    Pinned with the SAME ``taskset -c 0..k-1`` as the measured jobs
+    (``run_at``) so ceiling and job see identical CPU sets — an unpinned
+    ceiling could drift onto different cores than the jobs and skew the
+    efficiency-vs-ceiling ratio either way."""
     import subprocess
 
     code = (
@@ -61,7 +66,8 @@ def calibrate_ceiling(lo: int, hi: int, seconds: int = 12) -> dict:
     def agg(k: int) -> float:
         procs = [
             subprocess.Popen(
-                [sys.executable, "-c", code], stdout=subprocess.PIPE
+                ["taskset", "-c", f"0-{k - 1}", sys.executable, "-c", code],
+                stdout=subprocess.PIPE,
             )
             for _ in range(k)
         ]

@@ -30,9 +30,9 @@ def main(corpus_path: str, out_dir: str) -> None:
         # handful of tasks and flatline the N -> 4N scaling curve
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         # the corpus is a single parquet file; default 128MB split = 1 scan
-        # task. Small splits let the first stage use every core AND keep the
-        # final task wave fine-grained (a 4m split left ~5.4 waves at 8
-        # cores -> up to one task-length of per-core idle at the barrier).
+        # task. A 2m split lets the first stage use every core AND keeps the
+        # final task wave fine-grained (coarser splits left only ~5 waves at
+        # 8 cores -> up to one task-length of per-core idle at the barrier).
         .config("spark.sql.files.maxPartitionBytes", "2m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -55,9 +55,9 @@ def main(corpus_path: str, out_dir: str) -> None:
     t_all = time.time()
     # packed-only: at cluster scale the delta+varint blocks ARE the postings
     # table (north_star); an uncompressed flat copy would double write volume
-    # no input repartition: spark.sql.files.maxPartitionBytes=4m already
-    # splits the scan ~40 ways; shuffling 1GB of raw content would only add
-    # kernel page traffic
+    # no input repartition: spark.sql.files.maxPartitionBytes=2m already
+    # splits the scan hundreds of ways; shuffling 1GB of raw content would
+    # only add kernel page traffic
     index = build_and_write_index(
         spark, docs, out_dir,
         term_buckets=max(8, cores), pack=True, flat=False, timings=timings,
@@ -85,6 +85,9 @@ def main(corpus_path: str, out_dir: str) -> None:
         )
     )
     spark.stop()
+    if sha_mismatches:
+        # the north_rule invariant is a hard gate, not a statistic
+        sys.exit(1)
 
 
 if __name__ == "__main__":
