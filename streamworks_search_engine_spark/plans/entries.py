@@ -430,6 +430,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.near_dup_pairs_cosine(emb, threshold=0.35)
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN (numpy pandas-UDF bucketer). The oracle
+    inlines the deterministic hyperplane matrix (similarity._planes, part of
+    the frozen spec) as SQL literals, so the whole pipeline — bucket
+    assignment, candidate restriction, cosine top-k — is hash-checked."""
+    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), 0, k=20)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dup pairs (pandas-UDF signature + banded hamming join).
+    Oracle recomputes md5 bit-votes / 16-bit band buckets / hamming in SQL."""
+    toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_dup_pairs(toks, max_hamming=8)
+
+
 # rows-only entries (no SQL-expressible oracle; checked by pytest instead)
 
 
@@ -445,17 +460,6 @@ def q_proximity_top10(spark, sf_dir):
         F.round("score", 6).alias("score"),
         F.round("boost", 2).alias("boost"),
     )
-
-
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate NN (numpy pandas-UDF bucketer)."""
-    return similarity.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), 0, k=20)
-
-
-def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs (pandas-UDF signature + banded hamming join)."""
-    toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup.simhash_near_dup_pairs(toks, max_hamming=8)
 
 
 QUERIES = {
@@ -515,6 +519,72 @@ sigs AS (
   UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM wide
   UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM wide
   UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM wide)"""
+
+def _planes_sql_literal(n_planes: int = 8, dim: int = 64) -> str:
+    """The deterministic LSH hyperplane matrix as a SQL VALUES literal
+    (1-based element index for DuckDB lists). ``repr`` round-trips float64
+    exactly, so DuckDB parses bit-identical doubles."""
+    planes = similarity._planes(n_planes, dim)
+    rows = ",\n".join(
+        f"({p},{i + 1},{planes[p, i]!r})"
+        for p in range(n_planes)
+        for i in range(dim)
+    )
+    return f"planes(p, i, w) AS (VALUES {rows})"
+
+
+_ANN_LSH_SQL = f"""WITH {_planes_sql_literal(8, 64)},
+dots AS (
+  SELECT vec_id, p, sum(embedding[i]::DOUBLE * w) AS d
+  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+  round(
+    list_sum(list_transform(generate_series(1, len(embedding)),
+                            i -> embedding[i]::DOUBLE * qe[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                                    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(generate_series(1, len(qe)),
+                                      i -> qe[i]::DOUBLE * qe[i]::DOUBLE)))), 6)
+    AS cos_sim
+FROM embeddings e JOIN buckets USING (vec_id), qb, qv
+WHERE buckets.bucket = qb.bucket AND e.vec_id != 0
+ORDER BY cos_sim DESC, vec_id LIMIT 20"""
+
+# SimHash re-expressed relationally: per-occurrence md5 bit votes ->
+# sign bits -> 16-bit band chunks -> pigeonhole candidate join -> exact
+# hamming via per-bit disagreement count (avoids assembling the signed
+# 64-bit integer, whose top bit overflows BIGINT arithmetic in SQL).
+_SIMHASH_SQL = f"""{_SQL_TOKS},
+hit AS (SELECT doc_id, unnest(tokens) AS t FROM toks WHERE doc_id < 200),
+th AS (SELECT t, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+       FROM (SELECT DISTINCT t FROM hit)),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hit JOIN th USING (t)
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY doc_id, j),
+bits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS b FROM votes),
+chunks AS (SELECT doc_id, j // 16 AS chunk_id,
+                  sum(b * (1 << (j % 16))) AS chunk
+           FROM bits GROUP BY doc_id, j // 16),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM chunks a JOIN chunks b
+           ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+         WHERE a.doc_id < b.doc_id),
+ham AS (SELECT c.id_a, c.id_b,
+               sum(CASE WHEN ba.b != bb.b THEN 1 ELSE 0 END) AS hamming
+        FROM cand c
+        JOIN bits ba ON ba.doc_id = c.id_a
+        JOIN bits bb ON bb.doc_id = c.id_b AND bb.j = ba.j
+        GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 8"""
+
 
 _QUALITY_RAW = """raw AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -723,8 +793,10 @@ p AS (
       6) AS cos_sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
-    # ann_lsh_topk / simhash_near_dups / pagerank_top20 / proximity_top10:
-    # intentionally no SQL oracle (pandas-UDF hashing / iterative algorithm /
-    # pandas-UDF min-window kernel) -> rows-only check; each is
-    # oracle-tested in pytest instead.
+    "ann_lsh_topk": _ANN_LSH_SQL,
+    "simhash_near_dups": _SIMHASH_SQL,
+    # pagerank_top20 / proximity_top10: intentionally no SQL oracle
+    # (iterative algorithm / pandas-UDF min-window kernel) -> rows-only
+    # driver check; both have pure-Python oracles in pytest
+    # (tests/test_pagerank.py, tests/test_proximity.py).
 }
