@@ -1,0 +1,337 @@
+"""Final result ranking: tag score, ranker-score join (J6) and the weighted
+multi-feature total — the Spark restatement of the reference's engine-side
+scoring (/root/reference backend/src/main/java/engine/handlers/
+SearchHandler.java:100-169, engine/service/FeatureService.java:45-60,
+indexer/scorer/IndexScorer.java:398-412,493-602,634-656).
+
+Reference semantics reproduced:
+
+- tagScore = Σ_taggroup w(g)·cnt(g) / totalHits (1 if no hits), scaled by
+  kwRatio = matchedTerms/queryTerms; weights h=1.3, a=1.2, p=1.0
+  (IndexScorer.java:398-412 weights, :634-656 formula, :566-569 ratio).
+- proximityScore: 1.0 for single-term queries; else the code analog of the
+  tag-overlap rule (operators.proximity: exact phrase ×1.5, all terms within
+  a window ×1.2, else ×1.0 — IndexScorer.java:666-710), scaled by kwRatio.
+- rankerScore: an input table (doc_id, ranker_score) joined onto the
+  matches — the reference fetches PageRank from the ranker service and
+  joins in app code (SearchHandler.java:100-143, J6). Any score source
+  plugs in (operators.pagerank at build time, or a prior).
+- total = Σ_feature coeff(f) · (ln(score_f) if use_log else score_f),
+  then sort desc (SearchHandler.calculateTotalScore:155-169, sort :144).
+
+Tag classes for a source-code corpus (SURVEY.md §7.2 M6 — the analog of
+HTML h/a/p):
+
+- ``h`` (1.3): the term appears as a token of the file *path* (like a
+  title hit),
+- ``a`` (1.2): the term occurs on an identifier-*definition* line
+  (def/class/func/... — like an anchor hit),
+- ``p`` (1.0): any other body occurrence.
+
+For schema-less text tables (no path/code structure) a positional analog is
+provided: the leading ``title_prefix`` tokens count as ``h``, the rest as
+``p`` — fully relational (no UDF), computed from the positions already in
+the flat postings.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenizer import tokenize
+from .query import SearchIndex, bm25_topk, normalize_terms
+
+TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
+
+# definition-line lead keywords across the corpus langs (python/java/js/go/c)
+_DEF_LINE = re.compile(
+    r"^\s*(def|class|function|func|struct|public|private|protected|static"
+    r"|const|let|var|type)\b"
+)
+
+
+@dataclass
+class FeatureCoeff:
+    """One row of the reference's ``streamwork.feature`` table
+    (FeatureService.getFeatures)."""
+
+    name: str
+    coeff: float
+    use_log: bool = False
+
+
+DEFAULT_FEATURES = [
+    FeatureCoeff("bm25Score", 1.0),
+    FeatureCoeff("tagScore", 0.5),
+    FeatureCoeff("proximityScore", 0.3),
+    FeatureCoeff("rankerScore", 0.2, use_log=True),
+]
+
+
+# ------------------------------------------------------------- tag score ----
+
+
+def tag_feature_positional(
+    index: SearchIndex,
+    terms: list[str],
+    kw_ratio: float = 1.0,
+    title_prefix: int = 10,
+) -> DataFrame:
+    """(doc_id, tag_score) over docs with >=1 hit of ``terms``.
+
+    Position-class analog: a hit at 0-based position < ``title_prefix``
+    counts as an ``h`` (title) hit, the rest as ``p``. Pure JVM expressions
+    over the positions arrays — one aggregation, no UDF.
+    """
+    w = TAG_WEIGHTS
+    hits = index.postings.filter(F.col("term").isin(terms)).select(
+        "doc_id",
+        F.col("tf").cast("double").alias("tf"),
+        F.size(
+            F.filter("positions", lambda p: p < F.lit(title_prefix))
+        ).cast("double").alias("h_cnt"),
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.sum("tf").alias("total"), F.sum("h_cnt").alias("h")
+    )
+    score = (
+        F.lit(w["h"]) * F.col("h") + F.lit(w["p"]) * (F.col("total") - F.col("h"))
+    ) / F.col("total")
+    return agg.select(
+        "doc_id", (score * F.lit(kw_ratio)).alias("tag_score")
+    )
+
+
+def make_code_tag_counts_udf(terms: list[str]):
+    """Pandas UDF ``(path, content, lang) -> struct<h, a, p>``: counts of
+    query-term hits per tag class for one source file. Tokenizes the path
+    (h), definition lines (a) and the rest (p) with the engine tokenizer —
+    per-line token multisets concatenate to the whole-content multiset
+    (camelCase splits never cross newlines), so a+p counts equal the
+    indexed tf exactly."""
+    term_set = set(terms)
+    out_type = T.StructType(
+        [
+            T.StructField("h", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("p", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def tag_counts(path: pd.Series, content: pd.Series, lang: pd.Series) -> pd.DataFrame:
+        rows = []
+        for pth, txt, lg in zip(path, content, lang):
+            h = sum(1 for t in tokenize(pth or "", lg or "") if t in term_set)
+            a = p = 0
+            for line in (txt or "").split("\n"):
+                n = sum(1 for t in tokenize(line, lg or "") if t in term_set)
+                if not n:
+                    continue
+                if _DEF_LINE.match(line):
+                    a += n
+                else:
+                    p += n
+            rows.append((h, a, p))
+        return pd.DataFrame(rows, columns=["h", "a", "p"])
+
+    return tag_counts
+
+
+def tag_feature_code(
+    docs_df: DataFrame, terms: list[str], kw_ratio: float = 1.0
+) -> DataFrame:
+    """(doc_id, tag_score) from source files ``(doc_id, path, content,
+    lang)`` using the code tag classes. Run it on the *matched* docs only
+    (the reference also scores tags per result, not per corpus —
+    IndexScorer.assignScores:429-478): semi-join the candidate doc_ids
+    before calling, so at 100 TB the UDF touches k docs, not the corpus."""
+    w = TAG_WEIGHTS
+    udf = make_code_tag_counts_udf(terms)
+    cnt = docs_df.select(
+        "doc_id",
+        udf(F.col("path"), F.col("content"), F.col("lang")).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.h").cast("double").alias("h"),
+        F.col("c.a").cast("double").alias("a"),
+        F.col("c.p").cast("double").alias("p"),
+    )
+    total = F.col("h") + F.col("a") + F.col("p")
+    score = F.when(
+        total > 0,
+        (
+            F.lit(w["h"]) * F.col("h")
+            + F.lit(w["a"]) * F.col("a")
+            + F.lit(w["p"]) * F.col("p")
+        )
+        / total,
+    ).otherwise(F.lit(1.0))
+    return cnt.select("doc_id", (score * F.lit(kw_ratio)).alias("tag_score"))
+
+
+# ------------------------------------------------------- proximity / rank ----
+
+
+def proximity_feature(
+    index: SearchIndex,
+    raw_terms: list[str],
+    kw_ratio: float = 1.0,
+    window: int = 8,
+) -> DataFrame:
+    """(doc_id, prox_score) over docs containing ALL normalized terms:
+    phrase ×1.5 / window ×1.2 / else ×1.0 (reference allIn/twoOrMore/alone
+    weights, IndexScorer.java:407-409,666-710), scaled by kwRatio."""
+    from .proximity import PHRASE_BOOST, WINDOW_BOOST, min_window_per_doc, phrase_match
+
+    terms = sorted({t for rt in raw_terms for t in normalize_terms([rt])})
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, prox_score double")
+    if len(terms) == 1:
+        # one *surviving* term: the degenerate 'alone' case normalizes to
+        # 1.0; the caller passes kw_ratio=1.0 when the raw query itself was
+        # single-word (reference numWords==1 branch, IndexScorer.java:575-579)
+        return index.postings.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.lit(1.0 * kw_ratio).alias("prox_score")
+        )
+    feats = min_window_per_doc(index, raw_terms)
+    phrased = phrase_match(index, raw_terms).distinct().withColumn(
+        "is_phrase", F.lit(True)
+    )
+    feats = feats.join(phrased, "doc_id", "left").fillna({"is_phrase": False})
+    boost = (
+        F.when(F.col("is_phrase"), F.lit(PHRASE_BOOST))
+        .when(F.col("min_window") <= window, F.lit(WINDOW_BOOST))
+        .otherwise(F.lit(1.0))
+    )
+    return feats.select(
+        "doc_id", (boost * F.lit(kw_ratio)).alias("prox_score")
+    )
+
+
+def token_mass_prior(index: SearchIndex) -> DataFrame:
+    """(doc_id, ranker_score): the stationary distribution of a surfer
+    jumping to a uniformly random *token* — doc_len / Σ doc_len. A
+    deterministic, relationally-expressible stand-in for PageRank when the
+    corpus has no link graph (the reference's rankerScore is likewise just
+    an input number per doc from the ranker service)."""
+    total = index.doclen.agg(F.sum("doc_len")).collect()[0][0]
+    return index.doclen.select(
+        "doc_id",
+        (F.col("doc_len").cast("double") / F.lit(float(total))).alias(
+            "ranker_score"
+        ),
+    )
+
+
+# --------------------------------------------------------- weighted total ----
+
+
+def weighted_search_topk(
+    index: SearchIndex,
+    raw_terms: list[str],
+    k: int = 10,
+    features: list[FeatureCoeff] | None = None,
+    ranker_scores: DataFrame | None = None,
+    tag_docs_df: DataFrame | None = None,
+    title_prefix: int = 10,
+    window: int = 8,
+) -> DataFrame:
+    """The reference's top-level user-facing query (SearchHandler.handle):
+    conjunctive match -> per-feature scores -> J6 ranker join ->
+    ``total = Σ coeff(f)·(ln?)(score_f)`` -> sort desc.
+
+    Plan: one BM25 aggregation provides the candidate set; tag/proximity
+    features join on doc_id (the candidate side is the small one after the
+    conjunctive filter); ``ranker_scores`` (J6) joins last. Returns
+    (rank, doc_id, bm25_score, tag_score, prox_score, ranker_score, total).
+
+    ``tag_docs_df``: pass the source files frame to use the code tag
+    classes (path/def-line/body); default uses the positional analog from
+    the index's positions arrays.
+    """
+    feats_cfg = {f.name: f for f in (features or DEFAULT_FEATURES)}
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame(
+        [],
+        "rank long, doc_id long, bm25_score double, tag_score double, "
+        "prox_score double, ranker_score double, total double",
+    )
+    n_query = len({t for rt in raw_terms for t in normalize_terms([rt])})
+    terms = [
+        t
+        for t in sorted({t for rt in raw_terms for t in normalize_terms([rt])})
+    ]
+    lex = index.lexicon.filter(F.col("term").isin(terms)).select("term").collect()
+    survivors = sorted(r["term"] for r in lex)
+    if not survivors:
+        return empty
+    kw_ratio = len(survivors) / n_query  # IndexScorer.java:497,566-569
+
+    base = bm25_topk(index, survivors, k=None).select(
+        "doc_id", F.col("score").alias("bm25_score")
+    )
+    if tag_docs_df is not None:
+        cand = base.select("doc_id")
+        tag = tag_feature_code(
+            tag_docs_df.join(cand, "doc_id", "left_semi"), survivors, kw_ratio
+        )
+    else:
+        tag = tag_feature_positional(index, survivors, kw_ratio, title_prefix)
+    # reference: single-WORD queries get proximityScore = 1 exactly; multi-
+    # word queries scale by kwRatio even when only one term survives.
+    # Absent terms are dropped BEFORE proximity (reference scores over the
+    # existed lemmas only) — keep raw order for the phrase check.
+    surv_set = set(survivors)
+    seen: set[str] = set()
+    surv_raw_order = []
+    for rt in raw_terms:
+        for t in normalize_terms([rt]):
+            if t in surv_set and t not in seen:
+                seen.add(t)
+                surv_raw_order.append(t)
+    prox = proximity_feature(
+        index, surv_raw_order, 1.0 if n_query == 1 else kw_ratio, window
+    )
+    rank = (
+        ranker_scores
+        if ranker_scores is not None
+        else token_mass_prior(index)
+    )
+
+    def term_of(name: str, col):
+        f = feats_cfg.get(name)
+        if f is None:
+            return F.lit(0.0)
+        val = F.log(col) if f.use_log else col
+        return F.lit(f.coeff) * val
+
+    joined = (
+        base.join(tag, "doc_id")
+        .join(prox, "doc_id")
+        .join(rank, "doc_id", "left")
+        .fillna({"ranker_score": 0.0})
+    )
+    # fixed summation order (feature-name agnostic, matches the SQL oracle)
+    total = (
+        term_of("bm25Score", F.col("bm25_score"))
+        + term_of("tagScore", F.col("tag_score"))
+        + term_of("proximityScore", F.col("prox_score"))
+        + term_of("rankerScore", F.col("ranker_score"))
+    )
+    scored = joined.withColumn("total", total)
+    ordered = scored.orderBy(F.desc("total"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("total"), F.asc("doc_id"))
+    return ordered.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(
+        "rank", "doc_id", "bm25_score", "tag_score", "prox_score",
+        "ranker_score", "total",
+    )

@@ -216,3 +216,114 @@ def tfidf_reference_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list
         scored.append((d, s))
     scored.sort(key=lambda x: (-x[1], x[0]))
     return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]
+
+
+# --------------------------------------------------------- weighted ranker --
+
+TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
+
+_DEF_LINE_RE = __import__("re").compile(
+    r"^\s*(def|class|function|func|struct|public|private|protected|static"
+    r"|const|let|var|type)\b"
+)
+
+
+def tag_counts_code(row: dict, terms: set[str]) -> tuple[int, int, int]:
+    """(h, a, p) hit counts of ``terms`` for one source file — code tag
+    classes: path token (h), definition-line token (a), body token (p)."""
+    h = sum(1 for t in tokenize(row["path"], row["lang"]) if t in terms)
+    a = p = 0
+    for line in row["content"].split("\n"):
+        n = sum(1 for t in tokenize(line, row["lang"]) if t in terms)
+        if not n:
+            continue
+        if _DEF_LINE_RE.match(line):
+            a += n
+        else:
+            p += n
+    return h, a, p
+
+
+def tag_score_code(row: dict, terms: set[str], kw_ratio: float = 1.0) -> float:
+    """Reference tag score (IndexScorer.java:634-656): weighted hits over
+    total hits, 1.0 when no hits, scaled by kwRatio (:566-569)."""
+    h, a, p = tag_counts_code(row, terms)
+    total = h + a + p
+    if total == 0:
+        return 1.0 * kw_ratio
+    w = TAG_WEIGHTS
+    return (w["h"] * h + w["a"] * a + w["p"] * p) / total * kw_ratio
+
+
+def weighted_topk(
+    idx: OracleIndex,
+    rows: list[dict],
+    raw_terms: list[str],
+    k: int,
+    coeffs: list[tuple[str, float, bool]] | None = None,
+    ranker_scores: dict[int, float] | None = None,
+    window: int = 8,
+) -> list[tuple[int, int, float]]:
+    """The reference's final weighted total (SearchHandler.java:155-169)
+    over code tag classes: [(rank, doc_id, total)]. ``coeffs`` rows are
+    (feature, coeff, use_log) — defaults mirror operators.ranker."""
+    if coeffs is None:
+        coeffs = [
+            ("bm25Score", 1.0, False),
+            ("tagScore", 0.5, False),
+            ("proximityScore", 0.3, False),
+            ("rankerScore", 0.2, True),
+        ]
+    cfg = {name: (c, lg) for name, c, lg in coeffs}
+    n_query = len(set(normalize_query(raw_terms)))
+    survivors = sorted({t for t in normalize_query(raw_terms) if t in idx.postings})
+    if not survivors:
+        return []
+    kw_ratio = len(survivors) / n_query
+    surv_set = set(survivors)
+    seen: set[str] = set()
+    surv_raw_order: list[str] = []
+    for rt in raw_terms:
+        for t in tokenize(rt, ""):
+            if t in surv_set and t not in seen:
+                seen.add(t)
+                surv_raw_order.append(t)
+    base = bm25_topk(idx, survivors, k=len(idx.doclen) or 1)
+    by_id = {row["doc_id"]: row for row in (
+        {**r, "doc_id": doc_id_of(r["repo"], r["path"], r["commit"])} for r in rows
+    )}
+    if ranker_scores is None:
+        total_tokens = sum(idx.doclen.values())
+        ranker_scores = {
+            d: dl / total_tokens for d, dl in idx.doclen.items()
+        }
+    phrased = phrase_docs(idx, surv_raw_order) if len(survivors) > 1 else set()
+    scored = []
+    for _, d, bm25 in base:
+        tag = tag_score_code(by_id[d], surv_set, kw_ratio)
+        if n_query == 1:
+            prox = 1.0
+        elif len(survivors) == 1:
+            prox = 1.0 * kw_ratio
+        elif d in phrased:
+            prox = 1.5 * kw_ratio
+        elif min_window(idx, survivors, d) <= window:
+            prox = 1.2 * kw_ratio
+        else:
+            prox = 1.0 * kw_ratio
+        feats = {
+            "bm25Score": bm25,
+            "tagScore": tag,
+            "proximityScore": prox,
+            "rankerScore": ranker_scores.get(d, 0.0),
+        }
+        total = 0.0
+        for name in ("bm25Score", "tagScore", "proximityScore", "rankerScore"):
+            if name not in cfg:
+                continue
+            c, lg = cfg[name]
+            v = feats[name]
+            total += c * (math.log(v) if lg else v)
+        scored.append((d, total))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]

@@ -462,6 +462,36 @@ def q_proximity_top10(spark, sf_dir):
     )
 
 
+def q_tag_score_positional(spark, sf_dir):
+    """Tag score (IndexScorer.java:398-412,634-656 analog): positional
+    classes — leading 10 tokens = 'h' (title), rest = 'p' — over docs with
+    >=1 hit of the query terms. Pure positions arithmetic, no UDF."""
+    from ..operators.ranker import tag_feature_positional
+
+    res = tag_feature_positional(
+        _search_index(spark, sf_dir), sorted(set(Q_CONJ2))
+    )
+    return res.select("doc_id", F.round("tag_score", 6).alias("tag_score"))
+
+
+def q_search_weighted_topk(spark, sf_dir):
+    """The reference's top-level search (SearchHandler.java:100-169, J6 +
+    §2.11 final): BM25 + tagScore + proximityScore + ln(rankerScore)
+    weighted total, top-10."""
+    from ..operators.ranker import weighted_search_topk
+
+    res = weighted_search_topk(_search_index(spark, sf_dir), Q_CONJ2, k=10)
+    return res.select(
+        "rank",
+        "doc_id",
+        F.round("bm25_score", 6).alias("bm25_score"),
+        F.round("tag_score", 6).alias("tag_score"),
+        F.round("prox_score", 6).alias("prox_score"),
+        F.round("ranker_score", 9).alias("ranker_score"),
+        F.round("total", 6).alias("total"),
+    )
+
+
 QUERIES = {
     "index_wordcount": q_index_wordcount,
     "index_postings": q_index_postings,
@@ -502,6 +532,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "simhash_near_dups": q_simhash_near_dups,
     "proximity_top10": q_proximity_top10,
+    "tag_score_positional": q_tag_score_positional,
+    "search_weighted_topk": q_search_weighted_topk,
 }
 
 # ------------------------------------------------------------- oracles ----
@@ -584,6 +616,65 @@ ham AS (SELECT c.id_a, c.id_b,
         GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
 FROM ham WHERE hamming <= 8"""
+
+
+# positional tag score: hits among the first 10 tokens are 'h' (w=1.3),
+# the rest 'p' (w=1.0); score = weighted hits / total hits of query terms
+_TAG_CTES = f"""tagc AS (
+  SELECT t.doc_id, sum(p.tf) AS th,
+    sum(len(list_filter(generate_series(1, least(10, len(t.tokens))),
+                        i -> t.tokens[i] = p.term))) AS hh
+  FROM postings p JOIN toks t USING (doc_id)
+  WHERE list_contains({_sql_terms_array(sorted(set(Q_CONJ2)))}, p.term)
+  GROUP BY t.doc_id),
+tag AS (SELECT doc_id, (1.3 * hh + 1.0 * (th - hh)) / th AS tag_score
+        FROM tagc)"""
+
+_TAG_SQL = f"""{_SQL_INDEX},
+{_TAG_CTES}
+SELECT doc_id, round(tag_score, 6) AS tag_score FROM tag"""
+
+# weighted final scorer: BM25 (conjunctive) + tag + proximity (phrase 1.5 /
+# window<=8 1.2 / else 1.0) + ln(token-mass prior), coefficients
+# (1.0, 0.5, 0.3, 0.2) — the DEFAULT_FEATURES table in operators.ranker
+_WEIGHTED_SQL = f"""{_bm25_sql_base(Q_CONJ2)},
+{_TAG_CTES},
+posa AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(tokens)),
+                              i -> tokens[i] = '{Q_CONJ2[0]}')) AS p
+         FROM toks),
+posb AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(tokens)),
+                              i -> tokens[i] = '{Q_CONJ2[1]}')) AS p
+         FROM toks),
+win AS (SELECT a.doc_id, min(abs(a.p - b.p) + 1) AS mw
+        FROM posa a JOIN posb b ON a.doc_id = b.doc_id GROUP BY a.doc_id),
+phr AS (SELECT DISTINCT doc_id FROM toks
+        WHERE len(tokens) >= 2 AND len(list_filter(
+                generate_series(1, len(tokens) - 1),
+                i -> tokens[i] = '{Q_CONJ2[0]}'
+                     AND tokens[i + 1] = '{Q_CONJ2[1]}')) > 0),
+prox AS (SELECT w.doc_id,
+           (CASE WHEN phr.doc_id IS NOT NULL THEN 1.5
+                 WHEN w.mw <= 8 THEN 1.2 ELSE 1.0 END)::DOUBLE AS prox_score
+         FROM win w LEFT JOIN phr ON w.doc_id = phr.doc_id),
+rk AS (SELECT doc_id,
+         len(tokens)::DOUBLE
+           / (SELECT sum(len(tokens))::DOUBLE FROM toks) AS ranker_score
+       FROM toks),
+feat AS (
+  SELECT m.doc_id, m.s AS bm25_score, tag.tag_score, prox.prox_score,
+         rk.ranker_score,
+         1.0 * m.s + 0.5 * tag.tag_score + 0.3 * prox.prox_score
+           + 0.2 * ln(rk.ranker_score) AS total
+  FROM matched m
+  JOIN tag USING (doc_id) JOIN prox USING (doc_id) JOIN rk USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, round(bm25_score, 6) AS bm25_score,
+       round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
+       round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
+FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
 
 
 _QUALITY_RAW = """raw AS (
@@ -795,6 +886,8 @@ p AS (
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "ann_lsh_topk": _ANN_LSH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
+    "tag_score_positional": _TAG_SQL,
+    "search_weighted_topk": _WEIGHTED_SQL,
     # pagerank_top20 / proximity_top10: intentionally no SQL oracle
     # (iterative algorithm / pandas-UDF min-window kernel) -> rows-only
     # driver check; both have pure-Python oracles in pytest

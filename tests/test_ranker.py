@@ -1,0 +1,123 @@
+"""Weighted multi-feature final scorer + tag score (reference
+SearchHandler.java:155-169, IndexScorer.java:398-412,634-656) vs the
+pure-Python oracle on the synthetic source corpus.
+"""
+
+import pytest
+
+from streamworks_search_engine_spark import oracle
+from streamworks_search_engine_spark.operators.ranker import (
+    FeatureCoeff,
+    tag_feature_code,
+    weighted_search_topk,
+)
+from streamworks_search_engine_spark.sources.corpus import corpus_df, doc_id_of
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus_rows):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    return with_doc_id(corpus_df(spark, 200, seed=42, partitions=8))
+
+
+TERMS = ["parse", "index"]
+
+
+def test_tag_feature_code_matches_oracle(docs_df, corpus_rows):
+    got = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_code(docs_df, TERMS).collect()
+    }
+    for row in corpus_rows:
+        did = doc_id_of(row["repo"], row["path"], row["commit"])
+        exp = oracle.tag_score_code(row, set(TERMS))
+        assert got[did] == pytest.approx(exp, abs=1e-12), row["path"]
+
+
+def test_tag_classes_planted(docs_df, corpus_rows):
+    """The corpus generator plants identifier terms in paths and def lines;
+    the tag classes must actually discriminate (h/a hits exist somewhere)."""
+    hit = [
+        oracle.tag_counts_code(r, {"parse", "index", "scan", "merge"})
+        for r in corpus_rows
+    ]
+    assert any(h > 0 for h, _, _ in hit), "no path (h) hits in corpus"
+    assert any(a > 0 for _, a, _ in hit), "no def-line (a) hits in corpus"
+    assert any(p > 0 for _, _, p in hit), "no body (p) hits in corpus"
+
+
+def _collect_weighted(spark_index, docs_df, terms, k=10, **kw):
+    res = weighted_search_topk(
+        spark_index, terms, k=k, tag_docs_df=docs_df, **kw
+    ).collect()
+    return [(r["rank"], r["doc_id"], round(r["total"], 9)) for r in res]
+
+
+def test_weighted_topk_matches_oracle(spark_index, docs_df, oracle_index, corpus_rows):
+    got = _collect_weighted(spark_index, docs_df, TERMS)
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(oracle_index, corpus_rows, TERMS, 10)
+    ]
+    assert got == exp
+
+
+def test_weighted_topk_kw_ratio_absent_term(spark_index, docs_df, oracle_index, corpus_rows):
+    """A query with one absent term halves kwRatio; ranks must still match."""
+    terms = ["parse", "zzqqxxnotaterm"]
+    got = _collect_weighted(spark_index, docs_df, terms)
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(oracle_index, corpus_rows, terms, 10)
+    ]
+    assert got == exp
+
+
+def test_weighted_topk_all_absent_empty(spark_index, docs_df):
+    assert _collect_weighted(spark_index, docs_df, ["zzqqxxnotaterm"]) == []
+
+
+def test_weighted_topk_explicit_ranker_scores(spark, spark_index, docs_df, oracle_index, corpus_rows):
+    """J6: matches ⋈ an external ranker-score table (the reference joins
+    PageRank results the same way, SearchHandler.java:100-143)."""
+    ranks = {
+        d: 1.0 / (1 + (d % 97)) for d in oracle_index.doclen
+    }
+    ranks_df = spark.createDataFrame(
+        [(d, s) for d, s in ranks.items()], "doc_id long, ranker_score double"
+    )
+    got = _collect_weighted(
+        spark_index, docs_df, TERMS, ranker_scores=ranks_df
+    )
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(
+            oracle_index, corpus_rows, TERMS, 10, ranker_scores=ranks
+        )
+    ]
+    assert got == exp
+
+
+def test_weighted_topk_custom_coeffs(spark_index, docs_df, oracle_index, corpus_rows):
+    feats = [
+        FeatureCoeff("bm25Score", 2.0),
+        FeatureCoeff("tagScore", 1.0, use_log=True),
+        FeatureCoeff("proximityScore", 0.7),
+    ]  # rankerScore intentionally omitted -> coeff 0
+    got = _collect_weighted(spark_index, docs_df, TERMS, features=feats)
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(
+            oracle_index,
+            corpus_rows,
+            TERMS,
+            10,
+            coeffs=[
+                ("bm25Score", 2.0, False),
+                ("tagScore", 1.0, True),
+                ("proximityScore", 0.7, False),
+            ],
+        )
+    ]
+    assert got == exp
