@@ -269,10 +269,9 @@ def build_and_write_index(
         F.col("p.term").alias("term"),
         F.col("doc_id"),
         F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
         F.col("doc_len"),
     ]
-    if flat:
-        posting_cols.insert(3, F.col("p.positions").alias("positions"))
     (
         with_doc_id(docs_df).select(
             F.col("doc_id"),
@@ -381,11 +380,17 @@ def write_index(
     # heap caches amplify 3-5x in fresh pages and first-touch page faults
     # dominate on memory-ballooned hosts.
     base = index.postings
+    has_positions = "positions" in base.columns
     if not flat:
         # packed-only (the 100-TB mode: the compressed blocks ARE the
         # postings table; storing an uncompressed copy alongside would
-        # double write volume) — prune positions before the shuffle
-        base = base.select("term", "doc_id", "tf", "doc_len")
+        # double write volume) — positions travel INTO the blocks so the
+        # mode can still serve phrase/proximity queries (the reference
+        # always keeps positional hits, HitStorage.java:59-157)
+        keep = ["term", "doc_id", "tf", "doc_len"] + (
+            ["positions"] if has_positions else []
+        )
+        base = base.select(*keep)
     arranged = (
         base.join(F.broadcast(index.lexicon.select("term", "idf")), "term")
         .repartitionByRange(term_buckets, "term", "doc_id")
@@ -400,10 +405,10 @@ def write_index(
     if pack:
         from .postings import pack_arranged, write_packed
 
-        packed = pack_arranged(
-            arranged.select("term", "doc_id", "tf", "doc_len", "idf"),
-            index.avgdl,
+        pack_cols = ["term", "doc_id", "tf", "doc_len", "idf"] + (
+            ["positions"] if has_positions else []
         )
+        packed = pack_arranged(arranged.select(*pack_cols), index.avgdl)
         write_packed(packed, out_dir)
         t["write_packed_postings"] = round(_time.time() - t0, 2)
     t0 = _time.time()

@@ -29,6 +29,7 @@ from ..functions.codec import (
     decode_doc_ids,
     decode_varints,
     encode_doc_ids,
+    encode_positions,
     encode_varints,
 )
 
@@ -38,11 +39,12 @@ BLOCK_SIZE = 128
 
 PACKED_SCHEMA = (
     "term string, first_doc_id long, last_doc_id long, n long, "
-    "doc_ids binary, tfs binary, doclens binary, "
+    "doc_ids binary, tfs binary, doclens binary, positions binary, "
     "block_max_tf long, block_max_score double"
 )
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, doc_len long"
+DECODED_POS_SCHEMA = DECODED_SCHEMA + ", positions array<int>"
 
 
 def _pack_run(
@@ -50,6 +52,7 @@ def _pack_run(
     ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
+    poss,
     idf: float,
     avgdl: float,
     block_size: int,
@@ -59,6 +62,14 @@ def _pack_run(
         bi = ids[i : i + block_size]
         bt = tfs[i : i + block_size]
         bd = dls[i : i + block_size]
+        if poss is None:
+            bp = None
+        else:
+            # per-doc delta+varint streams, concatenated; tf gives the
+            # per-doc gap counts back at decode time (no length prefix)
+            bp = b"".join(
+                encode_positions(p) for p in poss[i : i + block_size]
+            )
         tf64 = bt.astype(np.float64)
         score = (
             idf
@@ -75,6 +86,7 @@ def _pack_run(
                 encode_doc_ids(bi),
                 encode_varints(bt),
                 encode_varints(bd),
+                bp,
                 int(bt.max()),
                 float(score.max()),
             )
@@ -95,9 +107,12 @@ def pack_postings(
     Arrow-batch edges at worst (short blocks are valid — metadata carries n).
     The idf join broadcasts the lexicon (small dim) so it adds no shuffle.
     """
-    scored = postings.join(F.broadcast(lexicon.select("term", "idf")), "term").select(
-        "term", "doc_id", "tf", "doc_len", "idf"
-    )
+    cols = ["term", "doc_id", "tf", "doc_len", "idf"]
+    if "positions" in postings.columns:
+        cols.append("positions")
+    scored = postings.join(
+        F.broadcast(lexicon.select("term", "idf")), "term"
+    ).select(*cols)
     if num_partitions is None:
         num_partitions = postings.sparkSession.conf.get(
             "spark.sql.shuffle.partitions"
@@ -112,15 +127,21 @@ def pack_arranged(
     arranged: DataFrame, avgdl: float, block_size: int = BLOCK_SIZE
 ) -> DataFrame:
     """Pack an ALREADY range-partitioned + (term, doc_id)-sorted frame with
-    columns (term, doc_id, tf, doc_len, idf) — a narrow Arrow pass, no
-    shuffle. Lets the writer arrange once and reuse the layout for both the
-    flat parquet and the packed blocks."""
+    columns (term, doc_id, tf, doc_len, idf[, positions]) — a narrow Arrow
+    pass, no shuffle. Lets the writer arrange once and reuse the layout for
+    both the flat parquet and the packed blocks. When a ``positions``
+    column is present, per-doc position lists are delta+varint packed into
+    the blocks (the reference always keeps positional hits,
+    HitStorage.java:59-157 — without them the packed-only 100-TB mode could
+    not serve phrase/proximity queries)."""
+    with_positions = "positions" in arranged.columns
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
         cols = [
             "term", "first_doc_id", "last_doc_id", "n",
-            "doc_ids", "tfs", "doclens", "block_max_tf", "block_max_score",
+            "doc_ids", "tfs", "doclens", "positions",
+            "block_max_tf", "block_max_score",
         ]
 
         def flush(pdf: pd.DataFrame, final: bool) -> tuple[list[tuple], pd.DataFrame | None]:
@@ -140,6 +161,9 @@ def pack_arranged(
                         pdf["doc_id"].to_numpy()[s:e].astype(np.int64),
                         pdf["tf"].to_numpy()[s:e].astype(np.int64),
                         pdf["doc_len"].to_numpy()[s:e].astype(np.int64),
+                        pdf["positions"].to_numpy()[s:e]
+                        if with_positions
+                        else None,
                         float(pdf["idf"].to_numpy()[s]),
                         avgdl,
                         block_size,
@@ -175,32 +199,62 @@ def pack_arranged(
     return arranged.mapInPandas(pack, schema=PACKED_SCHEMA)
 
 
+def _decode_block_positions(blob: bytes, tfs: np.ndarray) -> list:
+    """One block's concatenated per-doc position streams -> list of int32
+    arrays, vectorized: global cumsum of all gaps, then subtract each doc's
+    start offset (per-doc delta restarts mean gap[start] is absolute)."""
+    gaps = decode_varints(blob).astype(np.int64)
+    ends = np.cumsum(tfs)
+    starts = ends - tfs
+    g = np.cumsum(gaps)
+    # position[j] = g[j] - g[start(doc)] + gaps[start(doc)]
+    offsets = np.repeat(g[starts] - gaps[starts], tfs)
+    pos = (g - offsets).astype(np.int32)
+    return np.split(pos, ends[:-1])
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
-    """packed blocks -> (term, doc_id, tf, doc_len) rows, vectorized decode."""
+    """packed blocks -> (term, doc_id, tf, doc_len[, positions]) rows,
+    vectorized decode. Positions are decoded iff the input still carries
+    the ``positions`` column — scoring-only callers ``drop("positions")``
+    first so the parquet scan never reads the heavy blobs (column pruning
+    reaches the scan; verified in PLANS.md)."""
+    with_positions = "positions" in blocks.columns
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            terms, ids, tfs, dls = [], [], [], []
-            for term, blob_ids, blob_tfs, blob_dls, n in zip(
-                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"], pdf["n"]
+            terms, ids, tfs, dls, poss = [], [], [], [], []
+            for i, (term, blob_ids, blob_tfs, blob_dls) in enumerate(
+                zip(pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"])
             ):
                 d = decode_doc_ids(bytes(blob_ids))
+                t = decode_varints(bytes(blob_tfs)).astype(np.int64)
                 terms.append(np.repeat(term, len(d)))
                 ids.append(d)
-                tfs.append(decode_varints(bytes(blob_tfs)).astype(np.int64))
+                tfs.append(t)
                 dls.append(decode_varints(bytes(blob_dls)).astype(np.int64))
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(ids),
-                    "tf": np.concatenate(tfs),
-                    "doc_len": np.concatenate(dls),
-                }
-            )
+                if with_positions:
+                    blob_pos = pdf["positions"].iloc[i]
+                    poss.extend(
+                        _decode_block_positions(bytes(blob_pos), t)
+                        if blob_pos is not None
+                        else [None] * len(d)
+                    )
+            out = {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(ids),
+                "tf": np.concatenate(tfs),
+                "doc_len": np.concatenate(dls),
+            }
+            if with_positions:
+                out["positions"] = pd.Series(poss, dtype=object)
+            yield pd.DataFrame(out)
 
-    return blocks.mapInPandas(dec, schema=DECODED_SCHEMA)
+    return blocks.mapInPandas(
+        dec, schema=DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
+    )
 
 
 def write_packed(packed: DataFrame, out_dir: str) -> None:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .query import SearchIndex, bm25_topk, normalize_terms
+from .query import SearchIndex, bm25_topk, normalize_terms, postings_for_terms
 
 PHRASE_BOOST = 1.5
 WINDOW_BOOST = 1.2
@@ -26,11 +26,14 @@ WINDOW_BOOST = 1.2
 
 def _positions_pivot(index: SearchIndex, terms: list[str]) -> DataFrame:
     """One row per doc containing ALL terms: (doc_id, pos_0..pos_{n-1}).
-    Left-deep join chain like the reference's (term count is tiny)."""
+    Left-deep join chain like the reference's (term count is tiny).
+    postings_for_terms pushes the term predicate into the packed block scan
+    on packed-only indexes (positions decode from the blocks)."""
+    rows = postings_for_terms(index, terms, positions=True)
     parts = []
     for i, t in enumerate(terms):
         parts.append(
-            index.postings.filter(F.col("term") == t).select(
+            rows.filter(F.col("term") == t).select(
                 "doc_id", F.col("positions").alias(f"pos_{i}")
             )
         )

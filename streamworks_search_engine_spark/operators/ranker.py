@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.tokenizer import tokenize
-from .query import SearchIndex, bm25_topk, normalize_terms
+from .query import SearchIndex, bm25_topk, normalize_terms, postings_for_terms
 
 TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
 
@@ -90,7 +90,7 @@ def tag_feature_positional(
     over the positions arrays — one aggregation, no UDF.
     """
     w = TAG_WEIGHTS
-    hits = index.postings.filter(F.col("term").isin(terms)).select(
+    hits = postings_for_terms(index, terms, positions=True).select(
         "doc_id",
         F.col("tf").cast("double").alias("tf"),
         F.size(
@@ -198,7 +198,7 @@ def proximity_feature(
         # one *surviving* term: the degenerate 'alone' case normalizes to
         # 1.0; the caller passes kw_ratio=1.0 when the raw query itself was
         # single-word (reference numWords==1 branch, IndexScorer.java:575-579)
-        return index.postings.filter(F.col("term") == terms[0]).select(
+        return postings_for_terms(index, terms, positions=False).select(
             "doc_id", F.lit(1.0 * kw_ratio).alias("prox_score")
         )
     feats = min_window_per_doc(index, raw_terms)

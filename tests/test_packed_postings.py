@@ -99,3 +99,96 @@ def test_packed_semi_join_path_forced(spark_index, oracle_index):
             spark_index, terms, k, prune=True, semi_join_df_threshold=thr
         ).collect()
         _assert_rank_identical(got, expected)
+
+
+# ------------------------------------------------- positions in blocks ----
+
+
+@pytest.fixture(scope="module")
+def packed_only_pos_index(spark, tmp_path_factory):
+    """A flat=False (packed-only) index — positions live ONLY in the blocks."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index,
+        write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 200, seed=42, partitions=8)
+    idx = build_index(spark, docs)
+    out = str(tmp_path_factory.mktemp("packed_pos") / "sf_tiny_packed_pos")
+    write_index(idx, out, term_buckets=8, pack=True, flat=False)
+    loaded = load_index(spark, out)
+    assert loaded.packed_only
+    return loaded
+
+
+def test_packed_positions_roundtrip(spark_index, oracle_index):
+    from streamworks_search_engine_spark.operators.postings import decode_blocks
+
+    got = {
+        (r["term"], r["doc_id"]): list(r["positions"])
+        for r in decode_blocks(spark_index.packed).collect()
+    }
+    exp = {
+        (t, d): ps
+        for t, per_doc in oracle_index.positions.items()
+        for d, ps in per_doc.items()
+    }
+    assert got == exp
+
+
+def test_phrase_match_on_packed_only(packed_only_pos_index, oracle_index):
+    from streamworks_search_engine_spark.operators.proximity import phrase_match
+
+    for phrase in (["parse", "index"], ["token", "query"], ["def", "index"]):
+        got = {
+            r["doc_id"]
+            for r in phrase_match(packed_only_pos_index, phrase).collect()
+        }
+        assert got == O.phrase_docs(oracle_index, phrase), phrase
+
+
+def test_proximity_topk_on_packed_only(packed_only_pos_index, oracle_index):
+    from streamworks_search_engine_spark.operators.proximity import proximity_topk
+
+    terms = ["parse", "index"]
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 9), r["boost"])
+        for r in proximity_topk(packed_only_pos_index, terms, k=10).collect()
+    ]
+    exp = [
+        (rk, d, round(s, 9), b)
+        for rk, d, s, b in O.proximity_topk(oracle_index, terms, k=10)
+    ]
+    assert got == exp
+
+
+def test_bm25_search_routes_identically(spark_index, packed_only_pos_index, oracle_index):
+    """The auto-routing front door must be rank-identical on every index
+    layout and at both sides of the crossover."""
+    from streamworks_search_engine_spark.operators.query import bm25_search
+
+    for qname in ("single_hot", "conj2", "absent_dropped"):
+        terms, k = _query_set(oracle_index)[qname]
+        expected = O.bm25_topk(oracle_index, terms, k)
+        for index in (spark_index, packed_only_pos_index):
+            for crossover in (0, 10**9):
+                got = bm25_search(index, terms, k, crossover_df=crossover).collect()
+                _assert_rank_identical(got, expected)
+
+
+def test_scoring_block_scan_skips_position_blobs(spark_index):
+    """The packed scoring path must not read the positions blobs: the block
+    scan's ReadSchema should exclude them after drop('positions')."""
+    from pyspark.sql import functions as F
+
+    plan = (
+        spark_index.packed.filter(F.col("term") == "parse")
+        .drop("positions")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines and all("positions" not in l for l in scan_lines)
