@@ -99,34 +99,114 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     round_digits: int = 6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
 
     Candidate generation is a shingle-bucket self-join (only pairs sharing
     >= 1 shingle are materialized — the classic set-similarity-join prefix
     idea), never an n² cross join.
+
+    ``max_shingle_df`` is the scale lever: the candidate join is quadratic
+    in the hottest shingle's document frequency, so a ubiquitous code
+    3-gram would make one bucket O(df²). With a cap, shingles whose df
+    exceeds it are EXCLUDED from candidate generation (the dropped count is
+    logged — no silent truncation), and the jaccard of each surviving
+    candidate pair is still computed EXACTLY over the full shingle sets
+    (array_intersect on the per-doc arrays). The only loss is recall for
+    pairs whose every shared shingle is hot — the standard
+    prefix-filtering trade.
     """
     sh = toks_df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(tokens_col), n))).alias("sh"),
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    common = (
+    if max_shingle_df is None:
+        cand_sh = sh
+    else:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .persist()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jaccard_pairs: excluding %d shingles with df > %d from "
+                "candidate generation (recall may drop for pairs sharing "
+                "only hot shingles; jaccard of surviving pairs is exact)",
+                n_hot,
+                max_shingle_df,
+            )
+        cand_sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    a = cand_sh.select(F.col("id").alias("id_a"), "sh")
+    b = cand_sh.select(F.col("id").alias("id_b"), "sh")
+    if max_shingle_df is None:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        j = (
+            common.join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                        "double"
+                    ),
+                    round_digits,
+                ),
+            )
+        )
+        return j.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+    # capped path: candidates from rare shingles only; exact jaccard from
+    # the full per-doc shingle arrays (bounded: |candidates| × doc size)
+    cand = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = toks_df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(tokens_col), n)).alias("shs"),
     )
     j = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")),
+            "id_b",
+        )
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                / (
+                    F.size("shs_a") + F.size("shs_b") - F.col("n_common")
+                ).cast("double"),
                 round_digits,
             ),
         )

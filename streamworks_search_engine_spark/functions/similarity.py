@@ -73,8 +73,9 @@ def near_dup_pairs_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
-    Brute-force n² — correctness baseline; at scale run lsh_buckets first
-    and only compare within buckets.
+    Brute-force n² (cartesian + filter) — the CORRECTNESS BASELINE only,
+    for tests/fixtures and tiny slices. The scale path is
+    ``near_dup_pairs_lsh`` (bucket first, exact cosine within buckets).
     """
     a = emb_df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -121,6 +122,42 @@ def make_lsh_bucket_udf(n_planes: int = 16, dim: int = 64, seed: str = "sse-lsh"
         return pd.Series([format(c, "x") for c in codes], index=emb.index)
 
     return lsh_bucket
+
+
+def near_dup_pairs_lsh(
+    emb_df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH bucket assignment
+    (map-only Arrow pass), then id_a < id_b pairs WITHIN each bucket with
+    the exact cosine — the default near-dup path.
+
+    Cost is Σ_bucket |bucket|² instead of n²; with b planes buckets shrink
+    ~2^b-fold, and a genuinely hot bucket is AQE-splittable since the join
+    key is the bucket id. Recall: a pair at cosine c collides in one fixed
+    bucket with probability (1 - acos(c)/π)^b — tunable via ``n_planes``;
+    the brute-force baseline above measures it on fixtures.
+    """
+    udf = make_lsh_bucket_udf(n_planes, dim)
+    bucketed = emb_df.select(
+        F.col(id_col), F.col(vec_col), udf(F.col(vec_col)).alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+    )
+    pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )
 
 
 def ann_lsh_topk(

@@ -430,6 +430,21 @@ def q_embedding_near_dups(spark, sf_dir):
     return similarity.near_dup_pairs_cosine(emb, threshold=0.35)
 
 
+def q_ngram_jaccard_pairs_capped(spark, sf_dir):
+    """Capped-candidate Jaccard (the 100-TB path): shingles with df > 25
+    are excluded from candidate generation; jaccard of surviving pairs is
+    exact over the full shingle sets."""
+    toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dedup.jaccard_pairs(toks, n=3, threshold=0.01, max_shingle_df=25)
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Bucketed embedding near-dups (the 100-TB path): LSH bucket join,
+    exact cosine within buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs_lsh(emb, threshold=0.35)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (numpy pandas-UDF bucketer). The oracle
     inlines the deterministic hyperplane matrix (similarity._planes, part of
@@ -510,6 +525,8 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
     "langid_en": q_langid_en,
@@ -616,6 +633,55 @@ ham AS (SELECT c.id_a, c.id_b,
         GROUP BY c.id_a, c.id_b)
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
 FROM ham WHERE hamming <= 8"""
+
+
+_JACCARD_CAPPED_SQL = f"""{_SQL_TOKS},
+sh AS (SELECT doc_id AS id,
+              unnest(list_distinct(list_transform(
+                generate_series(1, len(tokens) - 2),
+                i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))) AS sh
+       FROM toks WHERE len(tokens) >= 3 AND doc_id < 200),
+hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 25),
+rare AS (SELECT * FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM rare a JOIN rare b USING (sh) WHERE a.id < b.id),
+sets AS (SELECT doc_id AS id,
+                list_distinct(list_transform(
+                  generate_series(1, len(tokens) - 2),
+                  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS shs
+         FROM toks WHERE doc_id < 200),
+p AS (SELECT id_a, id_b,
+             len(list_intersect(sa.shs, sb.shs)) AS n_common,
+             len(sa.shs) AS n_a, len(sb.shs) AS n_b
+      FROM cand JOIN sets sa ON sa.id = id_a JOIN sets sb ON sb.id = id_b)
+SELECT id_a, id_b,
+       round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+FROM p
+WHERE round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.01"""
+
+_EMB_LSH_CTES = f"""{_planes_sql_literal(8, 64)},
+dots AS (
+  SELECT vec_id, p, sum(embedding[i]::DOUBLE * w) AS d
+  FROM embeddings CROSS JOIN planes GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id)"""
+
+_EMB_NEAR_DUPS_LSH_SQL = f"""WITH {_EMB_LSH_CTES},
+e AS (SELECT vec_id, embedding, bucket
+      FROM embeddings JOIN buckets USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+      6) AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35"""
 
 
 # positional tag score: hits among the first 10 tokens are 'h' (w=1.3),
@@ -884,6 +950,8 @@ p AS (
       6) AS cos_sim
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
+    "ngram_jaccard_pairs_capped": _JACCARD_CAPPED_SQL,
+    "embedding_near_dups_lsh": _EMB_NEAR_DUPS_LSH_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "tag_score_positional": _TAG_SQL,

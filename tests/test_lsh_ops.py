@@ -167,3 +167,65 @@ def test_simhash_identical_docs_zero_hamming(spark):
     )
     got = dedup.simhash_near_dup_pairs(df, max_hamming=0).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(0, 1, 0)]
+
+
+# --------------------------------------------- scale-hardened pair paths --
+
+
+def test_near_dup_pairs_lsh_subset_of_brute_force(emb_df):
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs_cosine(emb_df, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs_lsh(emb_df, threshold=0.8, dim=DIM).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert v == brute[k]  # exact cosine within buckets
+    # planted clusters are tight -> most true pairs share a bucket; the
+    # fixture is seed-fixed so the measured recall is deterministic
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.3, f"bucketed near-dup recall collapsed: {recall}"
+    assert brute, "fixture produced no brute-force pairs"
+
+
+def test_jaccard_capped_exact_and_subset(spark, corpus_rows):
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.functions.tokenizer import tokenize
+    from streamworks_search_engine_spark.sources.corpus import doc_id_of
+
+    rows = corpus_rows[:80]
+    toks_df = spark.createDataFrame(
+        [
+            (doc_id_of(r["repo"], r["path"], r["commit"]),
+             tokenize(r["content"], r["lang"]))
+            for r in rows
+        ],
+        "doc_id long, tokens array<string>",
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(toks_df, n=3, threshold=0.05).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            toks_df, n=3, threshold=0.05, max_shingle_df=10
+        ).collect()
+    }
+    # capped candidates are a subset, but every surviving pair's jaccard is
+    # the EXACT full-set value
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]
+    # a cap no shingle exceeds must reproduce the uncapped result exactly
+    uncapped_equiv = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            toks_df, n=3, threshold=0.05, max_shingle_df=10**9
+        ).collect()
+    }
+    assert uncapped_equiv == full
