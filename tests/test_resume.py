@@ -112,3 +112,35 @@ def test_finalized_index_answers_queries(spark, docs, tmp_path):
     assert [(r["rank"], r["doc_id"]) for r in got] == [
         (r, d) for r, d, _ in expected
     ]
+
+
+def test_resume_does_not_rewrite_committed_partitions(spark, docs, tmp_path):
+    """Dynamic partition overwrite must leave already-committed partitions'
+    files byte-untouched on resume (exactly-once commit semantics)."""
+    import os
+    import time as _time
+
+    b = CheckpointedIndexBuild(spark, str(tmp_path / "ckpt_norewrite"), n_partitions=6)
+    assert b.build(docs, max_partitions=3) == 3
+    staged = str(tmp_path / "ckpt_norewrite" / "partials" / "staged")
+    committed_parts = sorted(b.committed())
+    before = {}
+    for p in committed_parts:
+        d = f"{staged}/part={p}"
+        if os.path.isdir(d):
+            before[p] = {
+                f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+    _time.sleep(1.1)
+    assert b.build(docs) == 3  # the remaining partitions
+    for p, files in before.items():
+        d = f"{staged}/part={p}"
+        after = {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+        assert after == files, f"partition {p} files were rewritten"
+    assert b.is_complete()
