@@ -6,9 +6,16 @@ The reference restarts indexing jobs from scratch — its only resume aid is a
 mapreduce/worker/storage/IndexStorage.java:320-345) plus idempotent task DBs.
 Here every input partition (``pmod(doc_id, P)``) commits independently:
 
-  partials/<table>/part=<p>/   parquet rows for that slice of documents
+  partials/staged/part=<p>/    parquet posting rows for that slice of
+                               documents (+ dictionary-encoded doc identity
+                               columns; docs_dim is a pruned distinct)
   manifest/part-<p>.json       lineage + metrics, written AFTER the data
                                via tmp+atomic-rename
+
+One build() call = ONE column-pruned lineage scan + ONE tokenize-and-write
+job over all pending partitions (``partitionBy(part)`` with dynamic
+partition overwrite — committed partitions' files are never rewritten), not
+P sequential jobs each rescanning the input.
 
 A killed build leaves either (data+manifest) or (data without manifest);
 resume re-processes exactly the partitions without a manifest, verifies
@@ -77,28 +84,31 @@ class CheckpointedIndexBuild:
         os.replace(tmp, self._manifest_path(rec.partition_id))  # atomic
 
     # ------------------------------------------------------------ building
-    def _slice(self, docs: DataFrame, p: int) -> DataFrame:
-        """One resume partition. NOTE on scan cost: against plain parquet
-        this filter re-scans the input per slice; at cluster scale the input
-        is an Iceberg table bucketed by doc_id (``bucket(P, doc_id)``), the
-        pmod filter aligns with the bucket transform, and each slice is a
-        partition-pruned read — one input pass total across all slices."""
-        return docs.filter(F.pmod(F.col("doc_id"), F.lit(self.n_partitions)) == p)
+    def _part(self):
+        return F.pmod(F.col("doc_id"), F.lit(self.n_partitions)).alias("part")
 
-    @staticmethod
-    def _lineage(sl: DataFrame) -> str:
-        """Order-independent sha256 over the slice's per-row content hashes
-        (the input_hint invariant, aggregated): sha256 of the sorted list."""
-        row = sl.agg(
-            F.sha2(
-                F.concat_ws(
-                    "\x00", F.sort_array(F.collect_list("content_sha256"))
-                ),
-                256,
-            ).alias("h"),
-            F.count("*").alias("n"),
-        ).collect()[0]
-        return f"{row['n']}:{row['h']}"
+    def _lineages(self, docs: DataFrame, parts: list[int] | None = None) -> dict[int, str]:
+        """Per-partition lineage in ONE scan: order-independent sha256 over
+        each slice's per-row content hashes (the input_hint invariant,
+        aggregated) — sha256 of the sorted hash list, prefixed with the
+        count. Reads only the id/sha columns (column-pruned)."""
+        src = docs.select(self._part(), "content_sha256")
+        if parts is not None:
+            src = src.filter(F.col("part").isin(parts))
+        rows = (
+            src.groupBy("part")
+            .agg(
+                F.sha2(
+                    F.concat_ws(
+                        "\x00", F.sort_array(F.collect_list("content_sha256"))
+                    ),
+                    256,
+                ).alias("h"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        return {int(r["part"]): f"{r['n']}:{r['h']}" for r in rows}
 
     def build(
         self,
@@ -108,81 +118,107 @@ class CheckpointedIndexBuild:
     ) -> int:
         """Process uncommitted partitions (optionally at most
         ``max_partitions`` — the kill-injection hook for tests).
-        Returns the number of partitions processed this call."""
-        udf = make_doc_postings_udf()
+        Returns the number of partitions processed this call.
+
+        Single-pass plan: ONE column-pruned scan computes every pending
+        partition's input lineage, then ONE full scan tokenizes and writes
+        all pending partitions at once via ``partitionBy(part)`` with
+        dynamic partition overwrite (committed partitions' files are never
+        touched; a killed write leaves data without manifests, which the
+        next call overwrites). Manifests commit per partition AFTER the
+        write — the same write-then-rename protocol as before, now amortized
+        over one job instead of P sequential jobs each rescanning the input.
+        """
         docs = with_doc_id(docs_df)
         done = self.committed()
-        processed = 0
-        for p in range(self.n_partitions):
-            if p in done:
-                if verify_lineage:
-                    cur = self._lineage(self._slice(docs, p))
-                    if cur != done[p].input_snapshot:
-                        raise ValueError(
-                            f"partition {p}: input changed since checkpoint "
-                            f"({done[p].input_snapshot} -> {cur}); delete its "
-                            "manifest to force a rebuild"
-                        )
-                continue
-            if max_partitions is not None and processed >= max_partitions:
-                break
-            t0 = time.time()
-            sl = self._slice(docs, p).persist()
-            snapshot = self._lineage(sl)
-            toks = sl.select(
-                "doc_id",
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                "content_sha256",
-                udf(F.col("content"), F.col("lang")).alias("plist"),
-            ).persist()
-            doc_len = F.aggregate(
-                "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
-            )
-            # doc-local aggregation: exploding plist IS the postings table
-            postings = toks.select(
-                "doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("h")
+        todo = [p for p in range(self.n_partitions) if p not in done]
+        if max_partitions is not None:
+            todo = todo[:max_partitions]
+        if verify_lineage and done:
+            current = self._lineages(docs, sorted(done))
+            for p, rec in sorted(done.items()):
+                cur = current.get(p, "0:")
+                if cur != rec.input_snapshot:
+                    raise ValueError(
+                        f"partition {p}: input changed since checkpoint "
+                        f"({rec.input_snapshot} -> {cur}); delete its "
+                        "manifest to force a rebuild"
+                    )
+        if not todo:
+            return 0
+        t0 = time.time()
+        snapshots = self._lineages(docs, todo)
+        udf = make_doc_postings_udf()
+        pending = docs.withColumn("part", self._part()).filter(
+            F.col("part").isin(todo)
+        )
+        toks = pending.select(
+            "part",
+            "doc_id",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content_sha256",
+            udf(F.col("content"), F.col("lang")).alias("plist"),
+        )
+        doc_len = F.aggregate(
+            "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
+        )
+        dyn = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(dyn, None)
+        self.spark.conf.set(dyn, "dynamic")
+        try:
+            # ONE staged dataset per partition carries postings rows AND the
+            # doc-level identity columns (they dictionary-encode to ~one
+            # value per doc in parquet); docs_dim is a column-pruned
+            # distinct over it at finalize. explode_outer keeps token-free
+            # docs (null term) so doclen/n_docs stay exact. Tokenize runs
+            # ONCE, the write is one job, dynamic overwrite leaves
+            # committed partitions' files untouched.
+            toks.select(
+                "part", "doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", doc_len.alias("doc_len"),
+                F.explode_outer("plist").alias("h"),
             ).select(
+                "part", "doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "doc_len",
                 F.col("h.term").alias("term"),
-                "doc_id",
                 F.col("h.tf").alias("tf"),
                 F.col("h.positions").alias("positions"),
-                "doc_len",
+            ).write.mode("overwrite").partitionBy("part").parquet(
+                f"{self.out_dir}/partials/staged"
             )
-            postings.write.mode("overwrite").parquet(
-                f"{self.out_dir}/partials/postings/part={p}"
+        finally:
+            if prev is not None:
+                self.spark.conf.set(dyn, prev)
+        # per-partition row counts from the written files (columnar count)
+        written = self.spark.read.parquet(f"{self.out_dir}/partials/staged")
+        counts = {
+            int(r["part"]): int(r["n"])
+            for r in written.filter(
+                F.col("part").isin(todo) & F.col("term").isNotNull()
             )
-            docs_dim = toks.select(
-                "doc_id", "repo", "path", "commit", "lang",
-                doc_len.alias("doc_len"),
-                "content_sha256",
-            )
-            docs_dim.write.mode("overwrite").parquet(
-                f"{self.out_dir}/partials/docs_dim/part={p}"
-            )
-            rows_out = self.spark.read.parquet(
-                f"{self.out_dir}/partials/postings/part={p}"
-            ).count()
-            docs_in = sl.count()
-            toks.unpersist()
-            sl.unpersist()
+            .groupBy("part")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        wall = int((time.time() - t0) * 1000)
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        for p in todo:
+            snap = snapshots.get(p, "0:")
             self._commit(
                 PartitionRecord(
                     partition_id=p,
-                    input_snapshot=snapshot,
+                    input_snapshot=snap,
                     state="committed",
-                    rows_out=rows_out,
-                    docs_in=docs_in,
-                    wall_ms=int((time.time() - t0) * 1000),
-                    committed_at=time.strftime(
-                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-                    ),
+                    rows_out=counts.get(p, 0),
+                    docs_in=int(snap.split(":", 1)[0]),
+                    wall_ms=wall,  # batch wall (one job covers all of todo)
+                    committed_at=stamp,
                 )
             )
-            processed += 1
-        return processed
+        return len(todo)
 
     def is_complete(self) -> bool:
         return len(self.committed()) == self.n_partitions
@@ -197,8 +233,17 @@ class CheckpointedIndexBuild:
         )
         from ..operators.indexer import write_index
 
-        postings = self.spark.read.parquet(f"{self.out_dir}/partials/postings")
-        docs_dim = self.spark.read.parquet(f"{self.out_dir}/partials/docs_dim")
+        staged = self.spark.read.parquet(f"{self.out_dir}/partials/staged")
+        postings = staged.filter(F.col("term").isNotNull()).select(
+            "term", "doc_id", "tf", "positions", "doc_len"
+        )
+        # doc-level columns repeat per posting row; a column-pruned distinct
+        # recovers the dimension exactly (token-free docs kept: their single
+        # null-term row still carries the identity columns)
+        docs_dim = staged.select(
+            "doc_id", "repo", "path", "commit", "lang", "doc_len",
+            "content_sha256",
+        ).distinct()
         doclen = docs_dim.select("doc_id", "doc_len")
         stats = doclen.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
