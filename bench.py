@@ -40,6 +40,7 @@ def main() -> None:
         write_index,
     )
     from streamworks_search_engine_spark.operators.query import (
+        bm25_search,
         bm25_topk,
         bm25_topk_packed,
         load_index,
@@ -104,6 +105,24 @@ def main() -> None:
         plat.append(time.time() - t0)
     timings["bm25_packed_p50"] = round(statistics.median(plat), 3)
 
+    # --- front door (auto-routes flat/packed by layout + posting mass) ---
+    alat = []
+    for terms in BM25_QUERIES:
+        t0 = time.time()
+        bm25_search(si, terms, k=10).collect()
+        alat.append(time.time() - t0)
+    timings["bm25_search_p50"] = round(statistics.median(alat), 3)
+
+    # index size evidence: the packed blocks' payoff is scan volume
+    # (cold/remote storage reads bytes, not rows)
+    def _dir_bytes(d: str) -> int:
+        return sum(
+            f.stat().st_size for f in Path(d).rglob("*.parquet")
+        )
+
+    flat_bytes = _dir_bytes(f"{out_dir}/postings")
+    packed_bytes = _dir_bytes(f"{out_dir}/postings_packed")
+
     # --- breadth: dedup + similarity ops ---
     t0 = time.time()
     dedup.exact_dup_flags(docs).count()
@@ -164,6 +183,8 @@ def main() -> None:
                 "n_files": n_files,
                 "files_per_sec": round(n_files / build_s, 1),
                 "corpus_files_per_sec": round(n_corpus / corpus_build_s, 1),
+                "postings_flat_bytes": flat_bytes,
+                "postings_packed_bytes": packed_bytes,
             }
         )
     )

@@ -345,17 +345,27 @@ def bm25_search(
     index: SearchIndex,
     raw_terms: list[str],
     k: int | None = 10,
-    crossover_df: int = 20_000,
+    crossover_df: int = 500_000,
 ) -> DataFrame:
     """Front-door BM25 top-k: picks the cheapest correct plan for what is
     on disk (both plans are rank-identical — tested both ways):
 
     - packed-only index -> block path (term filter prunes the block scan);
     - flat table present and total candidate df below ``crossover_df`` ->
-      flat scan: at small posting mass the block path's extra driver
-      round-trips and decode pass cost more than they save (measured —
-      BENCH r1 showed packed 0.62s vs flat 0.49s p50 at sf0.1);
+      flat scan;
     - else -> packed path with block-max pruning engaged.
+
+    The default crossover is high on purpose: measured on warm local
+    storage the flat scan wins at every tested posting mass (df 4k: 0.49s
+    vs 0.62s at sf0.1; df ~40k/term on a 40k-doc corpus: 0.3-0.4s flat vs
+    0.7-1.5s packed) — the block path pays an Arrow decode pass plus 1-2
+    extra driver round-trips that page-cache-hot parquet never earns back.
+    The packed blocks' payoff is elsewhere: 100-TB layouts where they ARE
+    the storage (packed-only mode: positions + delta-varint compression =
+    several-fold fewer bytes scanned from cold/remote storage, see
+    BENCH.md size table) and truly huge per-term lists where block-max
+    pruning skips most of the list. Callers on such deployments lower
+    ``crossover_df`` or use ``bm25_topk_packed`` directly.
     """
     if index.packed is None:
         return bm25_topk(index, raw_terms, k)
