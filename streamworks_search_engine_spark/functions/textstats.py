@@ -114,3 +114,78 @@ def token_counts(
         bpe_ish.cast("long").alias("bpe_ish_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
     )
+
+
+# ------------------------------------------------------- ingest gates (F3) --
+
+
+def binary_content_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """MIME-ish gate for schemaless text (the analog of the crawler's
+    ``text/html`` content-type whitelist, /root/reference
+    backend/src/main/java/crawler/HeaderInfo.java:36-38 + Crawler.java:130-136):
+    flag content that looks binary — contains NUL, or has a high ratio of
+    non-printable control characters. Pure JVM expressions."""
+    n = F.length(F.col(text_col))
+    n_ctrl = n - F.length(
+        F.regexp_replace(F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    ctrl_ratio = F.round(
+        n_ctrl / F.when(n > 0, n.cast("double")).otherwise(F.lit(1.0)), 6
+    )
+    return df.select(
+        F.col(id_col),
+        ctrl_ratio.alias("ctrl_ratio"),
+        (
+            F.col(text_col).contains("\x00") | (ctrl_ratio > 0.05)
+        ).cast("long").alias("is_binary"),
+    )
+
+
+def keyword_relevance(
+    df: DataFrame,
+    keywords: list[str],
+    threshold: int = 4,
+    min_probability: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The crawler's probabilistic keyword-relevance gate
+    (Crawler.java:200-218), made reproducible: count distinct keywords
+    present (case-insensitive substring), capped at ``threshold``;
+    p = distinct/threshold + min_probability; keep iff u >= 1 - p, where
+    the reference's ``Math.random()`` is replaced by a DETERMINISTIC
+    per-doc uniform u = (first 8 md5 hex digits of the id) / 2^32 — the
+    same filter decision on every run and every engine."""
+    low = F.lower(F.col(text_col))
+    distinct = F.least(
+        sum(
+            (low.contains(kw.lower())).cast("int") for kw in keywords
+        ),
+        F.lit(threshold),
+    )
+    p = distinct.cast("double") / F.lit(float(threshold)) + F.lit(min_probability)
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    return df.select(
+        F.col(id_col),
+        distinct.cast("long").alias("kw_distinct"),
+        F.round(p, 6).alias("kw_prob"),
+        (u >= F.lit(1.0) - p).cast("long").alias("kw_keep"),
+    )
+
+
+SOURCE_EXTENSIONS = [
+    "py", "java", "js", "ts", "go", "c", "h", "cc", "cpp", "hpp", "rs",
+    "rb", "php", "cs", "scala", "kt", "swift", "sql", "sh", "md",
+]
+
+
+def source_path_ok(path: Column) -> Column:
+    """Extension whitelist for the input_hint corpus (the code-corpus analog
+    of the MIME whitelist): keep files whose path ends in a known source
+    extension."""
+    ext = F.lower(F.element_at(F.split(path, "\\."), -1))
+    return ext.isin(SOURCE_EXTENSIONS)

@@ -405,20 +405,35 @@ def q_trending_topk(spark, sf_dir):
     )
 
 
+_FILTER_KEYWORDS = ["table", "query", "index", "data"]
+
+
 def q_corpus_filter(spark, sf_dir):
-    """F3+F4 analog (Crawler.java:67-189 content filters + MD5 dedup):
-    keep docs that are canonical (not an exact dup), pass the language
-    gate, and fit the size cap — the classic ingest filter chain."""
+    """F3+F4 analog — the crawler's full ingest filter chain
+    (Crawler.java:67-189 content filters + MD5 dedup + :200-218 keyword
+    relevance): keep docs that are canonical (not an exact dup), pass the
+    language gate, fit the size cap, don't look binary (the MIME-whitelist
+    analog, HeaderInfo.java:36-38), and pass the probabilistic
+    keyword-relevance gate (deterministic md5-derived uniform instead of
+    Math.random(), so every engine agrees)."""
     docs = _t(spark, sf_dir, "documents")
     flags = dedup.exact_dup_flags(docs).select("doc_id", "is_dup")
     en = textstats.english_score(docs).select("doc_id", "pred_en")
+    binf = textstats.binary_content_score(docs).select("doc_id", "is_binary")
+    kw = textstats.keyword_relevance(docs, _FILTER_KEYWORDS).select(
+        "doc_id", "kw_keep"
+    )
     return (
         docs.join(flags, "doc_id")
         .join(en, "doc_id")
+        .join(binf, "doc_id")
+        .join(kw, "doc_id")
         .filter(
             (F.col("is_dup") == 0)
             & (F.col("pred_en") == 1)
             & (F.col("n_chars") <= 20000)
+            & (F.col("is_binary") == 0)
+            & (F.col("kw_keep") == 1)
         )
         .select("doc_id")
     )
@@ -930,12 +945,27 @@ en AS (SELECT doc_id,
         / (CASE WHEN len(raw) > 0 THEN CAST(len(raw) AS DOUBLE) ELSE 1.0 END), 6)
        >= 0.05 AS BIGINT) AS pred_en
   FROM raw),
+bin AS (SELECT doc_id,
+  CAST(regexp_matches(text, '\\x00')
+       OR round((length(text) - length(regexp_replace(text,
+              '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))
+          / (CASE WHEN length(text) > 0 THEN length(text)::DOUBLE
+                  ELSE 1.0 END), 6) > 0.05 AS BIGINT) AS is_binary
+  FROM documents),
+kw AS (SELECT doc_id,
+  CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+          / 4294967296.0)
+       >= 1.0 - (least({' + '.join(f"CAST(contains(lower(text), '{k}') AS INT)" for k in _FILTER_KEYWORDS)}, 4)::DOUBLE / 4.0 + 0.01)
+       AS BIGINT) AS kw_keep
+  FROM documents),
 d AS (SELECT doc_id, n_chars,
              CAST(doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT)
                AS is_dup
       FROM documents)
-SELECT doc_id FROM d JOIN en USING (doc_id)
-WHERE is_dup = 0 AND pred_en = 1 AND n_chars <= 20000""",
+SELECT doc_id FROM d JOIN en USING (doc_id) JOIN bin USING (doc_id)
+              JOIN kw USING (doc_id)
+WHERE is_dup = 0 AND pred_en = 1 AND n_chars <= 20000
+  AND is_binary = 0 AND kw_keep = 1""",
     "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (
