@@ -1,0 +1,75 @@
+"""Ingest gates (crawler filter-chain analogs, F3): binary-content flag,
+deterministic keyword-relevance, source-extension whitelist."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions import textstats
+
+
+def test_binary_content_flag(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "plain source text def foo(): pass"),
+            (2, "has a nul \x00 byte"),
+            (3, "ctrl\x01\x02\x03\x04heavy" ),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["is_binary"]
+        for r in textstats.binary_content_score(df).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_keyword_relevance_deterministic(spark):
+    rows = [
+        (1, "table query index data all four present"),
+        (2, "nothing relevant here at all"),
+        (3, "just a table mention"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = textstats.keyword_relevance(df, ["table", "query", "index", "data"])
+    out2 = textstats.keyword_relevance(df, ["table", "query", "index", "data"])
+    a = sorted(map(tuple, out1.collect()))
+    b = sorted(map(tuple, out2.collect()))
+    assert a == b  # same decision every run (no Math.random())
+    by_id = {r[0]: r for r in a}
+    # all 4 keywords -> p = 1.01 -> always kept
+    assert by_id[1][3] == 1 and by_id[1][1] == 4
+    # python replication of the md5-derived uniform
+    for doc_id, text in rows:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        distinct = min(
+            sum(kw in text.lower() for kw in ["table", "query", "index", "data"]),
+            4,
+        )
+        p = distinct / 4.0 + 0.01
+        assert by_id[doc_id][3] == int(u >= 1.0 - p)
+
+
+def test_source_path_whitelist(spark):
+    df = spark.createDataFrame(
+        [
+            ("src/a/parser.py",), ("lib/x.java",), ("a/b/readme.md",),
+            ("bin/tool.exe",), ("img/logo.png",), ("noext",),
+        ],
+        "path string",
+    )
+    got = {
+        r["path"]: r["ok"]
+        for r in df.select(
+            "path", textstats.source_path_ok(F.col("path")).alias("ok")
+        ).collect()
+    }
+    assert got == {
+        "src/a/parser.py": True,
+        "lib/x.java": True,
+        "a/b/readme.md": True,
+        "bin/tool.exe": False,
+        "img/logo.png": False,
+        "noext": False,
+    }
