@@ -4,15 +4,39 @@ Analogs of the reference's display path: +/-50-char context window
 (/root/reference backend/src/main/java/edu/upenn/cis455/mapreduce/job/
 ShortDocIndex.java:31-61, C3), ``<b>`` keyword bolding
 (indexer/scorer/IndexScorer.java:794-821, C10), and the spellchecker's
-memoized edit distance (engine/handlers/SpellcheckHandler.java:54-77, C7 —
-theirs counts insert/delete only; we use full Levenshtein, which is built
-into both Spark and the SQL oracle engine). All JVM-side expressions.
+memoized edit distance (engine/handlers/SpellcheckHandler.java:54-77, C7).
+Default distance is full Levenshtein (built into both Spark and the SQL
+oracle engine); ``mode="reference"`` reproduces the reference recursion
+bit-for-bit (match -> skip; else 1 + min(diag, advance-j) — it never
+advances i alone) for exact parity.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def reference_edit_distance(s: str, t: str) -> int:
+    """Iterative DP replica of SpellcheckHandler.distanceWithMemo:54-77.
+
+    d(i,j) = n-j if i==m; m-i if j==n;
+             d(i+1,j+1) if s[i]==t[j];
+             1 + min(d(i+1,j+1), d(i,j+1)) otherwise.
+    """
+    m, n = len(s), len(t)
+    prev = [m - i for i in range(m + 1)]  # column j == n
+    for j in range(n - 1, -1, -1):
+        cur = [0] * (m + 1)
+        cur[m] = n - j
+        for i in range(m - 1, -1, -1):
+            if s[i] == t[j]:
+                cur[i] = prev[i + 1]
+            else:
+                cur[i] = 1 + min(prev[i + 1], prev[i])
+        prev = cur
+    return prev[0]
 
 
 def snippet(text: Column, term: str, radius: int = 24) -> Column:
@@ -32,22 +56,41 @@ def highlight(snip: Column, term: str, tag: str = "b") -> Column:
 
 
 def spellcheck_suggestions(
-    lexicon: DataFrame, word: str, max_distance: int = 2, k: int = 5
+    lexicon: DataFrame,
+    word: str,
+    max_distance: int = 2,
+    k: int = 5,
+    mode: str = "levenshtein",
 ) -> DataFrame:
-    """Top-k lexicon terms by (levenshtein distance, df desc, term asc).
+    """Top-k lexicon terms by (distance, df desc, term asc).
 
     At scale, prefilter by length band (|len(term) - len(word)| <= d) so the
     distance function runs on a sliver of the lexicon — that predicate is a
     scan-level pushdown, unlike the distance itself.
+
+    ``mode="levenshtein"`` (default): Spark's built-in, stays in codegen.
+    ``mode="reference"``: bit-exact replica of the reference recursion via
+    an Arrow-batched kernel over the length-band slice (tiny after the
+    prefilter, so the Python kernel is off the hot path).
     """
     w = word.lower()
     cand = lexicon.filter(
         F.abs(F.length("term") - F.lit(len(w))) <= max_distance
     )
+    if mode == "levenshtein":
+        dist = F.levenshtein(F.col("term"), F.lit(w)).cast("long")
+    elif mode == "reference":
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.LongType())
+        def ref_dist(terms: pd.Series) -> pd.Series:
+            return terms.map(lambda t: reference_edit_distance(t, w))
+
+        dist = ref_dist(F.col("term"))
+    else:
+        raise ValueError(f"unknown spellcheck mode: {mode}")
     scored = cand.select(
-        "term",
-        F.levenshtein(F.col("term"), F.lit(w)).cast("long").alias("distance"),
-        "df",
+        "term", dist.alias("distance"), "df"
     ).filter(F.col("distance") <= max_distance)
     return scored.orderBy(
         F.asc("distance"), F.desc("df"), F.asc("term")

@@ -82,6 +82,20 @@ def make_min_window_udf():
             if any(len(a) == 0 for a in arrs):
                 out[r] = -1
                 continue
+            if len(arrs) == 2:
+                # two-term queries (the common case): nearest-neighbor gap
+                # via searchsorted — fully vectorized, no sliding window
+                a, b = arrs
+                idx = np.searchsorted(b, a)
+                best = np.iinfo(np.int64).max
+                hi = idx < len(b)
+                if hi.any():
+                    best = min(best, int((b[idx[hi]] - a[hi]).min()))
+                lo = idx > 0
+                if lo.any():
+                    best = min(best, int((a[lo] - b[idx[lo] - 1]).min()))
+                out[r] = best + 1
+                continue
             labeled = np.concatenate(
                 [
                     np.stack([a, np.full(len(a), i)], axis=1)

@@ -79,3 +79,30 @@ def test_proximity_single_term_no_boost(spark_index, oracle_index):
     assert [(r["rank"], r["doc_id"]) for r in got] == [
         (rk, d) for rk, d, _ in expected
     ]
+
+
+def test_spellcheck_reference_mode(spark_index):
+    """mode='reference' reproduces the reference's asymmetric memoized
+    distance (SpellcheckHandler.java:54-77) over the lexicon slice."""
+    from streamworks_search_engine_spark.functions.snippets import (
+        reference_edit_distance,
+        spellcheck_suggestions,
+    )
+
+    got = spellcheck_suggestions(
+        spark_index.lexicon, "scann", max_distance=2, k=5, mode="reference"
+    ).collect()
+    lex = {
+        r["term"]: r["df"]
+        for r in spark_index.lexicon.collect()
+        if abs(len(r["term"]) - 5) <= 2
+    }
+    scored = sorted(
+        (
+            (reference_edit_distance(t, "scann"), -df, t)
+            for t, df in lex.items()
+            if reference_edit_distance(t, "scann") <= 2
+        ),
+    )[:5]
+    exp = [(t, d, -ndf) for d, ndf, t in scored]
+    assert [(r["term"], r["distance"], r["df"]) for r in got] == exp
