@@ -479,8 +479,10 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_proximity_top10(spark, sf_dir):
-    """Proximity-boosted BM25 (reference tag/proximity weights, rows-only:
-    the min-window kernel is a pandas UDF; oracle-tested in pytest)."""
+    """Proximity-boosted BM25 (reference tag/proximity weights). The Spark
+    side runs the Arrow min-window kernel; the 2-term query's minimal
+    window is also SQL-expressible (min |i-j|+1), so this entry is
+    DuckDB hash-checked AND pytest oracle-tested."""
     from ..operators.proximity import proximity_topk
 
     res = proximity_topk(_search_index(spark, sf_dir), Q_CONJ2, k=10)
@@ -697,6 +699,39 @@ p AS (
       6) AS cos_sim
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35"""
+
+
+# proximity-boosted BM25 for the 2-term query: exact phrase x1.5, all terms
+# within 8 tokens x1.2, else x1.0 (reference allIn/twoOrMore/alone weights);
+# the 2-term minimal window is min |i - j| + 1 over the two position lists
+_PROX_SQL = f"""{_bm25_sql_base(Q_CONJ2)},
+posa AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(tokens)),
+                              i -> tokens[i] = '{Q_CONJ2[0]}')) AS p
+         FROM toks),
+posb AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(tokens)),
+                              i -> tokens[i] = '{Q_CONJ2[1]}')) AS p
+         FROM toks),
+win AS (SELECT a.doc_id, min(abs(a.p - b.p) + 1) AS mw
+        FROM posa a JOIN posb b ON a.doc_id = b.doc_id GROUP BY a.doc_id),
+phr AS (SELECT DISTINCT doc_id FROM toks
+        WHERE len(tokens) >= 2 AND len(list_filter(
+                generate_series(1, len(tokens) - 1),
+                i -> tokens[i] = '{Q_CONJ2[0]}'
+                     AND tokens[i + 1] = '{Q_CONJ2[1]}')) > 0),
+boosted AS (
+  SELECT m.doc_id,
+         m.s * (CASE WHEN phr.doc_id IS NOT NULL THEN 1.5
+                     WHEN w.mw <= 8 THEN 1.2 ELSE 1.0 END)::DOUBLE AS s,
+         (CASE WHEN phr.doc_id IS NOT NULL THEN 1.5
+               WHEN w.mw <= 8 THEN 1.2 ELSE 1.0 END)::DOUBLE AS boost
+  FROM matched m
+  JOIN win w ON w.doc_id = m.doc_id
+  LEFT JOIN phr ON phr.doc_id = m.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score, round(boost, 2) AS boost
+FROM boosted ORDER BY s DESC, doc_id LIMIT 10"""
 
 
 # positional tag score: hits among the first 10 tokens are 'h' (w=1.3),
@@ -986,8 +1021,8 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "simhash_near_dups": _SIMHASH_SQL,
     "tag_score_positional": _TAG_SQL,
     "search_weighted_topk": _WEIGHTED_SQL,
-    # pagerank_top20 / proximity_top10: intentionally no SQL oracle
-    # (iterative algorithm / pandas-UDF min-window kernel) -> rows-only
-    # driver check; both have pure-Python oracles in pytest
-    # (tests/test_pagerank.py, tests/test_proximity.py).
+    "proximity_top10": _PROX_SQL,
+    # pagerank_top20: intentionally no SQL oracle (iterative power method,
+    # not expressible in one SQL statement) -> rows-only driver check;
+    # pure-Python oracle in tests/test_pagerank.py.
 }
