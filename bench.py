@@ -170,6 +170,20 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     timings["corpus_index_build_40k"] = round(corpus_build_s, 3)
 
+    # query latency against the packed-only 40k index: the block path is
+    # the ONLY path here (no flat table) — positions-pruned block scan +
+    # decode (bm25_search routes to it automatically)
+    ci = load_index(spark, corpus_out)
+    bm25_search(ci, ["warmup"], k=10).collect()
+    clat = []
+    for terms in (["index"], ["parse", "merge"], ["buffer", "stream", "query"]):
+        t0 = time.time()
+        bm25_search(ci, terms, k=10).collect()
+        clat.append(time.time() - t0)
+    timings["corpus40k_bm25_packed_only_p50"] = round(
+        statistics.median(clat), 3
+    )
+
     total = time.time() - t_all
     print(
         json.dumps(

@@ -140,7 +140,13 @@ def _score_and_topk(
     scored_terms: DataFrame, n_terms: int, k: int | None
 ) -> DataFrame:
     """scored_terms: (term, doc_id, contrib). Conjunctive intersection +
-    canonical-order sum + deterministic top-k."""
+    canonical-order sum + deterministic top-k.
+
+    Scale note: collect_list holds one struct PER MATCHED QUERY TERM per
+    doc in the aggregation buffer — bounded by the query length (a handful
+    of terms), not by corpus size, so the buffer stays tiny at any scale.
+    It exists to pin float64 summation order (sorted terms) so parallel
+    reduction cannot reorder the sum away from the oracle's."""
     agg = scored_terms.groupBy("doc_id").agg(
         F.count("*").alias("n_matched"),
         F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"),
