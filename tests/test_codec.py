@@ -58,3 +58,68 @@ def test_compression_wins_on_dense_ids():
     ids = list(range(10_000, 10_000 + 128))
     blob = encode_doc_ids(ids)
     assert len(blob) < 128 * 3  # gaps of 1 -> ~1 byte each (+ first id)
+
+
+# ------------------------------------------------ hypothesis properties --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streamworks_search_engine_spark.functions.codec import (
+    decode_positions,
+    encode_positions,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40)))
+def test_varint_roundtrip_property(values):
+    got = decode_varints(encode_varints(values))
+    assert [int(x) for x in got] == values
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**62), min_size=1, unique=True
+    ).map(sorted)
+)
+def test_doc_id_roundtrip_property(ids):
+    got = decode_doc_ids(encode_doc_ids(ids))
+    assert [int(x) for x in got] == ids
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**31 - 1), min_size=1, unique=True
+    ).map(sorted)
+)
+def test_positions_roundtrip_property(poss):
+    got = decode_positions(encode_positions(poss))
+    assert [int(x) for x in got] == poss
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=10**6), min_size=1, unique=True
+        ).map(sorted),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_block_positions_concat_split_property(pos_lists):
+    """The block codec concatenates per-doc streams and recovers them via
+    tf counts — property-check the vectorized splitter against the lists."""
+    import numpy as np
+
+    from streamworks_search_engine_spark.operators.postings import (
+        _decode_block_positions,
+    )
+
+    blob = b"".join(encode_positions(p) for p in pos_lists)
+    tfs = np.array([len(p) for p in pos_lists], dtype=np.int64)
+    got = _decode_block_positions(blob, tfs)
+    assert [list(map(int, g)) for g in got] == pos_lists

@@ -86,3 +86,46 @@ def test_udf_matches_oracle(spark, corpus_rows):
         assert got[(row["repo"], row["path"])] == tokenize(
             row["content"], row["lang"]
         )
+
+
+# ------------------------------------------------ hypothesis properties --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streamworks_search_engine_spark.functions.tokenizer import (
+    MAX_TOKEN_LEN,
+    MIN_TOKEN_LEN,
+    tokenize_series,
+)
+
+_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Z", "S", "C")
+    ),
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text, st.sampled_from(["", "python", "java", "go", "zz-unknown"]))
+def test_tokenize_invariants_property(text, lang):
+    toks = tokenize(text, lang)
+    for t in toks:
+        assert t == t.lower()
+        assert MIN_TOKEN_LEN <= len(t) <= MAX_TOKEN_LEN
+        assert not t.isdigit()
+        assert t.isalnum()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_text, max_size=8), st.sampled_from(["", "python"]))
+def test_series_scalar_agreement_property(texts, lang):
+    """The Arrow-batched tokenizer must agree with the scalar oracle on
+    arbitrary unicode garbage, not just the synthetic corpus."""
+    import pandas as pd
+
+    got = tokenize_series(
+        pd.Series(texts, dtype=object), pd.Series([lang] * len(texts))
+    )
+    assert list(got) == [tokenize(t, lang) for t in texts]
