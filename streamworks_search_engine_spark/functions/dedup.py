@@ -124,11 +124,13 @@ def jaccard_pairs(
     if max_shingle_df is None:
         cand_sh = sh
     else:
+        # not persisted: caching here would pin partitions for the session
+        # (no unpersist hook once the lazy result escapes); the count for
+        # the log recomputes one small aggregation instead
         hot = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
-            .persist()
         )
         n_hot = hot.count()
         if n_hot:

@@ -94,35 +94,6 @@ def _pack_run(
     return rows
 
 
-def pack_postings(
-    postings: DataFrame,
-    lexicon: DataFrame,
-    avgdl: float,
-    block_size: int = BLOCK_SIZE,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """postings (term, doc_id, tf, doc_len) -> packed blocks.
-
-    One range shuffle on (term, doc_id); block boundaries fall at partition/
-    Arrow-batch edges at worst (short blocks are valid — metadata carries n).
-    The idf join broadcasts the lexicon (small dim) so it adds no shuffle.
-    """
-    cols = ["term", "doc_id", "tf", "doc_len", "idf"]
-    if "positions" in postings.columns:
-        cols.append("positions")
-    scored = postings.join(
-        F.broadcast(lexicon.select("term", "idf")), "term"
-    ).select(*cols)
-    if num_partitions is None:
-        num_partitions = postings.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions"
-        )
-    arranged = scored.repartitionByRange(
-        int(num_partitions), "term", "doc_id"
-    ).sortWithinPartitions("term", "doc_id")
-    return pack_arranged(arranged, avgdl, block_size)
-
-
 def pack_arranged(
     arranged: DataFrame, avgdl: float, block_size: int = BLOCK_SIZE
 ) -> DataFrame:

@@ -49,6 +49,10 @@ from .query import SearchIndex, bm25_topk, normalize_terms, postings_for_terms
 
 TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
 
+# floor applied before ln() on log-scaled features: keeps a zero/missing
+# score finite and deterministic (ln(1e-12) ≈ -27.6) on both engines
+LOG_FLOOR = 1e-12
+
 # definition-line lead keywords across the corpus langs (python/java/js/go/c)
 _DEF_LINE = re.compile(
     r"^\s*(def|class|function|func|struct|public|private|protected|static"
@@ -264,12 +268,22 @@ def weighted_search_topk(
         "rank long, doc_id long, bm25_score double, tag_score double, "
         "prox_score double, ranker_score double, total double",
     )
-    n_query = len({t for rt in raw_terms for t in normalize_terms([rt])})
-    terms = [
-        t
-        for t in sorted({t for rt in raw_terms for t in normalize_terms([rt])})
-    ]
-    lex = index.lexicon.filter(F.col("term").isin(terms)).select("term").collect()
+    # tokenize(rt) preserves raw order (normalize_terms would sort tokens
+    # within a multi-token raw term like "ParseIndex" and break the phrase
+    # check); dedup keeps first occurrence
+    norm_raw_order: list[str] = []
+    _seen: set[str] = set()
+    for rt in raw_terms:
+        for t in tokenize(rt, ""):
+            if t not in _seen:
+                _seen.add(t)
+                norm_raw_order.append(t)
+    n_query = len(norm_raw_order)
+    if n_query == 0:
+        return empty
+    lex = index.lexicon.filter(
+        F.col("term").isin(norm_raw_order)
+    ).select("term").collect()
     survivors = sorted(r["term"] for r in lex)
     if not survivors:
         return empty
@@ -290,13 +304,7 @@ def weighted_search_topk(
     # Absent terms are dropped BEFORE proximity (reference scores over the
     # existed lemmas only) — keep raw order for the phrase check.
     surv_set = set(survivors)
-    seen: set[str] = set()
-    surv_raw_order = []
-    for rt in raw_terms:
-        for t in normalize_terms([rt]):
-            if t in surv_set and t not in seen:
-                seen.add(t)
-                surv_raw_order.append(t)
+    surv_raw_order = [t for t in norm_raw_order if t in surv_set]
     prox = proximity_feature(
         index, surv_raw_order, 1.0 if n_query == 1 else kw_ratio, window
     )
@@ -310,14 +318,30 @@ def weighted_search_topk(
         f = feats_cfg.get(name)
         if f is None:
             return F.lit(0.0)
-        val = F.log(col) if f.use_log else col
-        return F.lit(f.coeff) * val
+        if f.use_log:
+            # floor before ln: a missing/zero ranker score must yield a
+            # large-but-finite negative contribution (deterministic
+            # sorts-last), not a NULL total (Spark ln(0)) or a crash
+            # (the reference's Math.log(0) is -Inf in Java)
+            col = F.greatest(col, F.lit(LOG_FLOOR))
+        return F.lit(f.coeff) * (F.log(col) if f.use_log else col)
 
     joined = (
-        base.join(tag, "doc_id")
-        .join(prox, "doc_id")
+        # LEFT joins: a matched doc with no tag hits (or absent from
+        # tag_docs_df) scores tagScore = 1·kwRatio — the reference's
+        # no-hits default (assignTagScore returns 1, IndexScorer.java:
+        # 646-650); a doc missing from the ranker table scores 0 (floored
+        # above when the feature is log-scaled)
+        base.join(tag, "doc_id", "left")
+        .join(prox, "doc_id", "left")
         .join(rank, "doc_id", "left")
-        .fillna({"ranker_score": 0.0})
+        .fillna(
+            {
+                "tag_score": 1.0 * kw_ratio,
+                "prox_score": 1.0 if n_query == 1 else 1.0 * kw_ratio,
+                "ranker_score": 0.0,
+            }
+        )
     )
     # fixed summation order (feature-name agnostic, matches the SQL oracle)
     total = (

@@ -275,19 +275,20 @@ def weighted_topk(
             ("rankerScore", 0.2, True),
         ]
     cfg = {name: (c, lg) for name, c, lg in coeffs}
-    n_query = len(set(normalize_query(raw_terms)))
-    survivors = sorted({t for t in normalize_query(raw_terms) if t in idx.postings})
+    norm_raw_order: list[str] = []
+    _seen: set[str] = set()
+    for rt in raw_terms:
+        for t in tokenize(rt, ""):
+            if t not in _seen:
+                _seen.add(t)
+                norm_raw_order.append(t)
+    n_query = len(norm_raw_order)
+    survivors = sorted(t for t in norm_raw_order if t in idx.postings)
     if not survivors:
         return []
     kw_ratio = len(survivors) / n_query
     surv_set = set(survivors)
-    seen: set[str] = set()
-    surv_raw_order: list[str] = []
-    for rt in raw_terms:
-        for t in tokenize(rt, ""):
-            if t in surv_set and t not in seen:
-                seen.add(t)
-                surv_raw_order.append(t)
+    surv_raw_order = [t for t in norm_raw_order if t in surv_set]
     base = bm25_topk(idx, survivors, k=len(idx.doclen) or 1)
     by_id = {row["doc_id"]: row for row in (
         {**r, "doc_id": doc_id_of(r["repo"], r["path"], r["commit"])} for r in rows
@@ -300,7 +301,14 @@ def weighted_topk(
     phrased = phrase_docs(idx, surv_raw_order) if len(survivors) > 1 else set()
     scored = []
     for _, d, bm25 in base:
-        tag = tag_score_code(by_id[d], surv_set, kw_ratio)
+        row = by_id.get(d)
+        # doc absent from the tag source = "no classified hits" -> the
+        # reference's no-hits default (assignTagScore returns 1)
+        tag = (
+            tag_score_code(row, surv_set, kw_ratio)
+            if row is not None
+            else 1.0 * kw_ratio
+        )
         if n_query == 1:
             prox = 1.0
         elif len(survivors) == 1:
@@ -323,7 +331,8 @@ def weighted_topk(
                 continue
             c, lg = cfg[name]
             v = feats[name]
-            total += c * (math.log(v) if lg else v)
+            # same ln floor as the engine (operators.ranker.LOG_FLOOR)
+            total += c * (math.log(max(v, 1e-12)) if lg else v)
         scored.append((d, total))
     scored.sort(key=lambda x: (-x[1], x[0]))
     return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]

@@ -44,6 +44,11 @@ from pyspark.sql import functions as F
 from ..functions.tokenizer import make_doc_postings_udf
 from ..operators.indexer import IndexTables, with_doc_id
 
+# sha256("") — the lineage snapshot of an empty input slice
+EMPTY_SHA256 = (
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+)
+
 
 @dataclass
 class PartitionRecord:
@@ -108,7 +113,15 @@ class CheckpointedIndexBuild:
             )
             .collect()
         )
-        return {int(r["part"]): f"{r['n']}:{r['h']}" for r in rows}
+        out = {int(r["part"]): f"{r['n']}:{r['h']}" for r in rows}
+        if parts is not None:
+            # empty slices produce no group row; their canonical snapshot is
+            # sha256 of the empty string (what the per-slice aggregation
+            # yields for zero rows — keeps old manifests verifiable)
+            empty = f"0:{EMPTY_SHA256}"
+            for p in parts:
+                out.setdefault(p, empty)
+        return out
 
     def build(
         self,
@@ -137,7 +150,7 @@ class CheckpointedIndexBuild:
         if verify_lineage and done:
             current = self._lineages(docs, sorted(done))
             for p, rec in sorted(done.items()):
-                cur = current.get(p, "0:")
+                cur = current.get(p, f"0:{EMPTY_SHA256}")
                 if cur != rec.input_snapshot:
                     raise ValueError(
                         f"partition {p}: input changed since checkpoint "
@@ -166,7 +179,7 @@ class CheckpointedIndexBuild:
             "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
         )
         dyn = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(dyn, None)
+        prev = self.spark.conf.get(dyn, None)  # None = never set explicitly
         self.spark.conf.set(dyn, "dynamic")
         try:
             # ONE staged dataset per partition carries postings rows AND the
@@ -192,6 +205,11 @@ class CheckpointedIndexBuild:
         finally:
             if prev is not None:
                 self.spark.conf.set(dyn, prev)
+            else:
+                # leave no session-wide behavior change behind: an unset
+                # conf must go back to unset (its registered default),
+                # not stay 'dynamic' for later user writes
+                self.spark.conf.unset(dyn)
         # per-partition row counts from the written files (columnar count)
         written = self.spark.read.parquet(f"{self.out_dir}/partials/staged")
         counts = {
@@ -206,7 +224,7 @@ class CheckpointedIndexBuild:
         wall = int((time.time() - t0) * 1000)
         stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         for p in todo:
-            snap = snapshots.get(p, "0:")
+            snap = snapshots.get(p, f"0:{EMPTY_SHA256}")
             self._commit(
                 PartitionRecord(
                     partition_id=p,

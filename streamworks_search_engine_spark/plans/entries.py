@@ -782,7 +782,7 @@ feat AS (
   SELECT m.doc_id, m.s AS bm25_score, tag.tag_score, prox.prox_score,
          rk.ranker_score,
          1.0 * m.s + 0.5 * tag.tag_score + 0.3 * prox.prox_score
-           + 0.2 * ln(rk.ranker_score) AS total
+           + 0.2 * ln(greatest(rk.ranker_score, 1e-12)) AS total
   FROM matched m
   JOIN tag USING (doc_id) JOIN prox USING (doc_id) JOIN rk USING (doc_id))
 SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)

