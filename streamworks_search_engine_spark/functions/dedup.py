@@ -307,3 +307,71 @@ def simhash_near_dup_pairs(
     return cand.select(
         "id_a", "id_b", ham.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTERING: (id, component) where component = min id
+    reachable through the pair graph — turns pairwise near-dup output
+    (jaccard / simhash / embedding-LSH) into the actual dedup decision
+    (keep one canonical doc per component, e.g. ``component == id``).
+
+    Iterative min-label propagation to convergence. The fixpoint (min
+    reachable id) is independent of iteration strategy, so the result is
+    deterministic and comparable against a transitive-closure SQL oracle.
+    Per iteration: one join edges⋈labels + one min-aggregation; the loop is
+    bounded by the component diameter (near-dup clusters are shallow —
+    dozens of hops at most). At extreme scale swap in the large-star/
+    small-star variant; the fixpoint (and thus results) is identical.
+
+    The driver-side loop materializes only a changed-count per round —
+    no per-row collect.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    )
+    # lineage MUST be truncated every iteration (localCheckpoint): the
+    # self-referential plan otherwise doubles per round and OOMs the
+    # driver during analysis long before the data is big
+    labels = labels.localCheckpoint()
+    edges = edges.persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

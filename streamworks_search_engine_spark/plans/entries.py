@@ -460,6 +460,19 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     return similarity.near_dup_pairs_lsh(emb, threshold=0.35)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the embedding
+    near-dup pair graph (vec_id < 200, cos >= 0.35) — component = min
+    reachable id. The Spark side iterates min-label propagation to
+    convergence; the oracle computes the same fixpoint as a recursive-CTE
+    transitive closure (the converged result is iteration-independent, so
+    both are hash-comparable)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = similarity.near_dup_pairs_cosine(emb, threshold=0.35)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return dedup.connected_components(nodes, pairs).select("id", "component")
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (numpy pandas-UDF bucketer). The oracle
     inlines the deterministic hyperplane matrix (similarity._planes, part of
@@ -544,6 +557,7 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
     "langid_en": q_langid_en,
@@ -1001,6 +1015,28 @@ SELECT doc_id FROM d JOIN en USING (doc_id) JOIN bin USING (doc_id)
               JOIN kw USING (doc_id)
 WHERE is_dup = 0 AND pred_en = 1 AND n_chars <= 20000
   AND is_binary = 0 AND kw_keep = 1""",
+    "dedup_clusters": """
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(generate_series(1, len(a.embedding)),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                      i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                                        i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+      6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+raw AS (SELECT id_a, id_b FROM p WHERE cos_sim >= 0.35),
+edges(src, dst) AS (SELECT id_a, id_b FROM raw
+                    UNION SELECT id_b, id_a FROM raw),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY src""",
     "embedding_near_dups": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
 p AS (

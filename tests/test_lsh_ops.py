@@ -229,3 +229,72 @@ def test_jaccard_capped_exact_and_subset(spark, corpus_rows):
         ).collect()
     }
     assert uncapped_equiv == full
+
+
+# ----------------------------------------------------- near-dup clustering --
+
+
+def _union_find_components(node_ids, pairs):
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min id in component
+    comp = {}
+    for i in node_ids:
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    return {i: min(members) for r, members in comp.items() for i in members}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(11)
+    node_ids = list(range(60))
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(node_ids, 2)))
+            for _ in range(45)
+        }
+    )
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    pairs_df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, pairs_df).collect()
+    }
+    assert got == _union_find_components(node_ids, pairs)
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    """A long chain exercises multi-round label propagation (diameter >
+    1 hop): the whole chain must collapse to the minimum id."""
+    n = 25
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, chain).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_no_pairs_all_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in (3, 7, 9)], "id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, empty).collect()
+    }
+    assert got == {3: 3, 7: 7, 9: 9}
