@@ -265,22 +265,26 @@ def build_and_write_index(
     doc_len = F.aggregate(
         "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
     )
-    posting_cols = [
-        F.col("p.term").alias("term"),
-        F.col("doc_id"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
-        F.col("doc_len"),
-    ]
+    # doc-identity columns ride along in the staged rows (parquet
+    # dictionary-encodes them to ~one value per doc) so docs_dim is a
+    # column-pruned distinct over the checkpoint — no second full-content
+    # scan + sha256 pass over the source (same layout as plans.checkpoint)
     (
         with_doc_id(docs_df).select(
-            F.col("doc_id"),
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
             udf(F.col("content"), F.col("lang")).alias("plist"),
         )
         .select(
-            "doc_id", doc_len.alias("doc_len"), F.explode_outer("plist").alias("p")
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            doc_len.alias("doc_len"), F.explode_outer("plist").alias("p"),
         )
-        .select(*posting_cols)
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            "doc_len",
+            F.col("p.term").alias("term"),
+            F.col("p.tf").alias("tf"),
+            F.col("p.positions").alias("positions"),
+        )
         .write.mode("overwrite")
         .parquet(staged_path)
     )
@@ -289,20 +293,16 @@ def build_and_write_index(
     t0 = _time.time()
     staged = spark.read.parquet(staged_path)
     # postings drop the explode_outer placeholder rows; doclen keeps them so
-    # empty docs still count in n_docs/avgdl (build_index parity)
-    sp = staged.filter(F.col("term").isNotNull())
-    # doc dimension: doc_len from the staged table (column-pruned distinct);
-    # identity/sha from a content-only pass over the source (no tokenize)
-    doclen = staged.select("doc_id", "doc_len").distinct()
-    docs_dim = (
-        with_doc_id(docs_df.select("repo", "path", "commit", "lang", "content"))
-        .select("doc_id", "repo", "path", "commit", "lang", "content_sha256")
-        .join(doclen, "doc_id")
-        .select(
-            "doc_id", "repo", "path", "commit", "lang", "doc_len",
-            "content_sha256",
-        )
+    # empty docs still count in n_docs/avgdl (build_index parity). Each
+    # consumer projects only its columns — pruning reaches the staged scan.
+    sp = staged.select("term", "doc_id", "tf", "positions", "doc_len").filter(
+        F.col("term").isNotNull()
     )
+    doclen = staged.select("doc_id", "doc_len").distinct()
+    docs_dim = staged.select(
+        "doc_id", "repo", "path", "commit", "lang", "doc_len",
+        "content_sha256",
+    ).distinct()
     stats_row = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
