@@ -298,11 +298,14 @@ def build_and_write_index(
     sp = staged.select("term", "doc_id", "tf", "positions", "doc_len").filter(
         F.col("term").isNotNull()
     )
-    doclen = staged.select("doc_id", "doc_len").distinct()
+    # ONE distinct serves the doc dimension, doclen and the corpus stats;
+    # it is n_docs rows — persist it so the three consumers (stats collect,
+    # doclen write, docs_dim write) don't re-scan the staged table
     docs_dim = staged.select(
         "doc_id", "repo", "path", "commit", "lang", "doc_len",
         "content_sha256",
-    ).distinct()
+    ).distinct().persist()
+    doclen = docs_dim.select("doc_id", "doc_len")
     stats_row = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
@@ -321,6 +324,7 @@ def build_and_write_index(
         index, out_dir, term_buckets=term_buckets, pack=pack, flat=flat,
         timings=t,
     )
+    docs_dim.unpersist()
     if not flat:
         # the staged checkpoint is a build intermediate — in packed-only
         # mode nothing in the final layout references it, so keeping it
