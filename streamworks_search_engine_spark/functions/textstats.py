@@ -189,3 +189,70 @@ def source_path_ok(path: Column) -> Column:
     extension."""
     ext = F.lower(F.element_at(F.split(path, "\\."), -1))
     return ext.isin(SOURCE_EXTENSIONS)
+
+
+# ----------------------------------------- corpus-level quality / sampling --
+
+
+def unigram_lm_score(
+    toks_df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """(id, n_tokens, lm_score): mean log-probability of the doc's tokens
+    under the corpus unigram distribution — the classic cheap perplexity
+    proxy for quality filtering (low score = unusual token mix: boilerplate,
+    generated noise, wrong language). Two aggregations + one broadcast-able
+    join on term; empty docs score NULL.
+
+    Plan at scale: the unigram table is |vocab| rows (tiny vs corpus) —
+    the per-token join broadcasts it; the per-doc mean is a map-side
+    combinable aggregation.
+    """
+    hits = toks_df.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
+    )
+    total = hits.count()
+    uni = hits.groupBy("term").agg(F.count("*").alias("cnt"))
+    logp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+    scored = hits.join(F.broadcast(uni), "term").select(
+        "id", logp.alias("logp")
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("logp"), 6).alias("lm_score"),
+    )
+    # keep token-free docs (NULL score) so the output covers every input row
+    ids = toks_df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").fillna({"n_tokens": 0})
+
+
+def stratified_sample_flags(
+    df: DataFrame,
+    quotas: dict[str, float],
+    default_rate: float = 0.0,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, stratum, keep): DETERMINISTIC per-stratum subsampling — the way
+    a 100-TB corpus is rebalanced (e.g. cap each language at a quota)
+    reproducibly. keep=1 iff u(id) < rate(stratum), where
+    u = (first 8 md5 hex digits of the id) / 2^32 — no RNG state, the same
+    decision on every run, every engine, and any subset of the data
+    (sampling commutes with filters/partitioning). Pure JVM expressions.
+    """
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    rate = None
+    for stratum, r in sorted(quotas.items()):
+        cond = F.col(strat_col) == stratum
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(strat_col).alias("stratum"),
+        (u < rate).cast("long").alias("keep"),
+    )

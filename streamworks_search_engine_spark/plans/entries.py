@@ -460,6 +460,25 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
     return similarity.near_dup_pairs_lsh(emb, threshold=0.35)
 
 
+def q_unigram_lm_score(spark, sf_dir):
+    """Quality proxy: mean corpus-unigram log-prob per doc (cheap
+    perplexity stand-in for training-data filtering)."""
+    return textstats.unigram_lm_score(_doc_tokens(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "n_tokens", "lm_score"
+    )
+
+
+SAMPLE_QUOTAS = {"en": 0.5, "de": 0.25}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language subsampling flags (md5-derived uniform;
+    reproducible corpus rebalancing at any scale)."""
+    return textstats.stratified_sample_flags(
+        _t(spark, sf_dir, "documents"), SAMPLE_QUOTAS, default_rate=0.1
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the embedding
     near-dup pair graph (vec_id < 200, cos >= 0.35) — component = min
@@ -558,6 +577,8 @@ QUERIES = {
     "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "unigram_lm_score": q_unigram_lm_score,
+    "stratified_sample": q_stratified_sample,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
     "langid_en": q_langid_en,
@@ -1015,6 +1036,24 @@ SELECT doc_id FROM d JOIN en USING (doc_id) JOIN bin USING (doc_id)
               JOIN kw USING (doc_id)
 WHERE is_dup = 0 AND pred_en = 1 AND n_chars <= 20000
   AND is_binary = 0 AND kw_keep = 1""",
+    "unigram_lm_score": f"""{_SQL_TOKS},
+hits AS (SELECT doc_id AS id, unnest(tokens) AS term FROM toks),
+uni AS (SELECT term, count(*) AS cnt FROM hits GROUP BY term),
+tot AS (SELECT count(*) AS n FROM hits),
+per_doc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(ln(cnt::DOUBLE / (SELECT n FROM tot))), 6) AS lm_score
+  FROM hits JOIN uni USING (term) GROUP BY id)
+SELECT t.doc_id, coalesce(p.n_tokens, 0) AS n_tokens, p.lm_score
+FROM toks t LEFT JOIN per_doc p ON p.id = t.doc_id""",
+    "stratified_sample": """
+SELECT doc_id, lang AS stratum,
+  CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE
+          / 4294967296.0)
+       < (CASE WHEN lang = 'en' THEN 0.5
+               WHEN lang = 'de' THEN 0.25
+               ELSE 0.1 END) AS BIGINT) AS keep
+FROM documents""",
     "dedup_clusters": """
 WITH RECURSIVE
 e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),

@@ -73,3 +73,48 @@ def test_source_path_whitelist(spark):
         "img/logo.png": False,
         "noext": False,
     }
+
+
+def test_unigram_lm_score_known_case(spark):
+    import math
+
+    toks = [
+        (1, ["aa", "aa", "bb"]),
+        (2, ["aa", "cc"]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(toks, "doc_id long, tokens array<string>")
+    got = {
+        r["id"]: (r["n_tokens"], r["lm_score"])
+        for r in textstats.unigram_lm_score(df).collect()
+    }
+    # corpus: aa x3, bb x1, cc x1 over 5 tokens
+    p = {"aa": 3 / 5, "bb": 1 / 5, "cc": 1 / 5}
+    exp1 = round((2 * math.log(p["aa"]) + math.log(p["bb"])) / 3, 6)
+    exp2 = round((math.log(p["aa"]) + math.log(p["cc"])) / 2, 6)
+    assert got[1] == (3, exp1)
+    assert got[2] == (2, exp2)
+    assert got[3] == (0, None)  # token-free doc kept, NULL score
+
+
+def test_stratified_sample_deterministic_and_calibrated(spark):
+    import hashlib
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    quotas = {"en": 0.5, "de": 0.25}
+    a = sorted(map(tuple, textstats.stratified_sample_flags(df, quotas, 0.1).collect()))
+    b = sorted(map(tuple, textstats.stratified_sample_flags(df, quotas, 0.1).collect()))
+    assert a == b  # bit-identical across runs
+    # python replication of the decision
+    for doc_id, stratum, keep in a[:300]:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        rate = quotas.get(stratum, 0.1)
+        assert keep == int(u < rate)
+    # realized rates converge to the quotas (1000 docs per stratum)
+    import collections
+
+    kept = collections.Counter(s for _, s, k in a if k)
+    assert abs(kept["en"] / 1000 - 0.5) < 0.06
+    assert abs(kept["de"] / 1000 - 0.25) < 0.06
+    assert abs(kept["fr"] / 1000 - 0.1) < 0.04
