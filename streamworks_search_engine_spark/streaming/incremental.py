@@ -166,3 +166,82 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+DEDUPED_SCHEMA = T.StructType(
+    DOCS_SCHEMA.fields
+    + [T.StructField("content_hash", T.StringType(), False)]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.ArrayType(T.StringType()))]
+)
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    shards: int = 64,
+    trigger_once: bool = True,
+):
+    """Stateful exact dedup over a document stream: emit each content hash's
+    FIRST-seen document only, across micro-batches and across restarts
+    (state lives in the streaming checkpoint).
+
+    The custom stateful operator the reference cannot express: seen-hash
+    state is sharded over ``shards`` group keys and carried by
+    ``applyInPandasWithState``. Within a batch, ties on the same hash go to
+    the smallest doc_id (rows are processed hash-then-id sorted), so output
+    is deterministic. At 100-TB scale the per-shard exact set becomes a
+    Bloom filter (same operator shape, constant state size, bounded
+    false-drop rate); shard count spreads state across executors.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.indexer import with_doc_id
+
+    def dedup_fn(key, pdfs, state: "GroupState"):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["content_hash", "doc_id"])
+            fresh = pdf[
+                ~pdf["content_hash"].isin(seen)
+                & ~pdf["content_hash"].duplicated()
+            ]
+            seen.update(fresh["content_hash"])
+            if len(fresh):
+                yield fresh.drop(columns=["shard", "doc_id"])
+        state.update((sorted(seen),))
+
+    hashed = (
+        with_doc_id(
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(input_dir)
+        )
+        .withColumn("content_hash", F.md5("content"))
+        .withColumn(
+            "shard", F.pmod(F.abs(F.hash("content_hash")), F.lit(shards))
+        )
+        .select(
+            "shard", "doc_id", "repo", "path", "commit", "lang", "content",
+            "content_hash",
+        )
+    )
+    deduped = hashed.groupBy("shard").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=DEDUPED_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{work_dir}/deduped")
+        .option("checkpointLocation", f"{work_dir}/dedup_checkpoint")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -84,3 +84,49 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     ).collect()
     streamed = spark.sql("SELECT * FROM win_out").collect()
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_streaming_dedup_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState exact dedup: only first-seen content survives,
+    including duplicates arriving in a LATER query run (state restored from
+    the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.streaming.incremental import (
+        start_streaming_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+
+    def doc(path, content):
+        return ("r0", path, "c0", "python", content)
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    batch1 = spark.createDataFrame(
+        [doc("a.py", "alpha beta"), doc("b.py", "gamma delta"),
+         doc("dup_of_a.py", "alpha beta")],
+        schema,
+    )
+    batch1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = start_streaming_dedup(spark, in_dir, work)
+    q.awaitTermination(120)
+
+    out1 = spark.read.parquet(f"{work}/deduped")
+    assert out1.count() == 2  # in-batch dup dropped
+    assert out1.select("content_hash").distinct().count() == 2
+
+    # second run: a cross-run duplicate + a new doc
+    batch2 = spark.createDataFrame(
+        [doc("later_dup.py", "gamma delta"), doc("c.py", "epsilon zeta")],
+        schema,
+    )
+    batch2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_streaming_dedup(spark, in_dir, work)
+    q2.awaitTermination(120)
+
+    out2 = spark.read.parquet(f"{work}/deduped")
+    assert out2.count() == 3  # only the genuinely new doc was appended
+    kept_paths = {r["path"] for r in out2.collect()}
+    assert kept_paths == {"a.py", "b.py", "c.py"}  # first-seen won both times
+    assert out2.filter(F.col("content_hash").isNull()).count() == 0
