@@ -1,0 +1,86 @@
+"""PySpark-native inverted-index + BM25 search engine (StreamWorks rebuild).
+
+Public API — the operations a user of the reference engine needs:
+
+Build:    get_spark, build_index, build_and_write_index, write_index,
+          CheckpointedIndexBuild (resumable), assert_content_sha256
+Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
+          bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
+          phrase_match, proximity_topk, weighted_search_topk
+Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
+          simhash_near_dup_pairs, connected_components, cosine_topk,
+          ann_lsh_topk, near_dup_pairs_lsh, quality_stats, english_score,
+          unigram_lm_score, stratified_sample_flags
+
+Modules keep the full surface (functions.*, operators.*, plans.*,
+streaming.*); these re-exports are the stable entry points.
+"""
+
+from .functions.dedup import (
+    connected_components,
+    exact_dup_flags,
+    jaccard_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+)
+from .functions.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    near_dup_pairs_lsh,
+)
+from .functions.textstats import (
+    english_score,
+    quality_stats,
+    stratified_sample_flags,
+    unigram_lm_score,
+)
+from .operators.indexer import (
+    assert_content_sha256,
+    build_and_write_index,
+    build_index,
+    write_index,
+)
+from .operators.proximity import phrase_match, proximity_topk
+from .operators.query import (
+    SearchIndex,
+    bm25_search,
+    bm25_topk,
+    bm25_topk_packed,
+    load_index,
+    tfidf_reference_topk,
+    topk_with_metadata,
+)
+from .operators.ranker import weighted_search_topk
+from .plans.checkpoint import CheckpointedIndexBuild
+from .session import get_spark
+
+__all__ = [
+    "get_spark",
+    "build_index",
+    "build_and_write_index",
+    "write_index",
+    "CheckpointedIndexBuild",
+    "assert_content_sha256",
+    "SearchIndex",
+    "load_index",
+    "bm25_search",
+    "bm25_topk",
+    "bm25_topk_packed",
+    "tfidf_reference_topk",
+    "topk_with_metadata",
+    "phrase_match",
+    "proximity_topk",
+    "weighted_search_topk",
+    "exact_dup_flags",
+    "minhash_signatures",
+    "jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "connected_components",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "near_dup_pairs_lsh",
+    "quality_stats",
+    "english_score",
+    "unigram_lm_score",
+    "stratified_sample_flags",
+]
