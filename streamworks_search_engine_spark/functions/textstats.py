@@ -204,14 +204,19 @@ def unigram_lm_score(
     join on term; empty docs score NULL.
 
     Plan at scale: the unigram table is |vocab| rows (tiny vs corpus) —
-    the per-token join broadcasts it; the per-doc mean is a map-side
-    combinable aggregation.
+    it is persisted (so the exploded hits are scanned once for both the
+    total and the join; the pinned cache is vocab-sized, reclaimable with
+    ``uni.unpersist()`` via ``spark.catalog.clearCache()`` in long-lived
+    sessions), the per-token join broadcasts it, and the per-doc mean is a
+    map-side combinable aggregation.
     """
     hits = toks_df.select(
         F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("term")
     )
-    total = hits.count()
-    uni = hits.groupBy("term").agg(F.count("*").alias("cnt"))
+    uni = hits.groupBy("term").agg(F.count("*").alias("cnt")).persist()
+    # corpus token total from the (vocab-sized) unigram table — the big
+    # hits relation is scanned once, not twice
+    total = uni.agg(F.sum("cnt")).collect()[0][0] or 1
     logp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
     scored = hits.join(F.broadcast(uni), "term").select(
         "id", logp.alias("logp")
