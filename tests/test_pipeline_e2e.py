@@ -1,0 +1,107 @@
+"""End-to-end training-data curation pipeline over the synthetic corpus:
+ingest gates -> exact-dup removal -> near-dup clustering (canonical per
+cluster) -> deterministic sampling -> index build -> BM25 query. Proves the
+operators compose, and that the final index matches a pure-Python oracle
+built over the same surviving documents.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import streamworks_search_engine_spark as sse
+from streamworks_search_engine_spark import oracle
+from streamworks_search_engine_spark.functions import dedup, textstats
+from streamworks_search_engine_spark.functions.tokenizer import tokenize
+from streamworks_search_engine_spark.sources.corpus import corpus_df, doc_id_of
+
+
+@pytest.fixture(scope="module")
+def pipeline_docs(spark, corpus_rows):
+    """Corpus + planted problems: one binary file, one exact dup, one
+    near-dup (small edit of an existing doc)."""
+    base = corpus_df(spark, 200, seed=42, partitions=8)
+    r0 = corpus_rows[0]
+    extra = spark.createDataFrame(
+        [
+            ("rx", "blob.bin.py", "c9", "python", "data\x00\x01\x02\x03\x04\x05"),
+            ("rx", "exact_copy.py", "c9", r0["lang"], r0["content"]),
+            ("rx", "near_copy.py", "c9", r0["lang"], r0["content"] + "\nzzz_extra_token_line = 1\n"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return base.unionByName(extra), corpus_rows
+
+
+def test_curation_pipeline_end_to_end(spark, pipeline_docs, tmp_path):
+    docs, corpus_rows = pipeline_docs
+    docs = docs.persist()
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    d = with_doc_id(docs)
+
+    # 1. ingest gates: drop binary-looking content
+    binf = textstats.binary_content_score(d, text_col="content")
+    keep_ids = binf.filter(F.col("is_binary") == 0).select("doc_id")
+    gated = d.join(keep_ids, "doc_id", "left_semi")
+    assert gated.count() == 202  # only the binary doc dropped
+
+    # 2. exact dedup (min doc_id canonical)
+    flags = dedup.exact_dup_flags(gated, text_col="content")
+    exact_kept = gated.join(
+        flags.filter(F.col("is_dup") == 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    assert exact_kept.count() == 201  # the exact copy collapsed
+
+    # 3. near-dup clustering over 8-gram jaccard pairs -> canonical per cluster
+    from streamworks_search_engine_spark.functions.tokenizer import make_tokens_udf
+
+    toks = exact_kept.select(
+        "doc_id", make_tokens_udf()(F.col("content"), F.col("lang")).alias("tokens")
+    )
+    pairs = dedup.jaccard_pairs(toks, n=8, threshold=0.6)
+    comp = dedup.connected_components(
+        exact_kept.select(F.col("doc_id").alias("id")), pairs
+    )
+    canonical = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = exact_kept.join(canonical, "doc_id", "left_semi")
+    n_surv = survivors.count()
+    assert n_surv == 200  # near-copy clustered with its source and dropped
+
+    # 4. deterministic sampling: keep every survivor (rate 1.0 per lang) —
+    # the decision column is exercised, nothing is dropped here
+    samp = textstats.stratified_sample_flags(
+        survivors, {}, default_rate=1.0, strat_col="lang"
+    )
+    assert samp.filter(F.col("keep") == 0).count() == 0
+
+    # 5. index build + query on the curated set, vs the oracle over the
+    # same surviving documents
+    out = str(tmp_path / "curated_index")
+    sse.write_index(
+        sse.build_index(spark, survivors.select("repo", "path", "commit", "lang", "content")),
+        out,
+        term_buckets=8,
+    )
+    si = sse.load_index(spark, out)
+    surv_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    kept_rows = [
+        r
+        for r in corpus_rows
+        if doc_id_of(r["repo"], r["path"], r["commit"]) in surv_ids
+    ]
+    assert len(kept_rows) == 200  # all original docs survived curation
+    oidx = oracle.build_index(kept_rows)
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in sse.bm25_search(si, ["parse", "index"], 10).collect()
+    ]
+    exp = [
+        (rk, did, round(s, 9))
+        for rk, did, s in oracle.bm25_topk(oidx, ["parse", "index"], 10)
+    ]
+    assert got == exp
+    docs.unpersist()
