@@ -9,7 +9,7 @@ Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           phrase_match, proximity_topk, weighted_search_topk
 Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           simhash_near_dup_pairs, connected_components, cosine_topk,
-          ann_lsh_topk, near_dup_pairs_lsh, quality_stats, english_score,
+          ann_lsh_topk, ann_ivf_topk, near_dup_pairs_lsh, quality_stats, english_score,
           unigram_lm_score, stratified_sample_flags
 
 Modules keep the full surface (functions.*, operators.*, plans.*,
@@ -24,6 +24,7 @@ from .functions.dedup import (
     simhash_near_dup_pairs,
 )
 from .functions.similarity import (
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
     near_dup_pairs_lsh,
@@ -77,6 +78,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "connected_components",
     "cosine_topk",
+    "ann_ivf_topk",
     "ann_lsh_topk",
     "near_dup_pairs_lsh",
     "quality_stats",

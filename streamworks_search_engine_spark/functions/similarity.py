@@ -13,7 +13,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -185,6 +185,99 @@ def ann_lsh_topk(
     ).filter(F.col(id_col) != query_vec_id)
     return (
         cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------- IVF (leader) --
+
+
+def ivf_leaders(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell_id, leader_id, leader_vec): the coarse quantizer of a
+    leader-based IVF (cluster-pruning) index — ``n_cells`` actual data
+    vectors chosen by md5(vec_id) order (a deterministic 'random' sample,
+    the classic sqrt(n)-leaders construction). No iteration and no float
+    accumulation, so every engine derives the identical cells.
+    """
+    w = Window.orderBy(
+        F.md5(F.col("leader_id").cast("string")), F.col("leader_id")
+    )
+    return (
+        emb_df.select(
+            F.col(id_col).alias("leader_id"), F.col(vec_col).alias("leader_vec")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cells)
+        .select((F.col("rn") - 1).cast("long").alias("cell_id"), "leader_id", "leader_vec")
+    )
+
+
+def ivf_assign(
+    emb_df: DataFrame,
+    leaders: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell_id): each vector joins its nearest leader by cosine
+    (ties -> smallest cell_id). Broadcast n_cells leaders; one narrow pass
+    over the corpus — the build side of the inverted file. At 100 TB the
+    output is written partitioned by cell_id so a query scans nprobe
+    cells, not the corpus."""
+    sim = cosine(F.col(vec_col), F.col("leader_vec"))
+    scored = emb_df.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(leaders)
+    ).select(F.col(id_col), "cell_id", sim.alias("cos_l"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_l"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), "cell_id")
+    )
+
+
+def ann_ivf_topk(
+    emb_df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN via the leader IVF: probe the query's ``nprobe``
+    nearest cells, exact cosine top-k within them. Recall is tunable via
+    nprobe (nprobe == n_cells degenerates to brute force)."""
+    leaders = ivf_leaders(emb_df, n_cells, id_col, vec_col)
+    assign = ivf_assign(emb_df, leaders, id_col, vec_col)
+    qvec = emb_df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    probe = (
+        leaders.crossJoin(F.broadcast(qvec))
+        .select(
+            "cell_id", cosine(F.col("leader_vec"), F.col("__qvec")).alias("cos_l")
+        )
+        .orderBy(F.desc("cos_l"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cand = (
+        emb_df.join(assign, id_col)
+        .join(F.broadcast(probe), "cell_id", "left_semi")
+        .filter(F.col(id_col) != query_vec_id)
+    )
+    return (
+        cand.crossJoin(F.broadcast(qvec))
+        .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cos_sim"),
         )

@@ -492,6 +492,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.connected_components(nodes, pairs).select("id", "component")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN (leader / cluster-pruning inverted file): 16
+    deterministically-sampled leader vectors, nearest-leader cell
+    assignment, probe the query's 4 nearest cells, exact cosine top-20
+    within them. Non-iterative, so fully SQL-expressible and hash-checked."""
+    return similarity.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"), 0, k=20, n_cells=16, nprobe=4
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (numpy pandas-UDF bucketer). The oracle
     inlines the deterministic hyperplane matrix (similarity._planes, part of
@@ -598,6 +608,7 @@ QUERIES = {
     "trending_topk": q_trending_topk,
     "corpus_filter": q_corpus_filter,
     "embedding_near_dups": q_embedding_near_dups,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "simhash_near_dups": q_simhash_near_dups,
     "proximity_top10": q_proximity_top10,
@@ -710,6 +721,43 @@ SELECT id_a, id_b,
        round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
 FROM p
 WHERE round(n_common / CAST(n_a + n_b - n_common AS DOUBLE), 6) >= 0.01"""
+
+def _sql_cos(a: str, b: str) -> str:
+    """Cosine of two list columns, float64, sequential left-fold sums —
+    the same evaluation order as the Spark side's F.aggregate fold, so the
+    doubles are bit-identical."""
+    return f"""(
+  list_sum(list_transform(generate_series(1, len({a})),
+                          i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+  / (sqrt(list_sum(list_transform(generate_series(1, len({a})),
+                                  i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+     * sqrt(list_sum(list_transform(generate_series(1, len({b})),
+                                    i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))))"""
+
+
+_ANN_IVF_SQL = f"""WITH lead_rank AS (
+  SELECT vec_id AS leader_id, embedding AS lvec,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings),
+leaders AS (SELECT CAST(rn - 1 AS BIGINT) AS cell_id, leader_id, lvec
+            FROM lead_rank WHERE rn <= 16),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+asg AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, l.cell_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'l.lvec')} DESC, l.cell_id)
+             AS rn
+    FROM embeddings e CROSS JOIN leaders l) WHERE rn = 1),
+probe AS (SELECT cell_id FROM leaders, qv
+          ORDER BY {_sql_cos('lvec', 'qe')} DESC, cell_id LIMIT 4)
+SELECT e.vec_id, round({_sql_cos('e.embedding', 'qe')}, 6) AS cos_sim
+FROM embeddings e JOIN asg USING (vec_id), qv
+WHERE asg.cell_id IN (SELECT cell_id FROM probe) AND e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id LIMIT 20"""
+
 
 _EMB_LSH_CTES = f"""{_planes_sql_literal(8, 64)},
 dots AS (
@@ -1092,6 +1140,7 @@ p AS (
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "ngram_jaccard_pairs_capped": _JACCARD_CAPPED_SQL,
     "embedding_near_dups_lsh": _EMB_NEAR_DUPS_LSH_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
     "ann_lsh_topk": _ANN_LSH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "tag_score_positional": _TAG_SQL,

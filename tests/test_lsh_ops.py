@@ -298,3 +298,77 @@ def test_connected_components_no_pairs_all_singletons(spark):
         for r in dedup.connected_components(nodes, empty).collect()
     }
     assert got == {3: 3, 7: 7, 9: 9}
+
+
+# ------------------------------------------------------------- IVF ANN ----
+
+
+def _np_ivf(vec_map, qid, k, n_cells, nprobe):
+    ids = sorted(vec_map)
+    leaders = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:n_cells]
+    lead_vecs = {c: vec_map[lid] for c, lid in enumerate(leaders)}
+
+    def cos(a, b):
+        return float(
+            np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        )
+
+    def cell_of(v):
+        return min(
+            range(n_cells), key=lambda c: (-cos(v, lead_vecs[c]), c)
+        )
+
+    assign = {i: cell_of(vec_map[i]) for i in ids}
+    q = vec_map[qid]
+    probed = sorted(
+        range(n_cells), key=lambda c: (-cos(q, lead_vecs[c]), c)
+    )[:nprobe]
+    cand = [i for i in ids if assign[i] in probed and i != qid]
+    scored = sorted(
+        ((round(cos(vec_map[i], q), 6), i) for i in cand),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [(i, s) for s, i in scored[:k]]
+
+
+def test_ann_ivf_topk_matches_numpy_oracle(emb_df, emb_rows):
+    vec_map = {i: np.array(v) for i, v in emb_rows}
+    exp = _np_ivf(vec_map, qid=0, k=10, n_cells=12, nprobe=3)
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_ivf_topk(
+            emb_df, 0, k=10, n_cells=12, nprobe=3
+        ).collect()
+    ]
+    assert [i for i, _ in got] == [i for i, _ in exp]
+    for (gi, gs), (_, es) in zip(got, exp):
+        assert gs == pytest.approx(es, abs=1e-9)
+
+
+def test_ann_ivf_full_probe_equals_brute_force(emb_df):
+    """nprobe == n_cells degenerates to exact brute-force top-k."""
+    brute = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb_df, 0, k=10).collect()
+    ]
+    ivf = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_ivf_topk(
+            emb_df, 0, k=10, n_cells=8, nprobe=8
+        ).collect()
+    ]
+    assert ivf == brute
+
+
+def test_ann_ivf_recall_floor(emb_df):
+    brute = {
+        r["vec_id"] for r in similarity.cosine_topk(emb_df, 0, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.ann_ivf_topk(emb_df, 0, k=10, n_cells=12, nprobe=3).collect()
+    }
+    recall = len(brute & approx) / 10
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
