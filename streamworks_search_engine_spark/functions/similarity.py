@@ -13,7 +13,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -207,18 +207,52 @@ def ivf_leaders(
     vectors chosen by md5(vec_id) order (a deterministic 'random' sample,
     the classic sqrt(n)-leaders construction). No iteration and no float
     accumulation, so every engine derives the identical cells.
+
+    Scale note: the n_cells selection is ``orderBy().limit()`` — Catalyst
+    plans it as a distributed TakeOrderedAndProject (per-partition top-n,
+    then a driver-side merge of n_cells-row heaps); NO corpus-wide
+    single-partition exchange and NO window. Numbering the ≤n_cells
+    surviving rows happens driver-side (they are already collected by the
+    limit's merge) and the result is a broadcast-sized local frame.
     """
-    w = Window.orderBy(
-        F.md5(F.col("leader_id").cast("string")), F.col("leader_id")
-    )
-    return (
+    key = F.md5(F.col("leader_id").cast("string"))
+    picked = (
         emb_df.select(
             F.col(id_col).alias("leader_id"), F.col(vec_col).alias("leader_vec")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_cells)
-        .select((F.col("rn") - 1).cast("long").alias("cell_id"), "leader_id", "leader_vec")
+        .orderBy(key.asc(), F.col("leader_id").asc())
+        .limit(n_cells)
     )
+    # re-assert the sort key in Python (hashlib.md5 over the decimal string
+    # == Spark's md5(cast(id as string))) so numbering never depends on
+    # collect() order
+    rows = sorted(
+        picked.collect(),
+        key=lambda r: (
+            hashlib.md5(str(r["leader_id"]).encode()).hexdigest(),
+            r["leader_id"],
+        ),
+    )
+    schema = T.StructType(
+        [T.StructField("cell_id", T.LongType(), False), *picked.schema.fields]
+    )
+    return emb_df.sparkSession.createDataFrame(
+        [(i, r["leader_id"], r["leader_vec"]) for i, r in enumerate(rows)],
+        schema,
+    )
+
+
+def _leader_literals(leaders: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the (bounded, ≤n_cells-row) leader table to the driver as
+    (cell_id, vector) pairs sorted by cell_id. This is a k-row collect —
+    the IVF contract is that n_cells is tiny relative to the corpus
+    (classically sqrt(n) cells but O(10..10k) leaders in practice)."""
+    rows = leaders.select("cell_id", "leader_vec").collect()
+    return sorted(((int(r[0]), list(r[1])) for r in rows), key=lambda t: t[0])
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
 
 
 def ivf_assign(
@@ -226,22 +260,83 @@ def ivf_assign(
     leaders: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
-    """(vec_id, cell_id): each vector joins its nearest leader by cosine
-    (ties -> smallest cell_id). Broadcast n_cells leaders; one narrow pass
-    over the corpus — the build side of the inverted file. At 100 TB the
-    output is written partitioned by cell_id so a query scans nprobe
-    cells, not the corpus."""
-    sim = cosine(F.col(vec_col), F.col("leader_vec"))
-    scored = emb_df.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(leaders)
-    ).select(F.col(id_col), "cell_id", sim.alias("cos_l"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos_l"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), "cell_id")
+    """(vec_id, cell_id): each vector is assigned its nearest leader by
+    cosine (ties -> smallest cell_id) in ONE narrow map-only pass — no
+    shuffle, no window.
+
+    ``method="expr"`` (default, oracle-exact): the ≤n_cells leaders are
+    inlined as literal arrays; per-leader cosines use the same sequential
+    left-fold as :func:`cosine`, and the argmax is ``greatest()`` over
+    (cos_l, -cell_id) structs — lexicographic struct comparison gives
+    highest cosine, smallest cell on ties, bit-identical to a
+    (cos DESC, cell ASC) sort. Best for n_cells up to a few hundred
+    (expression size grows with n_cells × dim).
+
+    ``method="matmul"``: one Arrow-batched pandas UDF doing a single
+    (batch × dim) @ (dim × n_cells) numpy matmul per batch — the large-
+    n_cells scale path (n_cells ~ sqrt(corpus), e.g. 2^16 cells at 100 TB).
+    Same tie-break; float64 summation order differs from the fold, so
+    assignments can differ only on exact cosine ties within ~1e-15.
+
+    At 100 TB the output is written partitioned by cell_id so a query
+    scans nprobe cells, not the corpus.
+    """
+    lits = _leader_literals(leaders)
+    if method == "matmul":
+        udf = make_ivf_assign_udf(lits)
+        return emb_df.select(
+            F.col(id_col), udf(F.col(vec_col)).alias("cell_id")
+        )
+    if method != "expr":
+        raise ValueError(f"unknown ivf_assign method: {method!r}")
+    structs = [
+        F.struct(
+            cosine(F.col(vec_col), _lit_vec(vec)).alias("c"),
+            F.lit(-cell).alias("nc"),
+        )
+        for cell, vec in lits
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return emb_df.select(
+        F.col(id_col), (-best["nc"]).cast("long").alias("cell_id")
     )
+
+
+def make_ivf_assign_udf(leader_lits: list[tuple[int, list[float]]]):
+    """Pandas UDF: embedding -> nearest-leader cell_id (cosine argmax,
+    ties -> smallest cell_id). One numpy matmul per Arrow batch."""
+    cells = np.array([c for c, _ in leader_lits], dtype=np.int64)
+    mat = np.array([v for _, v in leader_lits], dtype=np.float64)  # (cells, dim)
+    lnorm = np.sqrt((mat * mat).sum(axis=1))
+
+    @F.pandas_udf(T.LongType())
+    def ivf_cell(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        xnorm = np.sqrt((x * x).sum(axis=1, keepdims=True))
+        cos = (x @ mat.T) / (xnorm * lnorm[None, :])
+        # leaders are sorted by cell_id, so argmax's first-max rule IS the
+        # smallest-cell tie-break
+        return pd.Series(cells[np.argmax(cos, axis=1)], index=emb.index)
+
+    return ivf_cell
+
+
+def build_ivf_index(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "expr",
+) -> tuple[DataFrame, DataFrame]:
+    """One-time IVF build: returns (leaders, assignment). Callers persist
+    both (assignment partitioned by cell_id) and pass them to
+    :func:`ann_ivf_topk` so per-query work is probe + nprobe-cell scan —
+    leaders and assignment are NOT recomputed per query."""
+    leaders = ivf_leaders(emb_df, n_cells, id_col, vec_col)
+    assign = ivf_assign(emb_df, leaders, id_col, vec_col, method=method)
+    return leaders, assign
 
 
 def ann_ivf_topk(
@@ -252,12 +347,20 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    leaders: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate NN via the leader IVF: probe the query's ``nprobe``
     nearest cells, exact cosine top-k within them. Recall is tunable via
-    nprobe (nprobe == n_cells degenerates to brute force)."""
-    leaders = ivf_leaders(emb_df, n_cells, id_col, vec_col)
-    assign = ivf_assign(emb_df, leaders, id_col, vec_col)
+    nprobe (nprobe == n_cells degenerates to brute force).
+
+    Pass prebuilt ``leaders``/``assign`` (from :func:`build_ivf_index`,
+    persisted) to skip the index build; omitted, they are derived inline
+    (fixture/oracle mode)."""
+    if leaders is None:
+        leaders = ivf_leaders(emb_df, n_cells, id_col, vec_col)
+    if assign is None:
+        assign = ivf_assign(emb_df, leaders, id_col, vec_col)
     qvec = emb_df.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__qvec")
     )

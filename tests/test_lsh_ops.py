@@ -372,3 +372,49 @@ def test_ann_ivf_recall_floor(emb_df):
     }
     recall = len(brute & approx) / 10
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_leaders_plan_has_no_window(emb_df):
+    """The r2 verdict's scale-killer: leader selection must be a distributed
+    TakeOrderedAndProject, never a corpus-wide unpartitioned Window."""
+    leaders = similarity.ivf_leaders(emb_df, n_cells=8)
+    plan = leaders._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert leaders.count() == 8
+
+
+def test_ivf_assign_plan_is_shuffle_free(emb_df):
+    """expr-mode assignment is one map-only projection: no Exchange, no
+    Window, no join in the plan over the corpus side."""
+    leaders = similarity.ivf_leaders(emb_df, n_cells=8)
+    assign = similarity.ivf_assign(emb_df, leaders)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    for op in ("Window", "Exchange", "Join"):
+        assert op not in plan, f"unexpected {op} in ivf_assign plan:\n{plan}"
+
+
+def test_ivf_assign_matmul_matches_expr(emb_df):
+    """The large-n_cells matmul path assigns the same cells as the
+    oracle-exact fold path (float noise can only matter on exact ties,
+    absent in the fixture)."""
+    leaders = similarity.ivf_leaders(emb_df, n_cells=12)
+    expr = {
+        r["vec_id"]: r["cell_id"]
+        for r in similarity.ivf_assign(emb_df, leaders, method="expr").collect()
+    }
+    mat = {
+        r["vec_id"]: r["cell_id"]
+        for r in similarity.ivf_assign(emb_df, leaders, method="matmul").collect()
+    }
+    assert expr == mat
+
+
+def test_ann_ivf_prebuilt_index_reuse(emb_df):
+    """build_ivf_index once, query many times: identical results to the
+    inline-build path."""
+    leaders, assign = similarity.build_ivf_index(emb_df, n_cells=12)
+    inline = similarity.ann_ivf_topk(emb_df, 0, k=10, n_cells=12, nprobe=3).collect()
+    reused = similarity.ann_ivf_topk(
+        emb_df, 0, k=10, n_cells=12, nprobe=3, leaders=leaders, assign=assign
+    ).collect()
+    assert [tuple(r) for r in inline] == [tuple(r) for r in reused]
