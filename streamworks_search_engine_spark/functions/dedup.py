@@ -99,7 +99,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     round_digits: int = 6,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= threshold).
 
@@ -116,6 +116,11 @@ def jaccard_pairs(
     (array_intersect on the per-doc arrays). The only loss is recall for
     pairs whose every shared shingle is hot — the standard
     prefix-filtering trade.
+
+    The cap is ON by default (df 1000 → ≤ ~500k candidate pairs from any
+    one shingle) so the exported API is safe at corpus scale out of the
+    box; pass ``max_shingle_df=None`` to opt into the exact uncapped
+    baseline (tests / fixture-sized corpora only).
     """
     sh = toks_df.select(
         F.col(id_col).alias("id"),
@@ -221,42 +226,50 @@ def jaccard_pairs(
 def make_simhash_udf(bits: int = 64):
     """Pandas UDF: token array -> SimHash (signed 64-bit long).
 
-    Per-batch: hash the batch's distinct tokens once (md5 -> first 8 bytes),
-    then numpy bit-vote per doc. Arrow-batched; the only python loop is over
-    distinct tokens, not rows*tokens.
+    Per-batch: hash the batch's distinct tokens once (md5 -> first 8 bytes)
+    into a (vocab, bits) ±1 bit matrix; each doc's votes are ONE
+    fancy-index row-gather + sum (``bit_matrix[idxs].sum(axis=0)``) and the
+    bit-pack is one vectorized weights reduction — no per-token or per-bit
+    Python loops (measured 3.3× the per-token/per-bit kernel; an
+    ``np.add.at`` scatter variant was benchmarked SLOWER than both, see
+    BENCH.md round-3 notes).
     """
+    weights = np.uint64(1) << np.arange(bits, dtype=np.uint64)
 
     @F.pandas_udf(T.LongType())
     def simhash(tokens: pd.Series) -> pd.Series:
         vocab: dict[str, int] = {}
+        idx_per_doc: list[np.ndarray] = []
         for toks in tokens:
-            for t in toks:
-                if t not in vocab:
-                    vocab[t] = int.from_bytes(
-                        hashlib.md5(t.encode()).digest()[:8], "big"
-                    )
-        bit_cache = {
-            t: ((np.uint64(h) >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
+            idxs = np.empty(len(toks), dtype=np.int64)
+            for k, t in enumerate(toks):
+                j = vocab.get(t)
+                if j is None:
+                    j = vocab[t] = len(vocab)
+                idxs[k] = j
+            idx_per_doc.append(idxs)
+        n = len(tokens)
+        votes = np.zeros((n, bits), dtype=np.int64)
+        if vocab:
+            hashes = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    for t in vocab
+                ],
+                dtype=np.uint64,
             )
-            * 2
-            - 1
-            for t, h in vocab.items()
-        }
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for i, toks in enumerate(tokens):
-            if len(toks) == 0:
-                out[i] = 0
-                continue
-            votes = np.zeros(bits, dtype=np.int64)
-            for t in toks:
-                votes += bit_cache[t]
-            sig = np.uint64(0)
-            for j in range(bits):
-                if votes[j] > 0:
-                    sig |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(sig)
-        return pd.Series(out, index=tokens.index)
+            bit_matrix = (
+                ((hashes[:, None] >> np.arange(bits, dtype=np.uint64)[None, :])
+                 & np.uint64(1)).astype(np.int64) * 2 - 1
+            )
+            for i, ix in enumerate(idx_per_doc):
+                if ix.size:
+                    votes[i] = bit_matrix[ix].sum(axis=0)
+        # empty docs keep all-zero votes -> signature 0, as before
+        sigs = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(sigs.view(np.int64), index=tokens.index)
 
     return simhash
 
@@ -348,6 +361,7 @@ def connected_components(
     # driver during analysis long before the data is big
     labels = labels.localCheckpoint()
     edges = edges.persist()
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -374,4 +388,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # never return silently-wrong labels: a component whose min-label
+        # propagation path exceeds max_iter hops would carry a non-minimal
+        # component id, breaking the transitive-closure-oracle contract
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise max_iter "
+            "or switch to the large-star/small-star variant for "
+            "high-diameter graphs"
+        )
     return labels

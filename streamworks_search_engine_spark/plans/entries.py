@@ -220,7 +220,9 @@ def q_minhash_buckets(spark, sf_dir):
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """3-gram Jaccard near-dup pairs among doc_id < 200 (shingle-bucket join)."""
     toks = _doc_tokens(spark, sf_dir).filter(F.col("doc_id") < 200)
-    return dedup.jaccard_pairs(toks, n=3, threshold=0.01)
+    # max_shingle_df=None: this entry IS the exact uncapped baseline the
+    # capped entry is measured against (the exported default is capped)
+    return dedup.jaccard_pairs(toks, n=3, threshold=0.01, max_shingle_df=None)
 
 
 def q_doc_fingerprint(spark, sf_dir):

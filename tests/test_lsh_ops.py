@@ -208,7 +208,9 @@ def test_jaccard_capped_exact_and_subset(spark, corpus_rows):
     )
     full = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in dedup.jaccard_pairs(toks_df, n=3, threshold=0.05).collect()
+        for r in dedup.jaccard_pairs(
+            toks_df, n=3, threshold=0.05, max_shingle_df=None
+        ).collect()
     }
     capped = {
         (r["id_a"], r["id_b"]): r["jaccard"]
@@ -418,3 +420,45 @@ def test_ann_ivf_prebuilt_index_reuse(emb_df):
         emb_df, 0, k=10, n_cells=12, nprobe=3, leaders=leaders, assign=assign
     ).collect()
     assert [tuple(r) for r in inline] == [tuple(r) for r in reused]
+
+
+def test_jaccard_default_cap_engages(spark):
+    """The exported default must be the SAFE path: docs whose only shared
+    shingles are hotter than the default cap produce no candidate pairs
+    (recall trade, logged), while the explicit None opt-in finds them."""
+    import inspect
+
+    default = inspect.signature(dedup.jaccard_pairs).parameters[
+        "max_shingle_df"
+    ].default
+    assert default is not None and default > 0
+    hot_docs = default + 1  # every shingle's df exceeds the cap
+    toks_df = spark.createDataFrame(
+        [(i, ["alpha", "beta", "gamma"]) for i in range(hot_docs)],
+        "doc_id long, tokens array<string>",
+    )
+    from pyspark.sql import functions as F
+
+    assert dedup.jaccard_pairs(toks_df, n=3, threshold=0.5).count() == 0
+    small = toks_df.filter(F.col("doc_id") < 3)
+    assert (
+        dedup.jaccard_pairs(small, n=3, threshold=0.5, max_shingle_df=None).count()
+        == 3
+    )
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain whose diameter exceeds max_iter must raise, never return
+    silently-wrong component ids (r2 ADVICE)."""
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.connected_components(nodes, chain, max_iter=2)
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, chain, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
