@@ -145,6 +145,139 @@ def make_doc_postings_udf():
     return doc_postings_udf
 
 
+# definition-line lead keywords across the corpus langs (python/java/js/go/c)
+# — the code analog of the reference's HTML anchor tag class ('a'); kept here
+# (next to the tokenizer it must agree with) so index build and query-time
+# ranker share one frozen regex (WordHit.tag analog, ShortDocIndex.java:63-74)
+DEF_LINE_RE = re.compile(
+    r"^\s*(def|class|function|func|struct|public|private|protected|static"
+    r"|const|let|var|type)\b"
+)
+
+
+def doc_postings_with_tags(content: str | None, lang: str = "") -> list[tuple]:
+    """Pure-Python oracle for the tag-aware posting fragments:
+    (term, tf, positions, tf_def) where tf_def counts the hits on
+    definition lines (DEF_LINE_RE). Positions are global (0-based over the
+    whole post-filter token stream) — per-line token streams concatenate to
+    the whole-content stream because no tokenizer regex crosses a newline.
+    """
+    acc: dict[str, list] = {}
+    pos = 0
+    for line in (content or "").split("\n"):
+        is_def = bool(DEF_LINE_RE.match(line))
+        for t in tokenize(line, lang):
+            e = acc.get(t)
+            if e is None:
+                e = acc[t] = [0, [], 0]
+            e[0] += 1
+            e[1].append(pos)
+            if is_def:
+                e[2] += 1
+            pos += 1
+    return [(t, tf, ps, td) for t, (tf, ps, td) in acc.items()]
+
+
+def path_term_counts(path: str | None, lang: str = "") -> list[tuple[str, int]]:
+    """(term, h_cnt) for the tokens of a file *path* — the 'h' (title-like)
+    tag class of the code corpus. Counted with multiplicity, like the
+    reference's title hits."""
+    cnt: dict[str, int] = {}
+    for t in tokenize(path or "", lang):
+        cnt[t] = cnt.get(t, 0) + 1
+    return list(cnt.items())
+
+
+def make_doc_postings_tags_udf():
+    """Pandas UDF ``(path, content, lang) -> struct<plist, path_hits>``:
+    the tag-aware build-side emitter. ``plist`` extends the plain posting
+    fragments with ``tf_def`` (per-hit tag recorded AT INDEX TIME, the
+    reference's WordHit.tag design — ShortDocIndex.java:63-74,
+    HitStorage.java:139-157); ``path_hits`` carries the 'h'-class term
+    counts from the path. Line splitting + per-line tokenization run
+    vectorized over the exploded batch; DEF_LINE_RE matches via the
+    vectorized ``str.match``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    out_type = T.StructType(
+        [
+            T.StructField(
+                "plist",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("term", T.StringType()),
+                            T.StructField("tf", T.LongType()),
+                            T.StructField("positions", T.ArrayType(T.IntegerType())),
+                            T.StructField("tf_def", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "path_hits",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("term", T.StringType()),
+                            T.StructField("h_cnt", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def doc_postings_tags_udf(
+        path: pd.Series, content: pd.Series, lang: pd.Series
+    ) -> pd.DataFrame:
+        lang_vals = lang.fillna("").to_numpy()
+        lines_per_doc = content.fillna("").str.split("\n")
+        n_lines = np.array([len(ls) for ls in lines_per_doc])
+        flat_lines = pd.Series(
+            [l for ls in lines_per_doc for l in ls], dtype=object
+        )
+        flat_langs = pd.Series(np.repeat(lang_vals, n_lines))
+        toks_flat = tokenize_series(flat_lines, flat_langs).to_numpy()
+        def_flat = flat_lines.str.match(DEF_LINE_RE).to_numpy()
+        path_toks = tokenize_series(path.fillna(""), lang).to_numpy()
+
+        plists, path_hits = [], []
+        i = 0
+        for d, nl in enumerate(n_lines):
+            acc: dict[str, list] = {}
+            pos = 0
+            for li in range(i, i + nl):
+                is_def = def_flat[li]
+                for t in toks_flat[li]:
+                    e = acc.get(t)
+                    if e is None:
+                        e = acc[t] = [0, [], 0]
+                    e[0] += 1
+                    e[1].append(pos)
+                    if is_def:
+                        e[2] += 1
+                    pos += 1
+            i += nl
+            plists.append(
+                [(t, tf, ps, td) for t, (tf, ps, td) in acc.items()]
+            )
+            cnt: dict[str, int] = {}
+            for t in path_toks[d]:
+                cnt[t] = cnt.get(t, 0) + 1
+            path_hits.append(list(cnt.items()))
+        return pd.DataFrame(
+            {"plist": plists, "path_hits": path_hits}, index=content.index
+        )
+
+    return doc_postings_tags_udf
+
+
 def make_tokens_udf():
     """Returns a pandas UDF ``(content, lang) -> array<string>``.
 

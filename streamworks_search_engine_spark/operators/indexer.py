@@ -56,12 +56,15 @@ def with_doc_id(docs_df: DataFrame) -> DataFrame:
 class IndexTables:
     """Build outputs (FIXTURES.md §3). All lazily-evaluated DataFrames."""
 
-    postings: DataFrame  # (term, doc_id, tf, positions array<int>, doc_len)
+    postings: DataFrame  # (term, doc_id, tf, positions array<int>, doc_len[, tf_def])
     lexicon: DataFrame  # (term, df, idf)
     doclen: DataFrame  # (doc_id, doc_len)
     docs_dim: DataFrame | None  # (doc_id, repo, path, commit, lang, doc_len, content_sha256)
     n_docs: int
     avgdl: float
+    # 'h'-class hits from file paths (doc_id, term, h_cnt) — present iff the
+    # index was built tag-aware (build_index_with_tags)
+    path_hits: DataFrame | None = None
 
 
 def tokenized(docs_df: DataFrame) -> DataFrame:
@@ -167,15 +170,22 @@ def build_index_from_plist(
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
 
-    postings = docs_plist.select(
-        "doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("p")
-    ).select(
+    plist_fields = {
+        f.name
+        for f in docs_plist.schema["plist"].dataType.elementType.fields
+    }
+    proj = [
         F.col("p.term").alias("term"),
-        "doc_id",
+        F.col("doc_id"),
         F.col("p.tf").alias("tf"),
         F.col("p.positions").alias("positions"),
-        "doc_len",
-    )
+        F.col("doc_len"),
+    ]
+    if "tf_def" in plist_fields:  # tag-aware build (WordHit.tag analog)
+        proj.append(F.col("p.tf_def").alias("tf_def"))
+    postings = docs_plist.select(
+        "doc_id", doc_len.alias("doc_len"), F.explode("plist").alias("p")
+    ).select(*proj)
     lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
     return IndexTables(
         postings=postings,
@@ -217,6 +227,54 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
     return build_index_from_plist(
         spark, base.select("doc_id", "plist"), docs_dim=docs_dim
     )
+
+
+def build_index_with_tags(
+    spark: SparkSession, docs_df: DataFrame, docs_have_ids: bool = False
+) -> IndexTables:
+    """Tag-aware flat build: per-hit tag classes recorded AT INDEX TIME
+    (the reference stores WordHit.tag per hit, ShortDocIndex.java:63-74,
+    HitStorage.java:139-157; round-2 computed them at query time by
+    re-tokenizing candidates). Postings gain ``tf_def`` ('a'-class hit
+    count per (term, doc)); a side table ``path_hits`` (doc_id, term,
+    h_cnt) carries the 'h'-class path-token hits. Queries then score tags
+    as a pure index read (operators.ranker.tag_feature_indexed) — no
+    content re-scan.
+
+    ``docs_df`` needs (path, content, lang) plus either a ``doc_id``
+    column (``docs_have_ids=True``) or (repo, path, commit) for
+    :func:`with_doc_id`.
+    """
+    from ..functions.tokenizer import make_doc_postings_tags_udf
+
+    udf = make_doc_postings_tags_udf()
+    src = docs_df if docs_have_ids else with_doc_id(docs_df)
+    base = src.withColumn(
+        "pt", udf(F.col("path"), F.col("content"), F.col("lang"))
+    ).persist()
+    path_hits = (
+        base.select("doc_id", F.explode("pt.path_hits").alias("ph"))
+        .select(
+            "doc_id",
+            F.col("ph.term").alias("term"),
+            F.col("ph.h_cnt").alias("h_cnt"),
+        )
+    )
+    docs_dim = None
+    if "content_sha256" in base.columns:
+        doc_len = F.aggregate(
+            F.col("pt.plist"), F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
+        )
+        docs_dim = base.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            doc_len.alias("doc_len"), "content_sha256",
+        )
+    tables = build_index_from_plist(
+        spark, base.select("doc_id", F.col("pt.plist").alias("plist")),
+        docs_dim=docs_dim,
+    )
+    tables.path_hits = path_hits
+    return tables
 
 
 def build_and_write_index(
@@ -393,7 +451,7 @@ def write_index(
         # always keeps positional hits, HitStorage.java:59-157)
         keep = ["term", "doc_id", "tf", "doc_len"] + (
             ["positions"] if has_positions else []
-        )
+        ) + (["tf_def"] if "tf_def" in base.columns else [])
         base = base.select(*keep)
     arranged = (
         base.join(F.broadcast(index.lexicon.select("term", "idf")), "term")
@@ -411,7 +469,7 @@ def write_index(
 
         pack_cols = ["term", "doc_id", "tf", "doc_len", "idf"] + (
             ["positions"] if has_positions else []
-        )
+        ) + (["tf_def"] if "tf_def" in arranged.columns else [])
         packed = pack_arranged(arranged.select(*pack_cols), index.avgdl)
         write_packed(packed, out_dir)
         t["write_packed_postings"] = round(_time.time() - t0, 2)
@@ -420,6 +478,8 @@ def write_index(
     index.doclen.write.mode("overwrite").parquet(f"{out_dir}/doclen")
     if index.docs_dim is not None:
         index.docs_dim.write.mode("overwrite").parquet(f"{out_dir}/docs_dim")
+    if index.path_hits is not None:
+        index.path_hits.write.mode("overwrite").parquet(f"{out_dir}/path_hits")
     spark = index.postings.sparkSession
     spark.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"

@@ -40,11 +40,19 @@ BLOCK_SIZE = 128
 PACKED_SCHEMA = (
     "term string, first_doc_id long, last_doc_id long, n long, "
     "doc_ids binary, tfs binary, doclens binary, positions binary, "
-    "block_max_tf long, block_max_score double"
+    "tf_defs binary, block_max_tf long, block_max_score double"
 )
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, doc_len long"
-DECODED_POS_SCHEMA = DECODED_SCHEMA + ", positions array<int>"
+
+
+def _decoded_schema(with_positions: bool, with_tf_def: bool) -> str:
+    s = DECODED_SCHEMA
+    if with_positions:
+        s += ", positions array<int>"
+    if with_tf_def:
+        s += ", tf_def long"
+    return s
 
 
 def _pack_run(
@@ -53,6 +61,7 @@ def _pack_run(
     tfs: np.ndarray,
     dls: np.ndarray,
     poss,
+    tdefs,
     idf: float,
     avgdl: float,
     block_size: int,
@@ -70,6 +79,9 @@ def _pack_run(
             bp = b"".join(
                 encode_positions(p) for p in poss[i : i + block_size]
             )
+        # per-hit tag counts (index-time WordHit.tag analog): one varint per
+        # doc, rides in the blocks so packed-only layouts serve tag queries
+        btd = None if tdefs is None else encode_varints(tdefs[i : i + block_size])
         tf64 = bt.astype(np.float64)
         score = (
             idf
@@ -87,6 +99,7 @@ def _pack_run(
                 encode_varints(bt),
                 encode_varints(bd),
                 bp,
+                btd,
                 int(bt.max()),
                 float(score.max()),
             )
@@ -106,12 +119,13 @@ def pack_arranged(
     HitStorage.java:59-157 — without them the packed-only 100-TB mode could
     not serve phrase/proximity queries)."""
     with_positions = "positions" in arranged.columns
+    with_tf_def = "tf_def" in arranged.columns
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
         cols = [
             "term", "first_doc_id", "last_doc_id", "n",
-            "doc_ids", "tfs", "doclens", "positions",
+            "doc_ids", "tfs", "doclens", "positions", "tf_defs",
             "block_max_tf", "block_max_score",
         ]
 
@@ -134,6 +148,9 @@ def pack_arranged(
                         pdf["doc_len"].to_numpy()[s:e].astype(np.int64),
                         pdf["positions"].to_numpy()[s:e]
                         if with_positions
+                        else None,
+                        pdf["tf_def"].to_numpy()[s:e].astype(np.int64)
+                        if with_tf_def
                         else None,
                         float(pdf["idf"].to_numpy()[s]),
                         avgdl,
@@ -191,12 +208,13 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     first so the parquet scan never reads the heavy blobs (column pruning
     reaches the scan; verified in PLANS.md)."""
     with_positions = "positions" in blocks.columns
+    with_tf_def = "tf_defs" in blocks.columns
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            terms, ids, tfs, dls, poss = [], [], [], [], []
+            terms, ids, tfs, dls, poss, tds = [], [], [], [], [], []
             for i, (term, blob_ids, blob_tfs, blob_dls) in enumerate(
                 zip(pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"])
             ):
@@ -213,6 +231,13 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
                         if blob_pos is not None
                         else [None] * len(d)
                     )
+                if with_tf_def:
+                    blob_td = pdf["tf_defs"].iloc[i]
+                    tds.append(
+                        decode_varints(bytes(blob_td)).astype(np.int64)
+                        if blob_td is not None
+                        else np.zeros(len(d), dtype=np.int64)
+                    )
             out = {
                 "term": np.concatenate(terms),
                 "doc_id": np.concatenate(ids),
@@ -221,10 +246,12 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
             }
             if with_positions:
                 out["positions"] = pd.Series(poss, dtype=object)
+            if with_tf_def:
+                out["tf_def"] = np.concatenate(tds)
             yield pd.DataFrame(out)
 
     return blocks.mapInPandas(
-        dec, schema=DECODED_POS_SCHEMA if with_positions else DECODED_SCHEMA
+        dec, schema=_decoded_schema(with_positions, with_tf_def)
     )
 
 

@@ -41,6 +41,8 @@ class SearchIndex:
     avgdl: float
     packed: DataFrame | None = None  # block-packed postings (operators.postings)
     packed_only: bool = False  # no flat table on disk; postings = lazy decode
+    # (doc_id, term, h_cnt) 'h'-class path hits — present iff tag-aware build
+    path_hits: DataFrame | None = None
 
 
 def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
@@ -53,6 +55,9 @@ def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
     docs_dim = None
     if os.path.isdir(f"{index_dir}/docs_dim"):
         docs_dim = spark.read.parquet(f"{index_dir}/docs_dim")
+    path_hits = None
+    if os.path.isdir(f"{index_dir}/path_hits"):
+        path_hits = spark.read.parquet(f"{index_dir}/path_hits")
     packed_only = False
     if os.path.isdir(f"{index_dir}/postings"):
         postings = spark.read.parquet(f"{index_dir}/postings")
@@ -75,6 +80,7 @@ def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
         avgdl=float(stats["avgdl"]),
         packed=packed,
         packed_only=packed_only,
+        path_hits=path_hits,
     )
 
 

@@ -36,7 +36,6 @@ the flat postings.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -44,7 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import DEF_LINE_RE, tokenize
 from .query import SearchIndex, bm25_topk, normalize_terms, postings_for_terms
 
 TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
@@ -53,11 +52,9 @@ TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
 # score finite and deterministic (ln(1e-12) ≈ -27.6) on both engines
 LOG_FLOOR = 1e-12
 
-# definition-line lead keywords across the corpus langs (python/java/js/go/c)
-_DEF_LINE = re.compile(
-    r"^\s*(def|class|function|func|struct|public|private|protected|static"
-    r"|const|let|var|type)\b"
-)
+# definition-line regex is owned by the tokenizer module (index build and
+# query-time ranker must agree on it); kept under the old name for callers
+_DEF_LINE = DEF_LINE_RE
 
 
 @dataclass
@@ -180,6 +177,56 @@ def tag_feature_code(
     return cnt.select("doc_id", (score * F.lit(kw_ratio)).alias("tag_score"))
 
 
+def tag_feature_indexed(
+    index: SearchIndex, terms: list[str], kw_ratio: float = 1.0
+) -> DataFrame:
+    """(doc_id, tag_score) as a PURE INDEX READ — no content re-scan, no
+    UDF: the tag class of every hit was recorded at build time
+    (build_index_with_tags: ``tf_def`` in the postings = 'a'-class hits,
+    ``path_hits`` = 'h'-class hits; the reference's per-hit WordHit.tag,
+    stored via HitStorage.java:139-157, consumed by
+    IndexScorer.java:634-656). Returns one row per doc with >=1 hit of
+    ``terms`` in content or path; h/a/p counts equal tag_feature_code's
+    exactly (pytest parity).
+
+    Scale: both sides are term-IN-pruned scans + one groupBy(doc_id) each —
+    the same shape as the BM25 aggregation, nothing touches ``content``.
+    """
+    if index.path_hits is None or "tf_def" not in index.postings.columns:
+        raise ValueError(
+            "tag_feature_indexed needs a tag-aware index "
+            "(build_index_with_tags); this index has no per-hit tags"
+        )
+    w = TAG_WEIGHTS
+    content = (
+        postings_for_terms(index, terms, positions=False)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_def").cast("double").alias("a"),
+            (F.sum("tf") - F.sum("tf_def")).cast("double").alias("p"),
+        )
+    )
+    path = (
+        index.path_hits.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.sum("h_cnt").cast("double").alias("h"))
+    )
+    agg = content.join(path, "doc_id", "full_outer").fillna(
+        {"h": 0.0, "a": 0.0, "p": 0.0}
+    )
+    total = F.col("h") + F.col("a") + F.col("p")
+    score = F.when(
+        total > 0,
+        (
+            F.lit(w["h"]) * F.col("h")
+            + F.lit(w["a"]) * F.col("a")
+            + F.lit(w["p"]) * F.col("p")
+        )
+        / total,
+    ).otherwise(F.lit(1.0))
+    return agg.select("doc_id", (score * F.lit(kw_ratio)).alias("tag_score"))
+
+
 # ------------------------------------------------------- proximity / rank ----
 
 
@@ -257,9 +304,12 @@ def weighted_search_topk(
     conjunctive filter); ``ranker_scores`` (J6) joins last. Returns
     (rank, doc_id, bm25_score, tag_score, prox_score, ranker_score, total).
 
-    ``tag_docs_df``: pass the source files frame to use the code tag
-    classes (path/def-line/body); default uses the positional analog from
-    the index's positions arrays.
+    Tag feature source (first match wins): an explicit ``tag_docs_df``
+    (query-time code classes via content re-tokenization,
+    tag_feature_code); an index built with per-hit tags
+    (build_index_with_tags -> tag_feature_indexed, a pure index read —
+    the preferred 100-TB path); else the positional analog from the
+    positions arrays.
     """
     feats_cfg = {f.name: f for f in (features or DEFAULT_FEATURES)}
     spark = index.postings.sparkSession
@@ -297,6 +347,8 @@ def weighted_search_topk(
         tag = tag_feature_code(
             tag_docs_df.join(cand, "doc_id", "left_semi"), survivors, kw_ratio
         )
+    elif index.path_hits is not None and "tf_def" in index.postings.columns:
+        tag = tag_feature_indexed(index, survivors, kw_ratio)
     else:
         tag = tag_feature_positional(index, survivors, kw_ratio, title_prefix)
     # reference: single-WORD queries get proximityScore = 1 exactly; multi-

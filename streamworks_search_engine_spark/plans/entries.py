@@ -46,8 +46,7 @@ _SQL_TOKS = f"""WITH toks AS (
          AND NOT list_contains({_STOP_SQL}, t)) AS tokens
   FROM documents)"""
 
-_SQL_INDEX = f"""{_SQL_TOKS},
-doclen AS (SELECT doc_id, len(tokens) AS doc_len FROM toks),
+_SQL_INDEX_BODY = """doclen AS (SELECT doc_id, len(tokens) AS doc_len FROM toks),
 stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM doclen),
 hits AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
 postings AS (SELECT term, doc_id, count(*) AS tf FROM hits GROUP BY term, doc_id),
@@ -56,14 +55,17 @@ lexicon AS (SELECT term, count(*) AS df,
                           / (count(*) + 0.5)) AS idf
             FROM postings GROUP BY term)"""
 
+_SQL_INDEX = f"""{_SQL_TOKS},
+{_SQL_INDEX_BODY}"""
+
 
 def _sql_terms_array(terms: list[str]) -> str:
     return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
 
 
-def _bm25_sql_base(terms: list[str]) -> str:
+def _bm25_sql_base(terms: list[str], index_sql: str = _SQL_INDEX) -> str:
     arr = _sql_terms_array(terms)
-    return f"""{_SQL_INDEX},
+    return f"""{index_sql},
 qsurv AS (SELECT term, idf FROM lexicon WHERE list_contains({arr}, term)),
 nq AS (SELECT count(*) AS n FROM qsurv),
 scored AS (
@@ -568,6 +570,80 @@ def q_search_weighted_topk(spark, sf_dir):
     )
 
 
+def _code_docs(spark, sf_dir):
+    """documents -> a derived source-code corpus (doc_id, path, content,
+    lang), deterministically in BOTH engines: every 'slow' token becomes a
+    newline + 'def' (planting definition lines for the index-time 'a' tag
+    class), and docs with doc_id % 7 == 0 get a path whose tokens include
+    the query terms (planting 'h'-class path hits)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("scan_merge_mod.py"))
+            .otherwise(F.lit("plain_util.py")),
+        ).alias("path"),
+        F.replace(F.col("text"), F.lit("slow"), F.lit("\ndef")).alias("content"),
+        "lang",
+    )
+
+
+_TAG_INDEX_CACHE: dict[tuple[str, str], SearchIndex] = {}
+
+
+def _tag_index(spark, sf_dir) -> SearchIndex:
+    """Tag-aware index (per-hit tf_def + path_hits recorded at build time)
+    over the derived code corpus — built once per (app, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TAG_INDEX_CACHE:
+        from ..operators.indexer import build_index_with_tags
+
+        t = build_index_with_tags(
+            spark, _code_docs(spark, sf_dir), docs_have_ids=True
+        )
+        _TAG_INDEX_CACHE[key] = SearchIndex(
+            postings=t.postings,
+            lexicon=t.lexicon,
+            doclen=t.doclen,
+            docs_dim=None,
+            n_docs=t.n_docs,
+            avgdl=t.avgdl,
+            path_hits=t.path_hits,
+        )
+    return _TAG_INDEX_CACHE[key]
+
+
+def q_tag_score_indexed(spark, sf_dir):
+    """Index-time tag classes (the reference's per-hit WordHit.tag,
+    ShortDocIndex.java:63-74 / HitStorage.java:139-157): tag score as a
+    PURE INDEX READ — tf_def ('a' def-line hits) from the postings,
+    path_hits ('h') from the side table, no content re-scan."""
+    from ..operators.ranker import tag_feature_indexed
+
+    res = tag_feature_indexed(_tag_index(spark, sf_dir), sorted(set(Q_CONJ2)))
+    return res.select("doc_id", F.round("tag_score", 6).alias("tag_score"))
+
+
+def q_search_weighted_code_topk(spark, sf_dir):
+    """Weighted final scorer consuming the INDEX-TIME tags (auto-detected:
+    the index carries tf_def + path_hits, so the tag feature is an index
+    read instead of a candidate-content re-tokenization)."""
+    from ..operators.ranker import weighted_search_topk
+
+    res = weighted_search_topk(_tag_index(spark, sf_dir), Q_CONJ2, k=10)
+    return res.select(
+        "rank",
+        "doc_id",
+        F.round("bm25_score", 6).alias("bm25_score"),
+        F.round("tag_score", 6).alias("tag_score"),
+        F.round("prox_score", 6).alias("prox_score"),
+        F.round("ranker_score", 9).alias("ranker_score"),
+        F.round("total", 6).alias("total"),
+    )
+
+
 QUERIES = {
     "index_wordcount": q_index_wordcount,
     "index_postings": q_index_postings,
@@ -616,6 +692,8 @@ QUERIES = {
     "proximity_top10": q_proximity_top10,
     "tag_score_positional": q_tag_score_positional,
     "search_weighted_topk": q_search_weighted_topk,
+    "tag_score_indexed": q_tag_score_indexed,
+    "search_weighted_code_topk": q_search_weighted_code_topk,
 }
 
 # ------------------------------------------------------------- oracles ----
@@ -840,6 +918,118 @@ SELECT doc_id, round(tag_score, 6) AS tag_score FROM tag"""
 # (1.0, 0.5, 0.3, 0.2) — the DEFAULT_FEATURES table in operators.ranker
 _WEIGHTED_SQL = f"""{_bm25_sql_base(Q_CONJ2)},
 {_TAG_CTES},
+posa AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(tokens)),
+                              i -> tokens[i] = '{Q_CONJ2[0]}')) AS p
+         FROM toks),
+posb AS (SELECT doc_id,
+           unnest(list_filter(generate_series(1, len(tokens)),
+                              i -> tokens[i] = '{Q_CONJ2[1]}')) AS p
+         FROM toks),
+win AS (SELECT a.doc_id, min(abs(a.p - b.p) + 1) AS mw
+        FROM posa a JOIN posb b ON a.doc_id = b.doc_id GROUP BY a.doc_id),
+phr AS (SELECT DISTINCT doc_id FROM toks
+        WHERE len(tokens) >= 2 AND len(list_filter(
+                generate_series(1, len(tokens) - 1),
+                i -> tokens[i] = '{Q_CONJ2[0]}'
+                     AND tokens[i + 1] = '{Q_CONJ2[1]}')) > 0),
+prox AS (SELECT w.doc_id,
+           (CASE WHEN phr.doc_id IS NOT NULL THEN 1.5
+                 WHEN w.mw <= 8 THEN 1.2 ELSE 1.0 END)::DOUBLE AS prox_score
+         FROM win w LEFT JOIN phr ON w.doc_id = phr.doc_id),
+rk AS (SELECT doc_id,
+         len(tokens)::DOUBLE
+           / (SELECT sum(len(tokens))::DOUBLE FROM toks) AS ranker_score
+       FROM toks),
+feat AS (
+  SELECT m.doc_id, m.s AS bm25_score, tag.tag_score, prox.prox_score,
+         rk.ranker_score,
+         1.0 * m.s + 0.5 * tag.tag_score + 0.3 * prox.prox_score
+           + 0.2 * ln(greatest(rk.ranker_score, 1e-12)) AS total
+  FROM matched m
+  JOIN tag USING (doc_id) JOIN prox USING (doc_id) JOIN rk USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, round(bm25_score, 6) AS bm25_score,
+       round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
+       round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
+FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
+
+
+# ---------------------------------------------- index-time tag classes ----
+# Derived code corpus (shared with the Spark side's _code_docs): def lines
+# injected by replacing 'slow' tokens with newline+'def', h-class path
+# tokens planted on doc_id % 7 == 0.
+
+_TOK_FILTER = (
+    "t -> length(t) >= 2 AND length(t) <= 64 "
+    "AND NOT regexp_matches(t, '^[0-9]+$') "
+    f"AND NOT list_contains({_STOP_SQL}, t)"
+)
+
+_CODE_SRC = """src AS (
+  SELECT doc_id,
+         source || '/' || (CASE WHEN doc_id % 7 = 0 THEN 'scan_merge_mod.py'
+                                ELSE 'plain_util.py' END) AS path,
+         replace(text, 'slow', chr(10) || 'def') AS content,
+         lang
+  FROM documents)"""
+
+_CODE_TOKS = f"""WITH {_CODE_SRC},
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(content), '[^a-z0-9]+'),
+    {_TOK_FILTER}) AS tokens
+  FROM src)"""
+
+_CODE_INDEX = f"""{_CODE_TOKS},
+{_SQL_INDEX_BODY}"""
+
+# the engine's frozen DEF_LINE_RE (functions.tokenizer), verbatim in RE2
+_DEF_RE_SQL = (
+    r"'^\s*(def|class|function|func|struct|public|private|protected|static"
+    r"|const|let|var|type)\b'"
+)
+
+_CODE_Q_ARR = _sql_terms_array(sorted(set(Q_CONJ2)))
+
+_CODE_TAG_CTES = f"""lines AS (
+  SELECT doc_id, unnest(string_split(content, chr(10))) AS line FROM src),
+lhits AS (
+  SELECT doc_id, regexp_matches(line, {_DEF_RE_SQL}) AS is_def,
+         len(list_filter(
+           list_filter(string_split_regex(lower(line), '[^a-z0-9]+'),
+                       {_TOK_FILTER}),
+           t -> list_contains({_CODE_Q_ARR}, t))) AS n
+  FROM lines),
+chits AS (
+  SELECT doc_id,
+         sum(CASE WHEN is_def THEN n ELSE 0 END)::DOUBLE AS a,
+         sum(CASE WHEN is_def THEN 0 ELSE n END)::DOUBLE AS p
+  FROM lhits GROUP BY doc_id HAVING sum(n) > 0),
+phits AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id,
+           len(list_filter(
+             list_filter(string_split_regex(lower(path), '[^a-z0-9]+'),
+                         {_TOK_FILTER}),
+             t -> list_contains({_CODE_Q_ARR}, t)))::DOUBLE AS h
+    FROM src) WHERE h > 0),
+tagj AS (
+  SELECT doc_id, coalesce(h, 0) AS h, coalesce(a, 0) AS a, coalesce(p, 0) AS p
+  FROM chits FULL OUTER JOIN phits USING (doc_id)),
+tag AS (
+  SELECT doc_id,
+         CASE WHEN h + a + p > 0
+              THEN (1.3 * h + 1.2 * a + 1.0 * p) / (h + a + p)
+              ELSE 1.0 END AS tag_score
+  FROM tagj)"""
+
+_TAG_IDX_SQL = f"""WITH {_CODE_SRC},
+{_CODE_TAG_CTES}
+SELECT doc_id, round(tag_score, 6) AS tag_score FROM tag"""
+
+_WEIGHTED_CODE_SQL = f"""{_bm25_sql_base(Q_CONJ2, index_sql=_CODE_INDEX)},
+{_CODE_TAG_CTES},
 posa AS (SELECT doc_id,
            unnest(list_filter(generate_series(1, len(tokens)),
                               i -> tokens[i] = '{Q_CONJ2[0]}')) AS p
@@ -1147,6 +1337,8 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "simhash_near_dups": _SIMHASH_SQL,
     "tag_score_positional": _TAG_SQL,
     "search_weighted_topk": _WEIGHTED_SQL,
+    "tag_score_indexed": _TAG_IDX_SQL,
+    "search_weighted_code_topk": _WEIGHTED_CODE_SQL,
     "proximity_top10": _PROX_SQL,
     # pagerank_top20: intentionally no SQL oracle (iterative power method,
     # not expressible in one SQL statement) -> rows-only driver check;

@@ -198,3 +198,133 @@ def test_weighted_topk_tag_docs_subset(
     got = [(r["rank"], r["doc_id"], round(r["total"], 9)) for r in got_rows]
     assert got == exp
     assert len(got) == 10  # nothing silently dropped
+
+
+# ------------------------------------------------ index-time tag classes ----
+
+
+@pytest.fixture(scope="module")
+def tagged_index(spark, tmp_path_factory):
+    """Tag-aware index (per-hit tf_def + path_hits) over the same corpus,
+    round-tripped through write_index/load_index so the on-disk layout is
+    exercised too."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index_with_tags,
+        write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+
+    docs = corpus_df(spark, 200, seed=42, partitions=8)
+    tables = build_index_with_tags(spark, docs)
+    out = str(tmp_path_factory.mktemp("index_tags") / "sf_tiny_tags")
+    write_index(tables, out, term_buckets=8)
+    return load_index(spark, out)
+
+
+def test_tagged_index_round_trip_has_tags(tagged_index):
+    assert "tf_def" in tagged_index.postings.columns
+    assert tagged_index.path_hits is not None
+
+
+def test_tag_feature_indexed_matches_query_time_code_tags(
+    tagged_index, docs_df, corpus_rows
+):
+    """The pure-index-read tag score must equal the query-time
+    content-re-tokenization path exactly (same h/a/p counts by
+    construction: per-hit tags were recorded at build time)."""
+    from streamworks_search_engine_spark.operators.ranker import (
+        tag_feature_indexed,
+    )
+
+    terms = sorted(TERMS)
+    indexed = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_indexed(tagged_index, terms).collect()
+    }
+    code = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_code(docs_df, terms).collect()
+    }
+    assert indexed, "no docs hit the tag terms — fixture broken"
+    for did, s in indexed.items():
+        assert s == pytest.approx(code[did], abs=1e-12)
+    # docs absent from the indexed result had zero hits -> the code path
+    # gives them the no-hits default 1.0
+    for did, s in code.items():
+        if did not in indexed:
+            assert s == pytest.approx(1.0, abs=1e-12)
+
+
+def test_tagged_index_same_bm25_as_plain(spark_index, tagged_index):
+    """tf_def/path_hits must not perturb the core index: BM25 over the
+    tagged index is row-identical to the plain build."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+
+    a = [tuple(r) for r in bm25_topk(spark_index, TERMS, k=10).collect()]
+    b = [tuple(r) for r in bm25_topk(tagged_index, TERMS, k=10).collect()]
+    assert a == b
+
+
+def test_weighted_auto_uses_indexed_tags(tagged_index, docs_df):
+    """weighted_search_topk on a tag-aware index (no tag_docs_df) must
+    return exactly what the explicit content-re-scan path returns — same
+    scores, but as a pure index read."""
+    auto = [
+        tuple(r)
+        for r in weighted_search_topk(tagged_index, TERMS, k=10).collect()
+    ]
+    explicit = [
+        tuple(r)
+        for r in weighted_search_topk(
+            tagged_index, TERMS, k=10, tag_docs_df=docs_df
+        ).collect()
+    ]
+    assert auto == explicit
+
+
+def test_tagged_postings_identical_modulo_tf_def(spark_index, tagged_index):
+    """Same (term, doc_id, tf, positions, doc_len) rows as the plain build —
+    per-line tokenization concatenates to the whole-content stream, so
+    recording tags changes NOTHING about the postings themselves."""
+    cols = ["term", "doc_id", "tf", "positions", "doc_len"]
+    plain = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]), r["doc_len"])
+        for r in spark_index.postings.select(cols).collect()
+    }
+    tagged = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]), r["doc_len"])
+        for r in tagged_index.postings.select(cols).collect()
+    }
+    assert plain == tagged
+
+
+def test_tagged_index_packed_only_serves_tags(spark, tagged_index, tmp_path_factory):
+    """tf_def travels INSIDE the packed blocks (one varint stream per
+    block), so a packed-only layout — the 100-TB mode — serves the
+    index-time tag feature identically to the flat path."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index_with_tags,
+        write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+    from streamworks_search_engine_spark.operators.ranker import (
+        tag_feature_indexed,
+    )
+
+    docs = corpus_df(spark, 200, seed=42, partitions=8)
+    tables = build_index_with_tags(spark, docs)
+    out = str(tmp_path_factory.mktemp("index_tags_packed") / "packed_only")
+    write_index(tables, out, term_buckets=8, pack=True, flat=False)
+    packed_idx = load_index(spark, out)
+    assert packed_idx.packed_only
+
+    terms = sorted(TERMS)
+    flat_scores = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_indexed(tagged_index, terms).collect()
+    }
+    packed_scores = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_indexed(packed_idx, terms).collect()
+    }
+    assert packed_scores == flat_scores
