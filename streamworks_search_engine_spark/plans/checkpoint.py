@@ -141,6 +141,15 @@ class CheckpointedIndexBuild:
         next call overwrites). Manifests commit per partition AFTER the
         write — the same write-then-rename protocol as before, now amortized
         over one job instead of P sequential jobs each rescanning the input.
+
+        The lineage snapshot and the tokenize+write are two scans of the
+        same source; before committing manifests, the snapshot is
+        RECOMPUTED from the staged files actually written (a thin
+        3-column scan) and compared — if the source mutated between the
+        two scans the build raises instead of committing a manifest that
+        does not describe the committed data. (Duplicate (repo, path,
+        commit) rows — colliding doc_ids — also trip this check; they are
+        invalid index input regardless.)
         """
         docs = with_doc_id(docs_df)
         done = self.committed()
@@ -221,6 +230,37 @@ class CheckpointedIndexBuild:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        # the manifest must describe what was COMMITTED: recompute each
+        # partition's snapshot from the staged files and require it to
+        # match the pre-write source snapshot (catches a source that
+        # mutated between the lineage scan and the tokenize+write scan)
+        staged_snaps = {
+            int(r["part"]): f"{r['n']}:{r['h']}"
+            for r in written.filter(F.col("part").isin(todo))
+            .select("part", "doc_id", "content_sha256")
+            .distinct()
+            .groupBy("part")
+            .agg(
+                F.sha2(
+                    F.concat_ws(
+                        "\x00", F.sort_array(F.collect_list("content_sha256"))
+                    ),
+                    256,
+                ).alias("h"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+        empty_snap = f"0:{EMPTY_SHA256}"
+        for p in todo:
+            exp, got = snapshots.get(p, empty_snap), staged_snaps.get(p, empty_snap)
+            if exp != got:
+                raise ValueError(
+                    f"partition {p}: staged data does not match the input "
+                    f"snapshot ({exp} -> {got}); the source mutated during "
+                    "the build (or carries duplicate (repo, path, commit) "
+                    "rows) — nothing was committed for this run's partitions"
+                )
         wall = int((time.time() - t0) * 1000)
         stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         for p in todo:

@@ -177,6 +177,30 @@ _DEDUP_STATE_SCHEMA = T.StructType(
     [T.StructField("seen", T.ArrayType(T.StringType()))]
 )
 
+_BLOOM_STATE_SCHEMA = T.StructType([T.StructField("bits", T.BinaryType())])
+
+# Bloom sizing: m bits / k hashes per shard. At the default 64 shards this
+# is 64 x 64 KiB = 4 MiB of total state regardless of stream length; with
+# k=4, the false-drop rate stays < 1% up to ~55k distinct hashes per shard
+# (~3.5M docs overall) — resize m_bits/shards for bigger streams.
+BLOOM_M_BITS = 512 * 1024
+BLOOM_K = 4
+
+
+def _bloom_positions(hashes, m_bits: int, k: int):
+    """Deterministic hash family: positions j_i = md5(hash ':' i) mod m for
+    i in 0..k-1. Returns an (n, k) int64 array."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((len(hashes), k), dtype=np.int64)
+    for r, h in enumerate(hashes):
+        for i in range(k):
+            d = hashlib.md5(f"{h}:{i}".encode()).digest()
+            out[r, i] = int.from_bytes(d[:8], "big") % m_bits
+    return out
+
 
 def start_streaming_dedup(
     spark: SparkSession,
@@ -184,6 +208,9 @@ def start_streaming_dedup(
     work_dir: str,
     shards: int = 64,
     trigger_once: bool = True,
+    state: str = "exact",
+    bloom_m_bits: int = BLOOM_M_BITS,
+    bloom_k: int = BLOOM_K,
 ):
     """Stateful exact dedup over a document stream: emit each content hash's
     FIRST-seen document only, across micro-batches and across restarts
@@ -192,27 +219,59 @@ def start_streaming_dedup(
     The custom stateful operator the reference cannot express: seen-hash
     state is sharded over ``shards`` group keys and carried by
     ``applyInPandasWithState``. Within a batch, ties on the same hash go to
-    the smallest doc_id (rows are processed hash-then-id sorted), so output
-    is deterministic. At 100-TB scale the per-shard exact set becomes a
-    Bloom filter (same operator shape, constant state size, bounded
-    false-drop rate); shard count spreads state across executors.
+    the smallest doc_id (the whole group is materialized and sorted
+    hash-then-id before filtering — NOT per Arrow chunk, so the surviving
+    representative does not depend on chunk boundaries or arrival order).
+
+    ``state="exact"`` keeps the precise per-shard seen-hash set — state
+    grows with distinct hashes (fine for bounded streams).
+    ``state="bloom"`` keeps a fixed-size Bloom bitmap per shard instead —
+    CONSTANT state size for unbounded streams, at a bounded false-DROP rate
+    (a colliding new doc is wrongly considered seen; never a false keep).
+    The hash family is deterministic (md5-derived), so a given corpus
+    always drops the same docs.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.indexer import with_doc_id
 
-    def dedup_fn(key, pdfs, state: "GroupState"):
-        seen = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["content_hash", "doc_id"])
-            fresh = pdf[
-                ~pdf["content_hash"].isin(seen)
-                & ~pdf["content_hash"].duplicated()
-            ]
+    if state not in ("exact", "bloom"):
+        raise ValueError(f"unknown dedup state mode: {state!r}")
+    use_bloom = state == "bloom"
+
+    def dedup_fn(key, pdfs, group_state: "GroupState"):
+        import numpy as np
+        import pandas as pd
+
+        # materialize the shard's whole batch: chunk-order independence
+        # (per-chunk filtering would pick survivors by arrival order for
+        # hash groups spanning chunks)
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["content_hash", "doc_id"])
+        firsts = pdf[~pdf["content_hash"].duplicated()]
+        if use_bloom:
+            bits = (
+                np.frombuffer(bytes(group_state.get[0]), dtype=np.uint8).copy()
+                if group_state.exists
+                else np.zeros(bloom_m_bits // 8, dtype=np.uint8)
+            )
+            hashes = firsts["content_hash"].tolist()
+            pos = _bloom_positions(hashes, bloom_m_bits, bloom_k)
+            byte_idx, bit_mask = pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            present = ((bits[byte_idx] & bit_mask) == bit_mask).all(axis=1)
+            fresh = firsts[~present]
+            np.bitwise_or.at(bits, byte_idx[~present].ravel(), bit_mask[~present].ravel())
+            group_state.update((bits.tobytes(),))
+        else:
+            seen = set(group_state.get[0]) if group_state.exists else set()
+            fresh = firsts[~firsts["content_hash"].isin(seen)]
             seen.update(fresh["content_hash"])
-            if len(fresh):
-                yield fresh.drop(columns=["shard", "doc_id"])
-        state.update((sorted(seen),))
+            group_state.update((sorted(seen),))
+        if len(fresh):
+            yield fresh.drop(columns=["shard", "doc_id"])
 
     hashed = (
         with_doc_id(
@@ -232,7 +291,7 @@ def start_streaming_dedup(
     deduped = hashed.groupBy("shard").applyInPandasWithState(
         dedup_fn,
         outputStructType=DEDUPED_SCHEMA,
-        stateStructType=_DEDUP_STATE_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA if use_bloom else _DEDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

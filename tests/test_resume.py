@@ -144,3 +144,14 @@ def test_resume_does_not_rewrite_committed_partitions(spark, docs, tmp_path):
         }
         assert after == files, f"partition {p} files were rewritten"
     assert b.is_complete()
+
+
+def test_staged_snapshot_guard_trips_on_doc_id_collision(spark, docs, tmp_path):
+    """The post-write snapshot check: the manifest must describe the data
+    actually committed. Duplicate (repo, path, commit) rows collide on
+    doc_id (invalid index input) and make staged != source snapshot —
+    build() must raise instead of committing."""
+    dup = docs.union(docs.limit(1))
+    b = CheckpointedIndexBuild(spark, str(tmp_path / "dup"), n_partitions=2)
+    with pytest.raises(ValueError, match="staged data does not match"):
+        b.build(dup)

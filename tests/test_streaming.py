@@ -130,3 +130,73 @@ def test_streaming_dedup_stateful_across_restarts(spark, tmp_path):
     kept_paths = {r["path"] for r in out2.collect()}
     assert kept_paths == {"a.py", "b.py", "c.py"}  # first-seen won both times
     assert out2.filter(F.col("content_hash").isNull()).count() == 0
+
+
+def test_streaming_dedup_bloom_state(spark, tmp_path):
+    """state='bloom': same first-seen semantics as exact mode (constant
+    per-shard state instead of a growing set), across restarts."""
+    from pyspark.sql import functions as F
+
+    from streamworks_search_engine_spark.streaming.incremental import (
+        start_streaming_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+
+    def doc(path, content):
+        return ("r0", path, "c0", "python", content)
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(
+        [doc("a.py", "alpha beta"), doc("b.py", "gamma delta"),
+         doc("dup_of_a.py", "alpha beta")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = start_streaming_dedup(spark, in_dir, work, state="bloom")
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{work}/deduped").count() == 2
+
+    spark.createDataFrame(
+        [doc("later_dup.py", "gamma delta"), doc("c.py", "epsilon zeta")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_streaming_dedup(spark, in_dir, work, state="bloom")
+    q2.awaitTermination(120)
+    out = spark.read.parquet(f"{work}/deduped")
+    kept = {r["path"] for r in out.collect()}
+    assert kept == {"a.py", "b.py", "c.py"}
+    assert out.filter(F.col("content_hash").isNull()).count() == 0
+
+
+def test_streaming_dedup_bloom_no_false_drops_at_fixture_scale(spark, tmp_path):
+    """300 distinct docs through the bloom path: with the default sizing
+    (512 Ki bits, k=4, 64 shards) the deterministic hash family produces
+    ZERO false drops at this scale — every unique doc must survive."""
+    from streamworks_search_engine_spark.streaming.incremental import (
+        start_streaming_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "work")
+    docs = corpus_df(spark, 300, seed=5)
+    docs.coalesce(2).write.mode("overwrite").parquet(in_dir)
+    n_unique = docs.select("content").distinct().count()
+    q = start_streaming_dedup(spark, in_dir, work, state="bloom")
+    q.awaitTermination(180)
+    assert spark.read.parquet(f"{work}/deduped").count() == n_unique
+
+
+def test_bloom_positions_deterministic():
+    import hashlib
+
+    from streamworks_search_engine_spark.streaming.incremental import (
+        _bloom_positions,
+    )
+
+    hashes = [hashlib.md5(str(i).encode()).hexdigest() for i in range(50)]
+    a = _bloom_positions(hashes, 1 << 16, 4)
+    b = _bloom_positions(hashes, 1 << 16, 4)
+    assert (a == b).all()
+    assert a.shape == (50, 4)
+    assert (a >= 0).all() and (a < (1 << 16)).all()
