@@ -24,12 +24,15 @@ PHRASE_BOOST = 1.5
 WINDOW_BOOST = 1.2
 
 
-def _positions_pivot(index: SearchIndex, terms: list[str]) -> DataFrame:
+def _positions_pivot(
+    index: SearchIndex, terms: list[str], hits: DataFrame | None = None
+) -> DataFrame:
     """One row per doc containing ALL terms: (doc_id, pos_0..pos_{n-1}).
     Left-deep join chain like the reference's (term count is tiny).
     postings_for_terms pushes the term predicate into the packed block scan
-    on packed-only indexes (positions decode from the blocks)."""
-    rows = postings_for_terms(index, terms, positions=True)
+    on packed-only indexes (positions decode from the blocks). ``hits``:
+    optional prefetched term-filtered postings (must include positions)."""
+    rows = hits if hits is not None else postings_for_terms(index, terms, positions=True)
     parts = []
     for i, t in enumerate(terms):
         parts.append(
@@ -53,14 +56,16 @@ def _phrase_cond(n_terms: int):
     return cond
 
 
-def phrase_match(index: SearchIndex, raw_terms: list[str]) -> DataFrame:
+def phrase_match(
+    index: SearchIndex, raw_terms: list[str], hits: DataFrame | None = None
+) -> DataFrame:
     """Docs containing the terms as a contiguous phrase, in the given order:
     exists(p in pos_0) with (p+i) in pos_i for all i. No UDF."""
     terms = [t for rt in raw_terms for t in normalize_terms([rt])]
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long")
-    piv = _positions_pivot(index, terms)
+    piv = _positions_pivot(index, terms, hits)
     if len(terms) == 1:
         return piv.select("doc_id")
     return piv.filter(
@@ -96,45 +101,45 @@ def make_min_window_udf():
                     best = min(best, int((a[lo] - b[idx[lo] - 1]).min()))
                 out[r] = best + 1
                 continue
-            labeled = np.concatenate(
-                [
-                    np.stack([a, np.full(len(a), i)], axis=1)
-                    for i, a in enumerate(arrs)
-                ]
-            )
-            labeled = labeled[np.argsort(labeled[:, 0], kind="stable")]
+            # k > 2: vectorized running-max formulation. For the merged
+            # position stream, the tightest window ENDING at element r
+            # starts at min over labels of "latest occurrence of that label
+            # at or before r" — a per-label running maximum computed with
+            # one np.maximum.accumulate over an (n, k) matrix; the answer
+            # is the min span over all r where every label has occurred.
+            # O(n·k) vectorized (replaces the per-element Python sweep).
             k = len(arrs)
-            counts = np.zeros(k, dtype=np.int64)
-            have = 0
-            best = np.iinfo(np.int64).max
-            left = 0
-            for right in range(len(labeled)):
-                lab = labeled[right, 1]
-                counts[lab] += 1
-                if counts[lab] == 1:
-                    have += 1
-                while have == k:
-                    span = labeled[right, 0] - labeled[left, 0] + 1
-                    if span < best:
-                        best = span
-                    llab = labeled[left, 1]
-                    counts[llab] -= 1
-                    if counts[llab] == 0:
-                        have -= 1
-                    left += 1
-            out[r] = best
+            pos_all = np.concatenate(arrs)
+            lab_all = np.concatenate(
+                [np.full(len(a), i, dtype=np.int64) for i, a in enumerate(arrs)]
+            )
+            order = np.argsort(pos_all, kind="stable")
+            pos_s, lab_s = pos_all[order], lab_all[order]
+            sentinel = np.iinfo(np.int64).min
+            m = np.full((len(pos_s), k), sentinel, dtype=np.int64)
+            m[np.arange(len(pos_s)), lab_s] = pos_s
+            last_seen = np.maximum.accumulate(m, axis=0)
+            starts = last_seen.min(axis=1)
+            valid = starts > sentinel
+            out[r] = (
+                int((pos_s[valid] - starts[valid] + 1).min())
+                if valid.any()
+                else np.iinfo(np.int64).max
+            )
         return pd.Series(out, index=pos_lists.index)
 
     return min_window
 
 
-def min_window_per_doc(index: SearchIndex, raw_terms: list[str]) -> DataFrame:
+def min_window_per_doc(
+    index: SearchIndex, raw_terms: list[str], hits: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, min_window) over docs containing all (normalized) terms."""
     terms = sorted({t for rt in raw_terms for t in normalize_terms([rt])})
     spark = index.postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, min_window long")
-    piv = _positions_pivot(index, terms)
+    piv = _positions_pivot(index, terms, hits)
     mw = make_min_window_udf()
     return piv.select(
         "doc_id",

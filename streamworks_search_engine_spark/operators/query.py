@@ -179,7 +179,10 @@ def _score_and_topk(
 
 
 def bm25_topk(
-    index: SearchIndex, raw_terms: list[str], k: int | None = 10
+    index: SearchIndex,
+    raw_terms: list[str],
+    k: int | None = 10,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Flat-postings BM25 top-k. Returns (rank, doc_id, score).
 
@@ -190,6 +193,11 @@ def bm25_topk(
     broadcast 1-row scalar (# surviving terms) — the reference needed a
     lexicon RPC + an n-way SQL join chain for the same thing
     (MatchHandler.java:186-213,317-335).
+
+    ``hits``: an optional prefetched term-filtered postings frame covering
+    (at least) the normalized query terms — multi-feature callers
+    (weighted_search_topk) checkpoint ONE such frame and share it across
+    every feature instead of re-scanning the postings per feature.
     """
     spark = index.postings.sparkSession
     terms = normalize_terms(raw_terms)
@@ -200,8 +208,14 @@ def bm25_topk(
         "term", "idf"
     )
     nq = lex_mini.agg(F.count("*").alias("nq_n"))
+    if hits is not None:
+        rows = hits.filter(F.col("term").isin(terms))
+        if "positions" in rows.columns:
+            rows = rows.drop("positions")
+    else:
+        rows = postings_for_terms(index, terms, positions=False)
     hits = (
-        postings_for_terms(index, terms, positions=False)
+        rows
         .join(F.broadcast(lex_mini), "term")
         .select(
             "term",

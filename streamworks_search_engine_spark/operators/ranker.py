@@ -83,6 +83,7 @@ def tag_feature_positional(
     terms: list[str],
     kw_ratio: float = 1.0,
     title_prefix: int = 10,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, tag_score) over docs with >=1 hit of ``terms``.
 
@@ -91,7 +92,12 @@ def tag_feature_positional(
     over the positions arrays — one aggregation, no UDF.
     """
     w = TAG_WEIGHTS
-    hits = postings_for_terms(index, terms, positions=True).select(
+    rows = (
+        hits.filter(F.col("term").isin(terms))
+        if hits is not None
+        else postings_for_terms(index, terms, positions=True)
+    )
+    hits = rows.select(
         "doc_id",
         F.col("tf").cast("double").alias("tf"),
         F.size(
@@ -178,7 +184,10 @@ def tag_feature_code(
 
 
 def tag_feature_indexed(
-    index: SearchIndex, terms: list[str], kw_ratio: float = 1.0
+    index: SearchIndex,
+    terms: list[str],
+    kw_ratio: float = 1.0,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, tag_score) as a PURE INDEX READ — no content re-scan, no
     UDF: the tag class of every hit was recorded at build time
@@ -198,8 +207,13 @@ def tag_feature_indexed(
             "(build_index_with_tags); this index has no per-hit tags"
         )
     w = TAG_WEIGHTS
+    rows = (
+        hits.filter(F.col("term").isin(terms))
+        if hits is not None
+        else postings_for_terms(index, terms, positions=False)
+    )
     content = (
-        postings_for_terms(index, terms, positions=False)
+        rows
         .groupBy("doc_id")
         .agg(
             F.sum("tf_def").cast("double").alias("a"),
@@ -235,6 +249,7 @@ def proximity_feature(
     raw_terms: list[str],
     kw_ratio: float = 1.0,
     window: int = 8,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, prox_score) over docs containing ALL normalized terms:
     phrase ×1.5 / window ×1.2 / else ×1.0 (reference allIn/twoOrMore/alone
@@ -249,11 +264,16 @@ def proximity_feature(
         # one *surviving* term: the degenerate 'alone' case normalizes to
         # 1.0; the caller passes kw_ratio=1.0 when the raw query itself was
         # single-word (reference numWords==1 branch, IndexScorer.java:575-579)
-        return postings_for_terms(index, terms, positions=False).select(
+        rows = (
+            hits.filter(F.col("term").isin(terms))
+            if hits is not None
+            else postings_for_terms(index, terms, positions=False)
+        )
+        return rows.select(
             "doc_id", F.lit(1.0 * kw_ratio).alias("prox_score")
         )
-    feats = min_window_per_doc(index, raw_terms)
-    phrased = phrase_match(index, raw_terms).distinct().withColumn(
+    feats = min_window_per_doc(index, raw_terms, hits=hits)
+    phrased = phrase_match(index, raw_terms, hits=hits).distinct().withColumn(
         "is_phrase", F.lit(True)
     )
     feats = feats.join(phrased, "doc_id", "left").fillna({"is_phrase": False})
@@ -339,7 +359,14 @@ def weighted_search_topk(
         return empty
     kw_ratio = len(survivors) / n_query  # IndexScorer.java:497,566-569
 
-    base = bm25_topk(index, survivors, k=None).select(
+    # ONE term-filtered postings scan serves every feature: bm25, tag,
+    # min-window and phrase all derive from this localCheckpoint'd frame
+    # (k terms × df rows — query-sized, not corpus-sized) instead of each
+    # re-scanning the postings (~5 scans in round 2). The checkpoint blocks
+    # are freed by the ContextCleaner when the frame is GC'd.
+    hits = postings_for_terms(index, survivors, positions=True).localCheckpoint()
+
+    base = bm25_topk(index, survivors, k=None, hits=hits).select(
         "doc_id", F.col("score").alias("bm25_score")
     )
     if tag_docs_df is not None:
@@ -348,9 +375,11 @@ def weighted_search_topk(
             tag_docs_df.join(cand, "doc_id", "left_semi"), survivors, kw_ratio
         )
     elif index.path_hits is not None and "tf_def" in index.postings.columns:
-        tag = tag_feature_indexed(index, survivors, kw_ratio)
+        tag = tag_feature_indexed(index, survivors, kw_ratio, hits=hits)
     else:
-        tag = tag_feature_positional(index, survivors, kw_ratio, title_prefix)
+        tag = tag_feature_positional(
+            index, survivors, kw_ratio, title_prefix, hits=hits
+        )
     # reference: single-WORD queries get proximityScore = 1 exactly; multi-
     # word queries scale by kwRatio even when only one term survives.
     # Absent terms are dropped BEFORE proximity (reference scores over the
@@ -358,7 +387,8 @@ def weighted_search_topk(
     surv_set = set(survivors)
     surv_raw_order = [t for t in norm_raw_order if t in surv_set]
     prox = proximity_feature(
-        index, surv_raw_order, 1.0 if n_query == 1 else kw_ratio, window
+        index, surv_raw_order, 1.0 if n_query == 1 else kw_ratio, window,
+        hits=hits,
     )
     rank = (
         ranker_scores

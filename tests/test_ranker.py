@@ -328,3 +328,16 @@ def test_tagged_index_packed_only_serves_tags(spark, tagged_index, tmp_path_fact
         for r in tag_feature_indexed(packed_idx, terms).collect()
     }
     assert packed_scores == flat_scores
+
+
+def test_weighted_plan_shares_one_postings_scan(spark_index):
+    """r2 verdict #7: the weighted scorer must derive every feature from
+    ONE term-filtered postings scan. The shared frame is localCheckpoint'd
+    before the feature plans are built, so the final plan contains ZERO
+    parquet scans of the postings table (bm25/tag/min-window/phrase all
+    read the checkpointed RDD blocks)."""
+    res = weighted_search_topk(spark_index, TERMS, k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    n_postings_scans = plan.count("/postings]")
+    assert n_postings_scans == 0, f"{n_postings_scans} postings scans:\n{plan}"
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
