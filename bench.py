@@ -184,6 +184,73 @@ def main() -> None:
         statistics.median(clat), 3
     )
 
+    # --- packed design point: 'rare AND common' conjunctive query ---
+    # The block path's earn-back case: a conjunctive query pairing a rare
+    # term with a huge one. The flat plan must scan+score the huge term's
+    # whole posting list; the packed plan decodes the rare term's few
+    # blocks, skip-pointer-semi-joins the huge term's blocks on
+    # containment (bucket equi-join) and decodes ~rare_df blocks total —
+    # work bounded by the RARE df, so the gap grows with corpus size.
+    # 8M docs / rare df 1000: the smallest size where the win is visible
+    # above local-mode fixed overheads (see BENCH.md round-3 notes).
+    dp_dir = "/tmp/sse_bench_rareconj_8m"
+    dp_n = 8_000_000
+    if not os.path.exists(dp_dir + "/.ok"):
+        from streamworks_search_engine_spark.operators.indexer import (
+            IndexTables,
+            salted_lexicon,
+        )
+
+        base = spark.range(dp_n).select(
+            F.xxhash64(F.col("id"))
+            .bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+            .alias("doc_id"),
+            "id",
+        )
+        dl = (F.lit(50) + F.pmod(F.col("doc_id"), F.lit(100))).cast("long")
+        common = base.select(
+            F.lit("commonterm").alias("term"), "doc_id",
+            (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(7))).cast("long").alias("tf"),
+            dl.alias("doc_len"),
+        )
+        rare = base.filter(F.pmod(F.col("id"), F.lit(dp_n // 1000)) == 0).select(
+            F.lit("rareterm").alias("term"), "doc_id",
+            (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))).cast("long").alias("tf"),
+            dl.alias("doc_len"),
+        )
+        dp_postings = common.unionByName(rare)
+        dp_doclen = base.select("doc_id", dl.alias("doc_len"))
+        dp_avgdl = float(dp_doclen.agg(F.avg("doc_len")).collect()[0][0])
+        write_index(
+            IndexTables(
+                postings=dp_postings,
+                lexicon=salted_lexicon(dp_postings.select("term", "doc_id"), dp_n),
+                doclen=dp_doclen,
+                docs_dim=None,
+                n_docs=dp_n,
+                avgdl=dp_avgdl,
+            ),
+            dp_dir, term_buckets=int(CPUS), pack=True, flat=True,
+        )
+        with open(dp_dir + "/.ok", "w") as fh:
+            fh.write("ok")
+    dpi = load_index(spark, dp_dir)
+    dp_q = ["rareterm", "commonterm"]
+    bm25_topk(dpi, ["warmup"], k=10).collect()
+    bm25_topk_packed(dpi, ["warmup"], k=10).collect()
+    flat_l, packed_l = [], []
+    for _ in range(5):
+        t0 = time.time()
+        flat_rows = bm25_topk(dpi, dp_q, k=10).collect()
+        flat_l.append(time.time() - t0)
+        t0 = time.time()
+        packed_rows = bm25_topk_packed(dpi, dp_q, k=10, prune=True).collect()
+        packed_l.append(time.time() - t0)
+    assert [tuple(r) for r in flat_rows] == [tuple(r) for r in packed_rows], \
+        "design-point paths diverged (rank identity violated)"
+    timings["rareconj8m_flat_p50"] = round(statistics.median(flat_l), 3)
+    timings["rareconj8m_packed_p50"] = round(statistics.median(packed_l), 3)
+
     total = time.time() - t_all
     print(
         json.dumps(

@@ -259,6 +259,95 @@ def _contribs_from_decoded(decoded: DataFrame, survivors: list[tuple[str, float]
     )
 
 
+# bucket-grain block-max pruning: the 63-bit doc-id space is cut into
+# 2^BUCKET_BITS equal buckets (doc_ids are sha-derived, i.e. uniform, so
+# buckets are balanced by construction)
+BUCKET_BITS = 12
+_BUCKET_SHIFT = 63 - BUCKET_BITS
+
+
+def _blocks_containing(
+    blocks: DataFrame, cand: DataFrame, n_docs: int
+) -> DataFrame:
+    """Blocks whose [first_doc_id, last_doc_id] range can contain any
+    ``cand.cand_id`` — the distributed skip-pointer semi-join, expressed as
+    a BUCKET EQUI-JOIN (codegen hash joins) instead of a broadcast
+    nested-loop range join (which evaluates every block against every
+    candidate): candidate ids and block ranges are quantized to an
+    adaptive bucket grid (~32 docs per bucket in expectation), light block
+    METADATA is exploded to its covering buckets, and the surviving
+    (term, first_doc_id) block keys semi-join the heavy block rows. The
+    bucket grain admits a thin superset of the exactly-containing blocks —
+    lossless, since scoring after decode is exact."""
+    semi_bits = min(20, max(BUCKET_BITS, (max(n_docs, 64) // 32).bit_length()))
+    shift = 63 - semi_bits
+    cand_g = cand.select(
+        F.shiftright(F.col("cand_id"), shift).alias("g")
+    ).distinct()
+    meta = blocks.select(
+        "term",
+        "first_doc_id",
+        F.explode(
+            F.sequence(
+                F.shiftright(F.col("first_doc_id"), shift),
+                F.shiftright(F.col("last_doc_id"), shift),
+            )
+        ).alias("g"),
+    )
+    hit = (
+        meta.join(F.broadcast(cand_g), "g", "left_semi")
+        .select("term", "first_doc_id")
+        .distinct()
+    )
+    return blocks.join(
+        F.broadcast(hit), ["term", "first_doc_id"], "left_semi"
+    )
+
+
+def _conj_theta_probe(
+    blocks: DataFrame,
+    survivors: list[tuple[str, float]],
+    dfs: dict[str, int],
+    k: int,
+    avgdl: float,
+    n_docs: int,
+) -> float | None:
+    """Lower-bound the k-th best CONJUNCTIVE score from a bounded probe:
+    decode the rarest term's best blocks (by block_max_score), decode the
+    other terms' blocks that can contain those candidate docs (bucket
+    containment), score conjunctively. Every score produced is a TRUE
+    final score (a doc counted as matched has rows from all terms decoded:
+    its rarest-term row is in the probe set and every other term's
+    covering block was semi-joined in), so the k-th best is a valid theta.
+    Returns None when the probe yields fewer than k matches."""
+    from .postings import BLOCK_SIZE, decode_blocks
+
+    term_list = [t for t, _ in survivors]
+    rarest = min(term_list, key=lambda t: (dfs[t], t))
+    n_probe_blocks = max(1, -(-4 * k // BLOCK_SIZE))  # ~4k candidate docs
+    probe_blocks = (
+        blocks.filter(F.col("term") == rarest)
+        .orderBy(F.desc("block_max_score"), F.asc("first_doc_id"))
+        .limit(n_probe_blocks)
+    )
+    cand_rows = decode_blocks(probe_blocks)
+    cand = cand_rows.select(F.col("doc_id").alias("cand_id")).distinct()
+    others = _blocks_containing(
+        blocks.filter(F.col("term") != rarest), cand, n_docs
+    )
+    probe_hits = _contribs_from_decoded(
+        decode_blocks(others).unionByName(cand_rows), survivors, avgdl
+    )
+    top = (
+        _score_and_topk(probe_hits, len(term_list), k)
+        .select("score")
+        .collect()
+    )
+    if len(top) < k:
+        return None
+    return float(top[-1]["score"])
+
+
 def bm25_topk_packed(
     index: SearchIndex,
     raw_terms: list[str],
@@ -277,12 +366,20 @@ def bm25_topk_packed(
       threshold theta = k-th best decoded score -> decode only blocks with
       ``block_max_score >= theta``. Lossless: a doc in a pruned block scores
       <= its block max < theta.
-    - multi-term (conjunctive): (a) global doc-range intersection across the
-      query terms' block metadata; (b) if the rarest term is small enough
-      (known df from the lexicon — no extra job), decode it first and
-      semi-join the other terms' BLOCKS on range containment (broadcast),
-      i.e. distributed skip pointers. Both prunings only drop blocks that
-      cannot contain a doc present in ALL terms.
+    - multi-term (conjunctive): bucket-grain Σ-maxscore — the doc-id space
+      is cut into 2^BUCKET_BITS uniform buckets; per (term, bucket) the max
+      block_max_score of overlapping blocks is aggregated, and a bucket
+      survives only if (a) EVERY query term has a block overlapping it
+      (conjunctive presence) and (b) Σ_terms max_block_score >= theta,
+      where theta is a true k-th-best conjunctive score from a bounded
+      probe (``_conj_theta_probe``). A doc d in bucket g scores
+      Σ_t contrib_t(d) <= Σ_t max over t's blocks overlapping g, so
+      dropping blocks that overlap no surviving bucket is LOSSLESS.
+      Everything is bounded (<= 2^BUCKET_BITS bucket rows) and equi-joined
+      — no per-term driver-side block lists, so it holds at 10^12-file
+      scale where a hot term's block count itself is huge. A rarest-term
+      doc-level semi-join (distributed skip pointers) then cuts the
+      surviving blocks further when the rarest df is small.
     """
     from .postings import decode_blocks
 
@@ -329,38 +426,62 @@ def bm25_topk_packed(
             theta = probe_scores[-1]["contrib"]
             blocks = blocks.filter(F.col("block_max_score") >= theta)
     elif prune and len(term_list) > 1:
-        ranges = (
-            blocks.groupBy("term")
-            .agg(
-                F.min("first_doc_id").alias("lo"), F.max("last_doc_id").alias("hi")
-            )
-            .collect()
-        )
-        if len(ranges) < len(term_list):
-            return empty  # a surviving lexicon term with zero blocks: impossible, but safe
-        lo = max(r["lo"] for r in ranges)
-        hi = min(r["hi"] for r in ranges)
-        if lo > hi:
-            return empty
-        blocks = blocks.filter(
-            (F.col("last_doc_id") >= lo) & (F.col("first_doc_id") <= hi)
-        )
         rarest = min(term_list, key=lambda t: (dfs[t], t))
-        if dfs[rarest] <= semi_join_df_threshold:
-            cand = (
-                decode_blocks(blocks.filter(F.col("term") == rarest))
-                .select(F.col("doc_id").alias("cand_id"))
+        skip_pointers = dfs[rarest] <= semi_join_df_threshold
+        if not skip_pointers and k is not None:
+            # every term is huge: the weapon is bucket-grain Σ-maxscore vs
+            # a probed theta (true block-max WAND). When the rarest term is
+            # small the doc-level semi-join below dominates any bucket
+            # pruning, so the probe's extra jobs are skipped.
+            theta = _conj_theta_probe(
+                blocks, survivors, dfs, k, index.avgdl, index.n_docs
             )
-            others = blocks.filter(F.col("term") != rarest)
-            surviving_others = others.join(
-                F.broadcast(cand),
-                (F.col("cand_id") >= F.col("first_doc_id"))
-                & (F.col("cand_id") <= F.col("last_doc_id")),
-                "left_semi",
+            g_lo = F.shiftright(F.col("first_doc_id"), _BUCKET_SHIFT)
+            g_hi = F.shiftright(F.col("last_doc_id"), _BUCKET_SHIFT)
+            per_tg = (
+                blocks.select(
+                    "term",
+                    "block_max_score",
+                    F.explode(F.sequence(g_lo, g_hi)).alias("g"),
+                )
+                .groupBy("term", "g")
+                .agg(F.max("block_max_score").alias("mx"))
             )
-            blocks = surviving_others.unionByName(
-                blocks.filter(F.col("term") == rarest)
+            buckets = per_tg.groupBy("g").agg(
+                F.sum("mx").alias("ub"), F.count("*").alias("nt")
             )
+            good = buckets.filter(F.col("nt") == len(term_list))
+            if theta is not None:
+                good = good.filter(F.col("ub") >= theta)
+            good = good.select("g")
+            bexp = blocks.select(
+                "term",
+                "first_doc_id",
+                F.explode(F.sequence(g_lo, g_hi)).alias("g"),
+            )
+            keep = (
+                bexp.join(F.broadcast(good), "g", "left_semi")
+                .select("term", "first_doc_id")
+                .distinct()
+            )
+            blocks = blocks.join(
+                F.broadcast(keep), ["term", "first_doc_id"], "left_semi"
+            )
+        if skip_pointers:
+            # distributed skip pointers: decode the rarest term (few
+            # blocks — collapse to few partitions so the Arrow decode pass
+            # doesn't pay per-partition dispatch for mostly-empty splits),
+            # bucket-equi-semi-join the other terms' blocks on containment
+            rare_blocks = blocks.filter(F.col("term") == rarest).coalesce(
+                max(1, dfs[rarest] // (128 * 32))
+            )
+            cand = decode_blocks(rare_blocks).select(
+                F.col("doc_id").alias("cand_id")
+            )
+            surviving_others = _blocks_containing(
+                blocks.filter(F.col("term") != rarest), cand, index.n_docs
+            )
+            blocks = surviving_others.unionByName(rare_blocks)
 
     decoded = decode_blocks(blocks)
     hits = _contribs_from_decoded(decoded, survivors, index.avgdl)

@@ -88,8 +88,10 @@ def test_bm25_packed_rank_identity(qname, prune, spark_index, oracle_index):
 
 
 def test_packed_semi_join_path_forced(spark_index, oracle_index):
-    """Force the rarest-term block semi-join (threshold high) and the
-    range-only path (threshold 0); both must stay rank-identical."""
+    """Force BOTH multi-term pruning branches and check rank identity:
+    threshold 0 -> the all-hot-terms branch (theta probe + bucket-grain
+    Σ-maxscore block-max pruning); threshold high -> the rarest-term
+    skip-pointer semi-join branch."""
     from streamworks_search_engine_spark.operators.query import bm25_topk_packed
 
     terms, k = _query_set(oracle_index)["conj3"]
@@ -97,6 +99,20 @@ def test_packed_semi_join_path_forced(spark_index, oracle_index):
     for thr in (0, 10**9):
         got = bm25_topk_packed(
             spark_index, terms, k, prune=True, semi_join_df_threshold=thr
+        ).collect()
+        _assert_rank_identical(got, expected)
+
+
+def test_packed_theta_bucket_branch_matches_full_set(spark_index, oracle_index):
+    """The theta/bucket branch with k=None (no probe possible) and with
+    small k must both reproduce the oracle on every multi-term query."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk_packed
+
+    for qname in ("conj2", "conj3", "conj4"):
+        terms, _ = _query_set(oracle_index)[qname]
+        expected = O.bm25_topk(oracle_index, terms, 5)
+        got = bm25_topk_packed(
+            spark_index, terms, 5, prune=True, semi_join_df_threshold=0
         ).collect()
         _assert_rank_identical(got, expected)
 
