@@ -75,6 +75,31 @@ DEFAULT_FEATURES = [
 ]
 
 
+def save_features(
+    spark, features: list[FeatureCoeff], path: str
+) -> None:
+    """Persist a feature-coefficient table — the parquet analog of the
+    reference's MySQL ``streamwork.feature`` table (FeatureService.java:
+    45-60 reads (name, coefficient, use_log) rows at query time)."""
+    spark.createDataFrame(
+        [(f.name, float(f.coeff), bool(f.use_log)) for f in features],
+        "name string, coeff double, use_log boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_features(spark, path: str) -> list[FeatureCoeff]:
+    """Read the feature table back (sorted by name for determinism);
+    pass the result to :func:`weighted_search_topk`'s ``features``."""
+    rows = spark.read.parquet(path).collect()
+    return sorted(
+        (
+            FeatureCoeff(r["name"], float(r["coeff"]), bool(r["use_log"]))
+            for r in rows
+        ),
+        key=lambda f: f.name,
+    )
+
+
 # ------------------------------------------------------------- tag score ----
 
 

@@ -644,6 +644,37 @@ def q_search_weighted_code_topk(spark, sf_dir):
     )
 
 
+def q_bm25_topk_metadata(spark, sf_dir):
+    """J3: scored top-k ⋈ doc metadata (MatchHandler.joinDocInfo:466-474) —
+    the tiny top-k side broadcasts into the docs_dim join."""
+    from ..operators.query import topk_with_metadata
+
+    t = _index(spark, sf_dir)
+    docs_dim = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.concat(F.col("source"), F.lit("/doc_"), F.col("doc_id")).alias("path"),
+        "lang",
+    )
+    idx = SearchIndex(
+        postings=t.postings,
+        lexicon=t.lexicon,
+        doclen=t.doclen,
+        docs_dim=docs_dim,
+        n_docs=t.n_docs,
+        avgdl=t.avgdl,
+    )
+    res = topk_with_metadata(idx, Q_CONJ2, k=10)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "repo",
+        "path",
+        "lang",
+    )
+
+
 QUERIES = {
     "index_wordcount": q_index_wordcount,
     "index_postings": q_index_postings,
@@ -694,6 +725,7 @@ QUERIES = {
     "search_weighted_topk": q_search_weighted_topk,
     "tag_score_indexed": q_tag_score_indexed,
     "search_weighted_code_topk": q_search_weighted_code_topk,
+    "bm25_topk_metadata": q_bm25_topk_metadata,
 }
 
 # ------------------------------------------------------------- oracles ----
@@ -1339,6 +1371,14 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "search_weighted_topk": _WEIGHTED_SQL,
     "tag_score_indexed": _TAG_IDX_SQL,
     "search_weighted_code_topk": _WEIGHTED_CODE_SQL,
+    "bm25_topk_metadata": f"""{_bm25_sql_base(Q_CONJ2)},
+topk AS (
+  SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, round(s, 6) AS score
+  FROM matched ORDER BY s DESC, doc_id LIMIT 10)
+SELECT t.rank, t.doc_id, t.score, d.source AS repo,
+       d.source || '/doc_' || d.doc_id AS path, d.lang
+FROM topk t JOIN documents d USING (doc_id) ORDER BY t.rank""",
     "proximity_top10": _PROX_SQL,
     # pagerank_top20: intentionally no SQL oracle (iterative power method,
     # not expressible in one SQL statement) -> rows-only driver check;

@@ -341,3 +341,24 @@ def test_weighted_plan_shares_one_postings_scan(spark_index):
     n_postings_scans = plan.count("/postings]")
     assert n_postings_scans == 0, f"{n_postings_scans} postings scans:\n{plan}"
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_feature_table_round_trip(spark, spark_index, docs_df, tmp_path):
+    """FeatureService analog: coefficients persisted to a parquet feature
+    table and loaded at query time produce exactly the in-code defaults'
+    results."""
+    from streamworks_search_engine_spark.operators.ranker import (
+        DEFAULT_FEATURES,
+        load_features,
+        save_features,
+    )
+
+    path = str(tmp_path / "features")
+    save_features(spark, DEFAULT_FEATURES, path)
+    loaded = load_features(spark, path)
+    assert {(f.name, f.coeff, f.use_log) for f in loaded} == {
+        (f.name, f.coeff, f.use_log) for f in DEFAULT_FEATURES
+    }
+    a = _collect_weighted(spark_index, docs_df, TERMS)
+    b = _collect_weighted(spark_index, docs_df, TERMS, features=loaded)
+    assert a == b
