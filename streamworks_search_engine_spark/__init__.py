@@ -2,14 +2,17 @@
 
 Public API — the operations a user of the reference engine needs:
 
-Build:    get_spark, build_index, build_and_write_index, write_index,
+Build:    get_spark, build_index, build_index_with_tags (per-hit tag
+          classes), build_and_write_index, write_index,
           CheckpointedIndexBuild (resumable), assert_content_sha256
 Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
-          phrase_match, proximity_topk, weighted_search_topk
+          phrase_match, proximity_topk, weighted_search_topk,
+          tag_feature_indexed, save_features / load_features
 Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           simhash_near_dup_pairs, connected_components, cosine_topk,
-          ann_lsh_topk, ann_ivf_topk, near_dup_pairs_lsh, quality_stats, english_score,
+          ann_lsh_topk, ann_ivf_topk, build_ivf_index, near_dup_pairs_lsh,
+          quality_stats, english_score,
           unigram_lm_score, stratified_sample_flags
 
 Modules keep the full surface (functions.*, operators.*, plans.*,
@@ -26,6 +29,7 @@ from .functions.dedup import (
 from .functions.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
+    build_ivf_index,
     cosine_topk,
     near_dup_pairs_lsh,
 )
@@ -39,6 +43,7 @@ from .operators.indexer import (
     assert_content_sha256,
     build_and_write_index,
     build_index,
+    build_index_with_tags,
     write_index,
 )
 from .operators.proximity import phrase_match, proximity_topk
@@ -51,13 +56,19 @@ from .operators.query import (
     tfidf_reference_topk,
     topk_with_metadata,
 )
-from .operators.ranker import weighted_search_topk
+from .operators.ranker import (
+    load_features,
+    save_features,
+    tag_feature_indexed,
+    weighted_search_topk,
+)
 from .plans.checkpoint import CheckpointedIndexBuild
 from .session import get_spark
 
 __all__ = [
     "get_spark",
     "build_index",
+    "build_index_with_tags",
     "build_and_write_index",
     "write_index",
     "CheckpointedIndexBuild",
@@ -72,6 +83,9 @@ __all__ = [
     "phrase_match",
     "proximity_topk",
     "weighted_search_topk",
+    "tag_feature_indexed",
+    "save_features",
+    "load_features",
     "exact_dup_flags",
     "minhash_signatures",
     "jaccard_pairs",
@@ -79,6 +93,7 @@ __all__ = [
     "connected_components",
     "cosine_topk",
     "ann_ivf_topk",
+    "build_ivf_index",
     "ann_lsh_topk",
     "near_dup_pairs_lsh",
     "quality_stats",
