@@ -290,6 +290,14 @@ corpus, `SSE_SCALE_REPEATS` best-of count, `SSE_SCALE_CORES` the pair).
 files/sec and BM25 top-k latency at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS].
 """
+    # preserve manually-maintained sections (cross-session spread, per-round
+    # notes) across rewrites: everything from the first such header on
+    old = (REPO / "BENCH.md").read_text() if (REPO / "BENCH.md").exists() else ""
+    for marker in ("## Cross-session spread", "## Round-"):
+        i = old.find(marker)
+        if i != -1:
+            md += "\n" + old[i:]
+            break
     (REPO / "BENCH.md").write_text(md)
     print(f"wrote {REPO / 'BENCH.md'}", file=sys.stderr)
 
