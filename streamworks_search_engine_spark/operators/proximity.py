@@ -14,11 +14,17 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .query import SearchIndex, bm25_topk, normalize_terms, postings_for_terms
+from .query import (
+    SearchIndex,
+    attach_rank,
+    bm25_topk,
+    normalize_terms,
+    postings_for_terms,
+)
 
 PHRASE_BOOST = 1.5
 WINDOW_BOOST = 1.2
@@ -191,7 +197,6 @@ def proximity_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return ranked.withColumn("rank", F.row_number().over(w)).select(
+    return attach_rank(ranked, [F.desc("score"), F.asc("doc_id")]).select(
         "rank", "doc_id", "score", "boost"
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokenize
@@ -142,6 +142,24 @@ def _bm25_contrib(idf_col, tf_col, dl_col, avgdl: float):
     )
 
 
+
+def attach_rank(ordered: "DataFrame", order_cols: list, dtype: str = "int") -> "DataFrame":
+    """1-based rank for an already top-k-limited frame, without a Window.
+
+    ``ordered`` is the output of ``orderBy(...).limit(k)`` — at most k rows
+    in a single sorted partition (TakeOrderedAndProject). The explicit
+    single-partition re-sort makes the row order a plan guarantee, and
+    ``monotonically_increasing_id`` over that one partition (partition
+    index 0) is exactly 0..n-1 in row order. Equivalent to
+    ``row_number() OVER (ORDER BY ...)`` on <= k rows, but with no
+    single-partition WindowExec (and none of its log-warning flood).
+    """
+    one = ordered.coalesce(1).sortWithinPartitions(*order_cols)
+    return one.withColumn(
+        "rank", (F.monotonically_increasing_id() + 1).cast(dtype)
+    )
+
+
 def _score_and_topk(
     scored_terms: DataFrame, n_terms: int, k: int | None
 ) -> DataFrame:
@@ -171,9 +189,7 @@ def _score_and_topk(
         # full match set: no global sort / rank needed (callers hash-compare)
         return scored
     ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    # rank over <= k rows (post-limit), single partition is fine
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return ordered.withColumn("rank", F.row_number().over(w)).select(
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
         "rank", "doc_id", "score"
     )
 
@@ -240,8 +256,7 @@ def bm25_topk(
     if k is None:
         return scored
     ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return ordered.withColumn("rank", F.row_number().over(w)).select(
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
         "rank", "doc_id", "score"
     )
 

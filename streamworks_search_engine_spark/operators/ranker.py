@@ -39,12 +39,18 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.tokenizer import DEF_LINE_RE, tokenize
-from .query import SearchIndex, bm25_topk, normalize_terms, postings_for_terms
+from .query import (
+    SearchIndex,
+    attach_rank,
+    bm25_topk,
+    normalize_terms,
+    postings_for_terms,
+)
 
 TAG_WEIGHTS = {"h": 1.3, "a": 1.2, "p": 1.0}  # IndexScorer.java:398-412
 
@@ -459,9 +465,8 @@ def weighted_search_topk(
     )
     scored = joined.withColumn("total", total)
     ordered = scored.orderBy(F.desc("total"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("total"), F.asc("doc_id"))
-    return ordered.withColumn(
-        "rank", F.row_number().over(w).cast("long")
+    return attach_rank(
+        ordered, [F.desc("total"), F.asc("doc_id")], dtype="long"
     ).select(
         "rank", "doc_id", "bm25_score", "tag_score", "prox_score",
         "ranker_score", "total",
