@@ -208,3 +208,22 @@ def test_scoring_block_scan_skips_position_blobs(spark_index):
     )
     scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_lines and all("positions" not in l for l in scan_lines)
+
+
+def test_adaptive_prune_regimes():
+    """The prune gate engages exactly where its probe cost can be earned
+    back (measured regimes in the bm25_topk_packed comment)."""
+    from streamworks_search_engine_spark.operators.query import adaptive_prune
+
+    thr, floor = 200_000, 1_000_000
+    # single term: only a huge list is worth theta-probing
+    assert not adaptive_prune({"a": 40_000}, thr, floor)
+    assert adaptive_prune({"a": 2_000_000}, thr, floor)
+    # uniform-df conjunction (the 40k-corpus case): decode-all wins
+    assert not adaptive_prune({"a": 39_000, "b": 36_000}, thr, floor)
+    # rare AND common (the 8M design point): skip pointers win
+    assert adaptive_prune({"rare": 1_000, "common": 8_000_000}, thr, floor)
+    # rare term but nothing to skip: stay on decode-all
+    assert not adaptive_prune({"rare": 100, "common": 50_000}, thr, floor)
+    # every term above the semi-join threshold: bucket sigma-maxscore path
+    assert adaptive_prune({"a": 5_000_000, "b": 9_000_000}, thr, floor)
