@@ -36,6 +36,7 @@ from .functions.similarity import (
 from .functions.textstats import (
     english_score,
     quality_stats,
+    repetition_stats,
     stratified_sample_flags,
     unigram_lm_score,
 )
@@ -97,6 +98,7 @@ __all__ = [
     "ann_lsh_topk",
     "near_dup_pairs_lsh",
     "quality_stats",
+    "repetition_stats",
     "english_score",
     "unigram_lm_score",
     "stratified_sample_flags",

@@ -261,3 +261,78 @@ def stratified_sample_flags(
         F.col(strat_col).alias("stratum"),
         (u < rate).cast("long").alias("keep"),
     )
+
+
+def _top_run_count(sorted_arr: Column) -> Column:
+    """Max multiplicity of any element of a SORTED string array — the
+    longest equal-run, one linear ``F.aggregate`` pass. Per-document array
+    expression: JVM-side, shuffle-free, O(len) after the sort."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        cur = F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"), cur.alias("cur"), F.greatest(acc["best"], cur).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction of
+    token n-grams claimed by the single most frequent n-gram, n=1..3.
+    Highly repetitive machine-generated text scores high and is dropped by
+    a training-data gate (Gopher removes docs with top-2-gram > 0.20 /
+    top-3-gram > 0.18; we report occurrence fractions, not Gopher's
+    character-weighted variant).
+
+    Scale shape: everything is a per-document array expression (split ->
+    n-gram zip -> sort -> one linear run-length aggregate) — no explode, no
+    shuffle, no UDF; a corpus-sized input is a map-only pass.
+    """
+    toks = raw_tokens(F.col(text_col))
+    s = F.size(toks)
+    empty = F.array().cast("array<string>")
+    bigrams = F.when(
+        s >= 2,
+        F.zip_with(
+            F.slice(toks, 1, s - 1),
+            F.slice(toks, 2, s - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(empty)
+    trigrams = F.when(
+        s >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice(toks, 1, s - 2),
+                F.slice(toks, 2, s - 2),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.slice(toks, 3, s - 2),
+            lambda ab, c: F.concat_ws(" ", ab, c),
+        ),
+    ).otherwise(empty)
+
+    def frac(arr: Column, denom: Column) -> Column:
+        return F.round(
+            _top_run_count(F.array_sort(arr))
+            / F.when(denom > 0, denom.cast("double")).otherwise(F.lit(1.0)),
+            6,
+        )
+
+    return df.select(
+        F.col(id_col),
+        s.cast("long").alias("n_tokens"),
+        frac(toks, s).alias("top_token_frac"),
+        frac(bigrams, s - 1).alias("top_bigram_frac"),
+        frac(trigrams, s - 2).alias("top_trigram_frac"),
+    )

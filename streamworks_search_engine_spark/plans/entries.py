@@ -236,6 +236,12 @@ def q_quality_stats(spark, sf_dir):
     return textstats.quality_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: top-1/2/3-gram occurrence fraction
+    per doc (functions/textstats.py:repetition_stats)."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_langid_en(spark, sf_dir):
     return textstats.english_score(_t(spark, sf_dir, "documents"))
 
@@ -700,6 +706,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
+    "repetition_stats": q_repetition_stats,
     "langid_en": q_langid_en,
     "token_counts": q_token_counts,
     "cosine_topk": q_cosine_topk,
@@ -1176,6 +1183,33 @@ SELECT doc_id,
   CAST(len(list_intersect(list_distinct(raw), {_STOP_SQL})) AS BIGINT)
     AS n_stopword_kinds
 FROM raw""",
+    "repetition_stats": f"""WITH {_QUALITY_RAW},
+toks AS (SELECT doc_id, raw, len(raw) AS n FROM raw),
+uni AS (SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM toks, unnest(raw) AS u(t) GROUP BY doc_id, t) GROUP BY doc_id),
+big AS (SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, concat_ws(' ', raw[i], raw[i+1]) AS g, count(*) AS c
+    FROM toks, unnest(generate_series(1, n-1)) AS s(i)
+    GROUP BY doc_id, g) GROUP BY doc_id),
+tri AS (SELECT doc_id, max(c) AS mx FROM (
+    SELECT doc_id, concat_ws(' ', raw[i], raw[i+1], raw[i+2]) AS g,
+           count(*) AS c
+    FROM toks, unnest(generate_series(1, n-2)) AS s(i)
+    GROUP BY doc_id, g) GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  round(coalesce(uni.mx, 0)
+        / (CASE WHEN n > 0 THEN CAST(n AS DOUBLE) ELSE 1.0 END), 6)
+    AS top_token_frac,
+  round(coalesce(big.mx, 0)
+        / (CASE WHEN n >= 2 THEN CAST(n-1 AS DOUBLE) ELSE 1.0 END), 6)
+    AS top_bigram_frac,
+  round(coalesce(tri.mx, 0)
+        / (CASE WHEN n >= 3 THEN CAST(n-2 AS DOUBLE) ELSE 1.0 END), 6)
+    AS top_trigram_frac
+FROM toks t LEFT JOIN uni USING (doc_id) LEFT JOIN big USING (doc_id)
+LEFT JOIN tri USING (doc_id)""",
     "langid_en": f"""WITH {_QUALITY_RAW}
 SELECT doc_id,
   round(len(list_filter(raw, t -> list_contains({_STOP_SQL}, t)))

@@ -118,3 +118,46 @@ def test_stratified_sample_deterministic_and_calibrated(spark):
     assert abs(kept["en"] / 1000 - 0.5) < 0.06
     assert abs(kept["de"] / 1000 - 0.25) < 0.06
     assert abs(kept["fr"] / 1000 - 0.1) < 0.04
+
+
+def test_repetition_stats_vs_counter_oracle(spark):
+    """Spark array-expression path vs an independent Counter-based oracle,
+    including the degenerate-length edges (0/1/2-token docs)."""
+    import re
+    from collections import Counter
+
+    texts = [
+        (1, ""),
+        (2, "x"),
+        (3, "a b"),
+        (4, "a a a"),
+        (5, "spam spam spam spam ham"),
+        (6, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (7, "ab ab cd ab cd ef"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_token_frac"],
+            r["top_bigram_frac"],
+            r["top_trigram_frac"],
+        )
+        for r in textstats.repetition_stats(df).collect()
+    }
+
+    def frac(grams, denom):
+        if denom <= 0 or not grams:
+            return 0.0
+        return round(max(Counter(grams).values()) / denom, 6)
+
+    for doc_id, text in texts:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n = len(toks)
+        exp = (
+            n,
+            frac(toks, n),
+            frac([" ".join(toks[i : i + 2]) for i in range(n - 1)], n - 1),
+            frac([" ".join(toks[i : i + 3]) for i in range(n - 2)], n - 2),
+        )
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
