@@ -571,7 +571,9 @@ def bm25_search(
     mass = int(row["mass"] or 0)
     if mass < crossover_df:
         return bm25_topk(index, raw_terms, k)
-    return bm25_topk_packed(index, raw_terms, k, prune=True)
+    # above the crossover, the block path still lets adaptive_prune decide
+    # whether a probe earns its round-trips for THIS df profile
+    return bm25_topk_packed(index, raw_terms, k)
 
 
 def tfidf_reference_topk(
