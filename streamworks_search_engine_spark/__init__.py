@@ -21,6 +21,7 @@ streaming.*); these re-exports are the stable entry points.
 
 from .functions.dedup import (
     connected_components,
+    decontaminate_flags,
     exact_dup_flags,
     jaccard_pairs,
     minhash_signatures,
@@ -89,6 +90,7 @@ __all__ = [
     "load_features",
     "exact_dup_flags",
     "minhash_signatures",
+    "decontaminate_flags",
     "jaccard_pairs",
     "simhash_near_dup_pairs",
     "connected_components",

@@ -399,3 +399,66 @@ def connected_components(
             "high-diameter graphs"
         )
     return labels
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    method: str = "auto",
+    literal_max: int = 50_000,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share ANY token
+    n-gram with an evaluation set (the standard train/test overlap gate —
+    n-gram collision decontamination as used for GPT-3/PaLM-style training
+    corpora). Returns (id, contaminated 0/1) for every row of ``docs``.
+
+    Scale shape: the eval side is a benchmark, i.e. tiny relative to the
+    corpus, and only its DISTINCT shingles matter. Two physical plans:
+
+    - ``literal`` (default when the eval shingle set fits ``literal_max``):
+      the shingles inline as one literal array and the corpus pass is
+      ``arrays_overlap`` — map-only, no shuffle, no join, early-exits per
+      row on first hit.
+    - ``join``: corpus shingles explode and broadcast-semi-join the eval
+      shingles, then one groupBy(id) shuffle — for eval sets too large to
+      inline but still broadcast-able.
+
+    Both paths are exact (no hashing) and produce identical flags
+    (pytest-asserted).
+    """
+    sh = F.array_distinct(shingles(F.col(tokens_col), n))
+    ev_sh = (
+        eval_docs.select(
+            F.explode(F.array_distinct(shingles(F.col(tokens_col), n))).alias("g")
+        )
+        .distinct()
+    )
+    if method == "auto":
+        method = "literal" if ev_sh.count() <= literal_max else "join"
+    if method == "literal":
+        grams = sorted(r["g"] for r in ev_sh.collect())
+        flag = (
+            F.arrays_overlap(sh, F.lit(grams))
+            if grams
+            else F.lit(False)
+        )
+        return docs.select(
+            F.col(id_col), flag.cast("long").alias("contaminated")
+        )
+    assert method == "join", f"unknown method {method!r}"
+    tr_sh = docs.select(F.col(id_col), F.explode(sh).alias("g"))
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(1).cast("long"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("contaminated"), F.lit(0).cast("long")).alias(
+            "contaminated"
+        ),
+    )

@@ -227,6 +227,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_pairs(toks, n=3, threshold=0.01, max_shingle_df=None)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination: docs >= 10 flagged when sharing
+    any 3-gram shingle with the doc_id < 10 'benchmark' set (literal
+    map-only path; functions/dedup.py:decontaminate_flags)."""
+    toks = _doc_tokens(spark, sf_dir)
+    return dedup.decontaminate_flags(
+        toks.filter(F.col("doc_id") >= 10),
+        toks.filter(F.col("doc_id") < 10),
+        n=3,
+        method="literal",
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash-style document fingerprint (md5 of normalized stream)."""
     return textstats.fingerprint(_doc_tokens(spark, sf_dir))
@@ -699,6 +712,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_buckets": q_minhash_buckets,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontaminate": q_decontaminate,
     "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -1165,6 +1179,19 @@ FROM common
 JOIN sizes na ON na.id = id_a
 JOIN sizes nb ON nb.id = id_b
 WHERE round(n_common / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE), 6) >= 0.01""",
+    "decontaminate": f"""{_SQL_TOKS},
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - 2, 0)),
+           i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))) AS sh
+       FROM toks),
+ev AS (SELECT DISTINCT g FROM sh, unnest(sh) AS u(g) WHERE doc_id < 10),
+tr AS (SELECT doc_id, g FROM sh, unnest(sh) AS u(g) WHERE doc_id >= 10),
+hit AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.g = ev.g)
+SELECT s.doc_id,
+  CAST(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS contaminated
+FROM sh s LEFT JOIN hit USING (doc_id) WHERE s.doc_id >= 10""",
     "doc_fingerprint": f"""{_SQL_TOKS}
 SELECT doc_id, md5(array_to_string(tokens, ' ')) AS fingerprint FROM toks""",
     "quality_stats": f"""WITH {_QUALITY_RAW}

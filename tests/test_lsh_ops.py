@@ -462,3 +462,47 @@ def test_connected_components_raises_on_non_convergence(spark):
         for r in dedup.connected_components(nodes, chain, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_decontaminate_literal_and_join_paths_agree(spark):
+    """Both physical plans of the decontamination gate produce identical
+    flags, and the flags match a set-arithmetic oracle (incl. a doc too
+    short to shingle and an empty eval overlap)."""
+    rows = [
+        (1, ["alpha", "beta", "gamma", "delta"]),        # eval
+        (2, ["x", "y"]),                                  # eval, < n tokens
+        (10, ["alpha", "beta", "gamma", "zeta"]),         # hit: alpha beta gamma
+        (11, ["beta", "gamma", "delta", "omega"]),        # hit: beta gamma delta
+        (12, ["one", "two", "three", "four"]),            # clean
+        (13, ["x", "y"]),                                 # too short -> clean
+        (14, []),                                         # empty -> clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    train, ev = df.filter("doc_id >= 10"), df.filter("doc_id < 10")
+
+    def grams(toks, n=3):
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ev_g = set().union(*[grams(t) for _, t in rows if _ < 10] or [set()])
+    expect = {
+        d: int(bool(grams(t) & ev_g)) for d, t in rows if d >= 10
+    }
+    from streamworks_search_engine_spark.functions.dedup import (
+        decontaminate_flags,
+    )
+
+    for method in ("literal", "join"):
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate_flags(train, ev, method=method).collect()
+        }
+        assert got == expect, (method, got, expect)
+
+    # empty eval set: nothing is contaminated, no crash on F.lit([])
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate_flags(
+            train, ev.filter("doc_id < 0"), method="literal"
+        ).collect()
+    }
+    assert set(got.values()) == {0}
