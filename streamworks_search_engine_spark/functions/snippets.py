@@ -39,9 +39,10 @@ def reference_edit_distance(s: str, t: str) -> int:
     return prev[0]
 
 
-def snippet(text: Column, term: str, radius: int = 24) -> Column:
+def snippet(text: Column, term: str, radius: int = 50) -> Column:
     """Substring of +/-radius chars around the first occurrence of ``term``
-    (case-insensitive find); NULL when absent."""
+    (case-insensitive find); NULL when absent. Default radius matches the
+    reference's 50-char context window (SearchHandler context snippet)."""
     pos = F.locate(term.lower(), F.lower(text))
     start = F.greatest(F.lit(1), pos - radius)
     length = F.lit(2 * radius + len(term))

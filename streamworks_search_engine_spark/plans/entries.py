@@ -364,12 +364,12 @@ def q_events_sessionize(spark, sf_dir):
 
 
 def q_bm25_top10_snippet(spark, sf_dir):
-    """C3/C10 analog: top-10 for 'scan' with +/-24-char context + bolding."""
+    """C3/C10 analog: top-10 for 'scan' with +/-50-char context + bolding (reference radius)."""
     from ..functions.snippets import highlight, snippet
 
     res = bm25_topk(_search_index(spark, sf_dir), Q_SINGLE, k=10)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    snip = snippet(F.col("text"), Q_SINGLE[0], radius=24)
+    snip = snippet(F.col("text"), Q_SINGLE[0], radius=50)
     return (
         res.join(docs, "doc_id")
         .select(
@@ -1321,12 +1321,12 @@ topk AS (SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS r
          FROM matched ORDER BY s DESC, doc_id LIMIT 10)
 SELECT rank, doc_id, score,
   CASE WHEN strpos(lower(text), '{Q_SINGLE[0]}') > 0
-       THEN substr(text, greatest(1, strpos(lower(text), '{Q_SINGLE[0]}') - 24),
-                   {2 * 24 + len(Q_SINGLE[0])}) END AS snippet,
+       THEN substr(text, greatest(1, strpos(lower(text), '{Q_SINGLE[0]}') - 50),
+                   {2 * 50 + len(Q_SINGLE[0])}) END AS snippet,
   CASE WHEN strpos(lower(text), '{Q_SINGLE[0]}') > 0
        THEN replace(
-              substr(text, greatest(1, strpos(lower(text), '{Q_SINGLE[0]}') - 24),
-                     {2 * 24 + len(Q_SINGLE[0])}),
+              substr(text, greatest(1, strpos(lower(text), '{Q_SINGLE[0]}') - 50),
+                     {2 * 50 + len(Q_SINGLE[0])}),
               '{Q_SINGLE[0]}', '<b>{Q_SINGLE[0]}</b>') END AS snippet_bold
 FROM topk JOIN documents USING (doc_id)""",
     "spellcheck": f"""{_SQL_INDEX}
