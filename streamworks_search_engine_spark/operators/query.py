@@ -161,9 +161,10 @@ def attach_rank(ordered: "DataFrame", order_cols: list, dtype: str = "int") -> "
 
 
 def _score_and_topk(
-    scored_terms: DataFrame, n_terms: int, k: int | None
+    scored_terms: DataFrame, n_terms: int, k: int | None, mode: str = "all"
 ) -> DataFrame:
-    """scored_terms: (term, doc_id, contrib). Conjunctive intersection +
+    """scored_terms: (term, doc_id, contrib). Conjunctive intersection
+    (``mode="all"``; ``"any"`` keeps every matching doc — disjunctive) +
     canonical-order sum + deterministic top-k.
 
     Scale note: collect_list holds one struct PER MATCHED QUERY TERM per
@@ -175,8 +176,10 @@ def _score_and_topk(
         F.count("*").alias("n_matched"),
         F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"),
     )
+    if mode == "all":
+        agg = agg.filter(F.col("n_matched") == n_terms)
     scored = (
-        agg.filter(F.col("n_matched") == n_terms)
+        agg
         .withColumn(
             "score",
             F.aggregate(
@@ -199,6 +202,7 @@ def bm25_topk(
     raw_terms: list[str],
     k: int | None = 10,
     hits: DataFrame | None = None,
+    mode: str = "all",
 ) -> DataFrame:
     """Flat-postings BM25 top-k. Returns (rank, doc_id, score).
 
@@ -214,6 +218,10 @@ def bm25_topk(
     (at least) the normalized query terms — multi-feature callers
     (weighted_search_topk) checkpoint ONE such frame and share it across
     every feature instead of re-scanning the postings per feature.
+
+    ``mode``: ``"all"`` (default) requires every query term per doc — the
+    reference's conjunctive semantics; ``"any"`` scores docs matching any
+    term (disjunctive OR), same BM25 sum over the terms present.
     """
     spark = index.postings.sparkSession
     terms = normalize_terms(raw_terms)
@@ -245,8 +253,12 @@ def bm25_topk(
         F.count("*").alias("n_matched"),
         F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"),
     )
+    if mode == "all":
+        agg = agg.join(
+            F.broadcast(nq), F.col("n_matched") == F.col("nq_n")
+        )
     scored = (
-        agg.join(F.broadcast(nq), F.col("n_matched") == F.col("nq_n"))
+        agg
         .withColumn(
             "score",
             F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
@@ -319,6 +331,84 @@ def _blocks_containing(
     )
 
 
+def _bucket_cols():
+    """Bucket-grid columns for a block's [first_doc_id, last_doc_id] range."""
+    g_lo = F.shiftright(F.col("first_doc_id"), _BUCKET_SHIFT)
+    g_hi = F.shiftright(F.col("last_doc_id"), _BUCKET_SHIFT)
+    return g_lo, g_hi
+
+
+def _bucket_upper_bounds(blocks: DataFrame) -> DataFrame:
+    """Per (term, bucket) max block_max_score over the term's blocks that
+    overlap the bucket — the per-term upper bound on any contribution a doc
+    in that bucket can receive from that term. Bounded: <= n_terms *
+    2^BUCKET_BITS rows."""
+    g_lo, g_hi = _bucket_cols()
+    return (
+        blocks.select(
+            "term",
+            "block_max_score",
+            F.explode(F.sequence(g_lo, g_hi)).alias("g"),
+        )
+        .groupBy("term", "g")
+        .agg(F.max("block_max_score").alias("mx"))
+    )
+
+
+def _prune_blocks_to_buckets(blocks: DataFrame, good: DataFrame) -> DataFrame:
+    """Keep only blocks overlapping a surviving bucket (``good``: column
+    ``g``). Because a doc's id maps to exactly ONE bucket, every block
+    containing a surviving doc overlaps its (surviving) bucket, so the kept
+    set carries the doc's COMPLETE per-term contributions — sound for both
+    conjunctive and disjunctive scoring."""
+    g_lo, g_hi = _bucket_cols()
+    bexp = blocks.select(
+        "term",
+        "first_doc_id",
+        F.explode(F.sequence(g_lo, g_hi)).alias("g"),
+    )
+    keep = (
+        bexp.join(F.broadcast(good), "g", "left_semi")
+        .select("term", "first_doc_id")
+        .distinct()
+    )
+    return blocks.join(
+        F.broadcast(keep), ["term", "first_doc_id"], "left_semi"
+    )
+
+
+def _disj_theta_probe(
+    blocks: DataFrame,
+    survivors: list[tuple[str, float]],
+    k: int,
+    avgdl: float,
+) -> float | None:
+    """Lower-bound the k-th best DISJUNCTIVE score from a bounded probe:
+    decode the globally best blocks by block_max_score (any term) and score
+    the decoded rows disjunctively. Probe sums are PARTIAL (a doc's rows
+    for non-probed terms are missing) but partial sums lower-bound the true
+    OR-mode score — every term contribution is >= 0 — so there exist k docs
+    whose true score >= the k-th best probe score: a valid lossless theta.
+    Returns None when the probe yields fewer than k docs."""
+    from .postings import BLOCK_SIZE, decode_blocks
+
+    n_probe_blocks = max(1, -(-4 * k // BLOCK_SIZE))
+    probe_blocks = blocks.orderBy(
+        F.desc("block_max_score"), F.asc("term"), F.asc("first_doc_id")
+    ).limit(n_probe_blocks)
+    probe_hits = _contribs_from_decoded(
+        decode_blocks(probe_blocks), survivors, avgdl
+    )
+    top = (
+        _score_and_topk(probe_hits, len(survivors), k, mode="any")
+        .select("score")
+        .collect()
+    )
+    if len(top) < k:
+        return None
+    return float(top[-1]["score"])
+
+
 def _conj_theta_probe(
     blocks: DataFrame,
     survivors: list[tuple[str, float]],
@@ -385,6 +475,7 @@ def bm25_topk_packed(
     prune: bool | None = None,
     semi_join_df_threshold: int = 200_000,
     prune_min_df: int = 1_000_000,
+    mode: str = "all",
 ) -> DataFrame:
     """BM25 top-k over block-packed postings with lossless pruning (M3).
 
@@ -410,6 +501,13 @@ def bm25_topk_packed(
       scale where a hot term's block count itself is huge. A rarest-term
       doc-level semi-join (distributed skip pointers) then cuts the
       surviving blocks further when the rarest df is small.
+    - multi-term ``mode="any"`` (disjunctive OR): classic block-max WAND —
+      theta is the k-th best PARTIAL score from a probe of the globally
+      best blocks (``_disj_theta_probe``; partial sums lower-bound true OR
+      scores), and a bucket survives iff Σ_t max_block_score over the
+      terms WITH blocks overlapping it >= theta (no conjunctive-presence
+      requirement, no rarest-term semi-join — a doc matching only one term
+      is a valid OR result).
     """
     from .postings import decode_blocks
 
@@ -452,7 +550,13 @@ def bm25_topk_packed(
     #     threshold): bucket-grain sigma-maxscore vs a probed theta.
     # Explicit True/False overrides (tests force both paths).
     if prune is None:
-        prune = adaptive_prune(dfs, semi_join_df_threshold, prune_min_df)
+        if mode == "all":
+            prune = adaptive_prune(dfs, semi_join_df_threshold, prune_min_df)
+        else:
+            # OR mode has no rare-term shortcut — every matching doc of
+            # every term is a candidate — so pruning pays off only against
+            # total posting mass large enough to out-earn the probe.
+            prune = sum(dfs.values()) >= prune_min_df
 
     if prune and len(term_list) == 1 and k is not None:
         probe = decode_blocks(
@@ -467,6 +571,15 @@ def bm25_topk_packed(
         if len(probe_scores) == k:
             theta = probe_scores[-1]["contrib"]
             blocks = blocks.filter(F.col("block_max_score") >= theta)
+    elif prune and len(term_list) > 1 and mode == "any":
+        if k is not None:
+            theta = _disj_theta_probe(blocks, survivors, k, index.avgdl)
+            if theta is not None:
+                buckets = _bucket_upper_bounds(blocks).groupBy("g").agg(
+                    F.sum("mx").alias("ub")
+                )
+                good = buckets.filter(F.col("ub") >= theta).select("g")
+                blocks = _prune_blocks_to_buckets(blocks, good)
     elif prune and len(term_list) > 1:
         rarest = min(term_list, key=lambda t: (dfs[t], t))
         skip_pointers = dfs[rarest] <= semi_join_df_threshold
@@ -478,37 +591,13 @@ def bm25_topk_packed(
             theta = _conj_theta_probe(
                 blocks, survivors, dfs, k, index.avgdl, index.n_docs
             )
-            g_lo = F.shiftright(F.col("first_doc_id"), _BUCKET_SHIFT)
-            g_hi = F.shiftright(F.col("last_doc_id"), _BUCKET_SHIFT)
-            per_tg = (
-                blocks.select(
-                    "term",
-                    "block_max_score",
-                    F.explode(F.sequence(g_lo, g_hi)).alias("g"),
-                )
-                .groupBy("term", "g")
-                .agg(F.max("block_max_score").alias("mx"))
-            )
-            buckets = per_tg.groupBy("g").agg(
+            buckets = _bucket_upper_bounds(blocks).groupBy("g").agg(
                 F.sum("mx").alias("ub"), F.count("*").alias("nt")
             )
             good = buckets.filter(F.col("nt") == len(term_list))
             if theta is not None:
                 good = good.filter(F.col("ub") >= theta)
-            good = good.select("g")
-            bexp = blocks.select(
-                "term",
-                "first_doc_id",
-                F.explode(F.sequence(g_lo, g_hi)).alias("g"),
-            )
-            keep = (
-                bexp.join(F.broadcast(good), "g", "left_semi")
-                .select("term", "first_doc_id")
-                .distinct()
-            )
-            blocks = blocks.join(
-                F.broadcast(keep), ["term", "first_doc_id"], "left_semi"
-            )
+            blocks = _prune_blocks_to_buckets(blocks, good.select("g"))
         if skip_pointers:
             # distributed skip pointers: decode the rarest term (few
             # blocks — collapse to few partitions so the Arrow decode pass
@@ -527,7 +616,7 @@ def bm25_topk_packed(
 
     decoded = decode_blocks(blocks)
     hits = _contribs_from_decoded(decoded, survivors, index.avgdl)
-    return _score_and_topk(hits, len(term_list), k)
+    return _score_and_topk(hits, len(term_list), k, mode=mode)
 
 
 def bm25_search(
@@ -535,6 +624,7 @@ def bm25_search(
     raw_terms: list[str],
     k: int | None = 10,
     crossover_df: int = 500_000,
+    mode: str = "all",
 ) -> DataFrame:
     """Front-door BM25 top-k: picks the cheapest correct plan for what is
     on disk (both plans are rank-identical — tested both ways):
@@ -557,12 +647,12 @@ def bm25_search(
     ``crossover_df`` or use ``bm25_topk_packed`` directly.
     """
     if index.packed is None:
-        return bm25_topk(index, raw_terms, k)
+        return bm25_topk(index, raw_terms, k, mode=mode)
     if index.packed_only:
-        return bm25_topk_packed(index, raw_terms, k)
+        return bm25_topk_packed(index, raw_terms, k, mode=mode)
     terms = normalize_terms(raw_terms)
     if not terms:
-        return bm25_topk(index, raw_terms, k)
+        return bm25_topk(index, raw_terms, k, mode=mode)
     row = (
         index.lexicon.filter(F.col("term").isin(terms))
         .agg(F.sum("df").alias("mass"))
@@ -570,10 +660,10 @@ def bm25_search(
     )
     mass = int(row["mass"] or 0)
     if mass < crossover_df:
-        return bm25_topk(index, raw_terms, k)
+        return bm25_topk(index, raw_terms, k, mode=mode)
     # above the crossover, the block path still lets adaptive_prune decide
     # whether a probe earns its round-trips for THIS df profile
-    return bm25_topk_packed(index, raw_terms, k)
+    return bm25_topk_packed(index, raw_terms, k, mode=mode)
 
 
 def tfidf_reference_topk(

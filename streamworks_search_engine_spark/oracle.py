@@ -96,17 +96,21 @@ def normalize_query(raw_terms: list[str]) -> list[str]:
     return out
 
 
-def bm25_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list[tuple[int, int, float]]:
+def bm25_topk(
+    idx: OracleIndex, raw_terms: list[str], k: int, mode: str = "all"
+) -> list[tuple[int, int, float]]:
     """Returns [(rank, doc_id, score)], rank 1-based.
 
-    Conjunctive: doc must contain *all* surviving query terms. Terms absent
-    from the lexicon are dropped first; no surviving term -> empty.
+    ``mode="all"`` (conjunctive): doc must contain *all* surviving query
+    terms; ``"any"`` (disjunctive OR): docs containing any surviving term,
+    summing only the terms present. Terms absent from the lexicon are
+    dropped first; no surviving term -> empty.
     """
     terms = sorted({t for t in normalize_query(raw_terms) if t in idx.postings})
     if not terms:
         return []
     doc_sets = [set(idx.postings[t].keys()) for t in terms]
-    docs = set.intersection(*doc_sets)
+    docs = set.union(*doc_sets) if mode == "any" else set.intersection(*doc_sets)
     if not docs:
         return []
     avgdl = idx.avgdl
@@ -114,7 +118,8 @@ def bm25_topk(idx: OracleIndex, raw_terms: list[str], k: int) -> list[tuple[int,
     for d in docs:
         s = 0.0
         for t in terms:  # sorted-term order == canonical summation order
-            s += _bm25_term(idx, t, d, avgdl)
+            if d in idx.postings[t]:
+                s += _bm25_term(idx, t, d, avgdl)
         scored.append((d, s))
     scored.sort(key=lambda x: (-x[1], x[0]))
     return [(i + 1, d, s) for i, (d, s) in enumerate(scored[:k])]

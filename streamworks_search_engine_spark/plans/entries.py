@@ -63,8 +63,11 @@ def _sql_terms_array(terms: list[str]) -> str:
     return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
 
 
-def _bm25_sql_base(terms: list[str], index_sql: str = _SQL_INDEX) -> str:
+def _bm25_sql_base(
+    terms: list[str], index_sql: str = _SQL_INDEX, mode: str = "all"
+) -> str:
     arr = _sql_terms_array(terms)
+    match_pred = "WHERE nm = (SELECT n FROM nq)" if mode == "all" else ""
     return f"""{index_sql},
 qsurv AS (SELECT term, idf FROM lexicon WHERE list_contains({arr}, term)),
 nq AS (SELECT count(*) AS n FROM qsurv),
@@ -76,11 +79,11 @@ scored AS (
   FROM postings p JOIN qsurv q USING (term) JOIN doclen d USING (doc_id)),
 agg AS (SELECT doc_id, count(*) AS nm, sum(contrib) AS s
         FROM scored GROUP BY doc_id),
-matched AS (SELECT doc_id, s FROM agg WHERE nm = (SELECT n FROM nq))"""
+matched AS (SELECT doc_id, s FROM agg {match_pred})"""
 
 
-def _bm25_sql(terms: list[str], k: int | None = None) -> str:
-    base = _bm25_sql_base(terms)
+def _bm25_sql(terms: list[str], k: int | None = None, mode: str = "all") -> str:
+    base = _bm25_sql_base(terms, mode=mode)
     if k is None:
         return base + "\nSELECT doc_id, round(s, 6) AS score FROM matched"
     return base + f"""
@@ -131,17 +134,17 @@ def _search_index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     )
 
 
-def _bm25_matches(terms):
+def _bm25_matches(terms, mode="all"):
     def run(spark, sf_dir):
-        res = bm25_topk(_search_index(spark, sf_dir), terms, k=None)
+        res = bm25_topk(_search_index(spark, sf_dir), terms, k=None, mode=mode)
         return res.select("doc_id", F.round("score", 6).alias("score"))
 
     return run
 
 
-def _bm25_top10(terms):
+def _bm25_top10(terms, mode="all"):
     def run(spark, sf_dir):
-        res = bm25_topk(_search_index(spark, sf_dir), terms, k=10)
+        res = bm25_topk(_search_index(spark, sf_dir), terms, k=10, mode=mode)
         return res.select(
             F.col("rank").cast("long").alias("rank"),
             "doc_id",
@@ -707,6 +710,8 @@ QUERIES = {
     "bm25_absent_term_dropped": _bm25_matches(Q_ABSENT_MIX),
     "bm25_all_absent_empty": _bm25_matches(Q_ALL_ABSENT),
     "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
+    "bm25_or_matches": _bm25_matches(Q_CONJ3, mode="any"),
+    "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1147,6 +1152,8 @@ WHERE list_contains({_sql_terms_array(sorted(set(Q_ABSENT_MIX + Q_CONJ2)))}, ter
     "bm25_absent_term_dropped": _bm25_sql(Q_ABSENT_MIX),
     "bm25_all_absent_empty": _bm25_sql(Q_ALL_ABSENT),
     "bm25_top10_conj2": _bm25_sql(Q_CONJ2, k=10),
+    "bm25_or_matches": _bm25_sql(Q_CONJ3, mode="any"),
+    "bm25_or_top10": _bm25_sql(Q_CONJ3, k=10, mode="any"),
     "tfidf_reference": f"""{_SQL_INDEX},
 sumsq AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * tf) AS ss
           FROM postings GROUP BY doc_id)

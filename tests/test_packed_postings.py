@@ -103,6 +103,36 @@ def test_packed_semi_join_path_forced(spark_index, oracle_index):
         _assert_rank_identical(got, expected)
 
 
+@pytest.mark.parametrize("qname", ["single_hot", "conj2", "conj3", "conj4"])
+@pytest.mark.parametrize("prune", [True, False])
+def test_bm25_packed_or_rank_identity(qname, prune, spark_index, oracle_index):
+    """Disjunctive packed path — prune=True exercises the OR block-max
+    branch (partial-sum theta probe + presence-free bucket Σ-maxscore)."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk_packed
+
+    terms, k = _query_set(oracle_index)[qname]
+    expected = O.bm25_topk(oracle_index, terms, k, mode="any")
+    got = bm25_topk_packed(
+        spark_index, terms, k, prune=prune, mode="any"
+    ).collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_bm25_packed_or_full_set_no_prune_possible(spark_index, oracle_index):
+    """k=None in OR mode (no theta probe) must return the full union."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk_packed
+
+    terms, _ = _query_set(oracle_index)["conj3"]
+    expected = {d for t in terms for d in oracle_index.postings.get(t, {})}
+    got = {
+        r["doc_id"]
+        for r in bm25_topk_packed(
+            spark_index, terms, None, prune=True, mode="any"
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_packed_theta_bucket_branch_matches_full_set(spark_index, oracle_index):
     """The theta/bucket branch with k=None (no probe possible) and with
     small k must both reproduce the oracle on every multi-term query."""

@@ -61,6 +61,52 @@ def test_bm25_rank_identity(qname, spark_index, oracle_index):
     _assert_rank_identical(got, expected)
 
 
+@pytest.mark.parametrize("qname", [
+    "single_hot", "conj2", "conj3", "conj4", "absent_dropped", "all_absent",
+])
+def test_bm25_or_rank_identity(qname, spark_index, oracle_index):
+    """Disjunctive (mode='any') flat path vs the union-scoring oracle.
+    Includes 'hot OR rare' — the classic WAND workload — via a dedicated
+    pair below."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+
+    terms, k = _query_set(oracle_index)[qname]
+    expected = O.bm25_topk(oracle_index, terms, k, mode="any")
+    got = bm25_topk(spark_index, terms, k, mode="any").collect()
+    _assert_rank_identical(got, expected)
+
+
+def test_bm25_or_hot_rare_and_semantics(spark_index, oracle_index):
+    """OR of a hot and a rare term: result set is the UNION (superset of
+    the conjunction), and single-term OR == single-term AND."""
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+
+    qs = _query_set(oracle_index)
+    hot, rare = qs["single_hot"][0][0], qs["single_rare"][0][0]
+    expected = O.bm25_topk(oracle_index, [hot, rare], 10, mode="any")
+    got = bm25_topk(spark_index, [hot, rare], 10, mode="any").collect()
+    _assert_rank_identical(got, expected)
+
+    or_docs = {
+        r["doc_id"]
+        for r in bm25_topk(spark_index, [hot, rare], None, mode="any").collect()
+    }
+    and_docs = {
+        r["doc_id"]
+        for r in bm25_topk(spark_index, [hot, rare], None, mode="all").collect()
+    }
+    assert and_docs <= or_docs
+    assert or_docs == set.union(
+        set(oracle_index.postings[hot]), set(oracle_index.postings[rare])
+    )
+
+    single_any = bm25_topk(spark_index, [hot], 10, mode="any").collect()
+    single_all = bm25_topk(spark_index, [hot], 10, mode="all").collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in single_any] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in single_all
+    ]
+
+
 def test_tfidf_reference_scorer(spark_index, oracle_index):
     from streamworks_search_engine_spark.operators.query import (
         tfidf_reference_topk,
