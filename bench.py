@@ -193,7 +193,7 @@ def main() -> None:
     # work bounded by the RARE df, so the gap grows with corpus size.
     # 8M docs / rare df 1000: the smallest size where the win is visible
     # above local-mode fixed overheads (see BENCH.md round-3 notes).
-    dp_dir = "/tmp/sse_bench_rareconj_8m"
+    dp_dir = "/tmp/sse_bench_rareconj_8m_v2"
     dp_n = 8_000_000
     if not os.path.exists(dp_dir + "/.ok"):
         from streamworks_search_engine_spark.operators.indexer import (
@@ -218,7 +218,15 @@ def main() -> None:
             (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))).cast("long").alias("tf"),
             dl.alias("doc_len"),
         )
-        dp_postings = common.unionByName(rare)
+        # df=200 term for the DISJUNCTIVE design point: sparse enough that
+        # most of the 2^12 doc-id buckets contain none of its docs, so OR
+        # block-max pruning can drop their huge-term blocks wholesale
+        vrare = base.filter(F.pmod(F.col("id"), F.lit(dp_n // 200)) == 0).select(
+            F.lit("veryrareterm").alias("term"), "doc_id",
+            (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))).cast("long").alias("tf"),
+            dl.alias("doc_len"),
+        )
+        dp_postings = common.unionByName(rare).unionByName(vrare)
         dp_doclen = base.select("doc_id", dl.alias("doc_len"))
         dp_avgdl = float(dp_doclen.agg(F.avg("doc_len")).collect()[0][0])
         write_index(
@@ -250,6 +258,28 @@ def main() -> None:
         "design-point paths diverged (rank identity violated)"
     timings["rareconj8m_flat_p50"] = round(statistics.median(flat_l), 3)
     timings["rareconj8m_packed_p50"] = round(statistics.median(packed_l), 3)
+
+    # --- disjunctive design point: 'veryrare OR common' top-10 ---
+    # OR has no conjunctive shortcut: the flat plan must score the ENTIRE
+    # union (8M docs). The packed plan probes a theta from the globally
+    # best blocks (the df-200 term's — highest idf); the common term's max
+    # contribution can't reach theta, making it non-essential (maxscore),
+    # so only its blocks containing one of the 200 candidates decode.
+    or_q = ["veryrareterm", "commonterm"]
+    flat_l, packed_l = [], []
+    for _ in range(5):
+        t0 = time.time()
+        flat_rows = bm25_topk(dpi, or_q, k=10, mode="any").collect()
+        flat_l.append(time.time() - t0)
+        t0 = time.time()
+        packed_rows = bm25_topk_packed(
+            dpi, or_q, k=10, prune=True, mode="any"
+        ).collect()
+        packed_l.append(time.time() - t0)
+    assert [tuple(r) for r in flat_rows] == [tuple(r) for r in packed_rows], \
+        "OR design-point paths diverged (rank identity violated)"
+    timings["or8m_flat_p50"] = round(statistics.median(flat_l), 3)
+    timings["or8m_packed_p50"] = round(statistics.median(packed_l), 3)
 
     total = time.time() - t_all
     print(

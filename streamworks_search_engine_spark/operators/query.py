@@ -377,38 +377,6 @@ def _prune_blocks_to_buckets(blocks: DataFrame, good: DataFrame) -> DataFrame:
     )
 
 
-def _disj_theta_probe(
-    blocks: DataFrame,
-    survivors: list[tuple[str, float]],
-    k: int,
-    avgdl: float,
-) -> float | None:
-    """Lower-bound the k-th best DISJUNCTIVE score from a bounded probe:
-    decode the globally best blocks by block_max_score (any term) and score
-    the decoded rows disjunctively. Probe sums are PARTIAL (a doc's rows
-    for non-probed terms are missing) but partial sums lower-bound the true
-    OR-mode score — every term contribution is >= 0 — so there exist k docs
-    whose true score >= the k-th best probe score: a valid lossless theta.
-    Returns None when the probe yields fewer than k docs."""
-    from .postings import BLOCK_SIZE, decode_blocks
-
-    n_probe_blocks = max(1, -(-4 * k // BLOCK_SIZE))
-    probe_blocks = blocks.orderBy(
-        F.desc("block_max_score"), F.asc("term"), F.asc("first_doc_id")
-    ).limit(n_probe_blocks)
-    probe_hits = _contribs_from_decoded(
-        decode_blocks(probe_blocks), survivors, avgdl
-    )
-    top = (
-        _score_and_topk(probe_hits, len(survivors), k, mode="any")
-        .select("score")
-        .collect()
-    )
-    if len(top) < k:
-        return None
-    return float(top[-1]["score"])
-
-
 def _conj_theta_probe(
     blocks: DataFrame,
     survivors: list[tuple[str, float]],
@@ -501,15 +469,15 @@ def bm25_topk_packed(
       scale where a hot term's block count itself is huge. A rarest-term
       doc-level semi-join (distributed skip pointers) then cuts the
       surviving blocks further when the rarest df is small.
-    - multi-term ``mode="any"`` (disjunctive OR): classic block-max WAND —
-      theta is the k-th best PARTIAL score from a probe of the globally
-      best blocks (``_disj_theta_probe``; partial sums lower-bound true OR
-      scores), and a bucket survives iff Σ_t max_block_score over the
-      terms WITH blocks overlapping it >= theta (no conjunctive-presence
-      requirement, no rarest-term semi-join — a doc matching only one term
-      is a valid OR result).
+    - multi-term ``mode="any"`` (disjunctive OR): MAXSCORE pruning — theta
+      is the k-th best PARTIAL score from a probe of the highest-idf
+      term's blocks (partial sums lower-bound true OR scores); terms whose
+      summed ``(k1+1)*idf`` contribution bounds stay below theta are
+      non-essential, so candidates must hold an essential term and the
+      non-essential (typically huge) lists decode only the blocks that
+      can contain a candidate (doc-level bucket containment).
     """
-    from .postings import decode_blocks
+    from .postings import BLOCK_SIZE, decode_blocks
 
     spark = index.lexicon.sparkSession
     assert index.packed is not None, "index has no packed postings"
@@ -553,10 +521,14 @@ def bm25_topk_packed(
         if mode == "all":
             prune = adaptive_prune(dfs, semi_join_df_threshold, prune_min_df)
         else:
-            # OR mode has no rare-term shortcut — every matching doc of
-            # every term is a candidate — so pruning pays off only against
-            # total posting mass large enough to out-earn the probe.
-            prune = sum(dfs.values()) >= prune_min_df
+            # OR-mode maxscore needs idf skew (a low-df term whose contrib
+            # dominates theta) AND enough high-df posting mass to skip;
+            # without skew every term is essential and nothing prunes.
+            rare_df = min(dfs.values())
+            prune = (
+                8 * rare_df <= max(dfs.values())
+                and sum(dfs.values()) - rare_df >= prune_min_df
+            )
 
     if prune and len(term_list) == 1 and k is not None:
         probe = decode_blocks(
@@ -573,13 +545,79 @@ def bm25_topk_packed(
             blocks = blocks.filter(F.col("block_max_score") >= theta)
     elif prune and len(term_list) > 1 and mode == "any":
         if k is not None:
-            theta = _disj_theta_probe(blocks, survivors, k, index.avgdl)
-            if theta is not None:
-                buckets = _bucket_upper_bounds(blocks).groupBy("g").agg(
-                    F.sum("mx").alias("ub")
+            # MAXSCORE term splitting (Turtle & Flood), distributed: theta
+            # lower-bounds the k-th best true score; a term's max possible
+            # contribution is bounded by (k1+1)*idf (BM25's tf saturation
+            # limit — no extra job, the idfs are already on the driver).
+            # The maximal low-bound term prefix whose bounds sum BELOW
+            # theta is "non-essential": a doc holding only those terms
+            # scores <= that sum < theta <= k-th best, so it cannot place.
+            # Candidates therefore all hold >= 1 essential term -> decode
+            # essential blocks fully, then keep only the non-essential
+            # blocks that can CONTAIN a candidate doc (the same doc-level
+            # bucket containment join as the conjunctive skip pointers).
+            # Candidates get complete scores (every block holding one
+            # survives); stray partials decoded alongside score < theta
+            # and cannot displace the >= k full-scored docs at or above
+            # it — lossless. (Bucket Σ-maxscore is the WRONG tool here: a
+            # sparse term's 128-doc blocks span most of the doc-id space,
+            # blanketing every bucket with its max.)
+            bound = {t: (K1 + 1.0) * idf for t, idf in survivors}
+            top = max(term_list, key=lambda t: (bound[t], t))
+            top_blocks = blocks.filter(F.col("term") == top)
+            top_is_small = dfs[top] <= semi_join_df_threshold
+            if top_is_small:
+                # theta from the top term's FULL list (tight, and the same
+                # decode re-runs as the candidate scan below — few blocks)
+                probe_blocks = top_blocks.coalesce(
+                    max(1, dfs[top] // (128 * 32))
                 )
-                good = buckets.filter(F.col("ub") >= theta).select("g")
-                blocks = _prune_blocks_to_buckets(blocks, good)
+            else:
+                probe_blocks = top_blocks.orderBy(
+                    F.desc("block_max_score"), F.asc("first_doc_id")
+                ).limit(max(1, -(-4 * k // BLOCK_SIZE)))
+            theta_top = (
+                _score_and_topk(
+                    _contribs_from_decoded(
+                        decode_blocks(probe_blocks), survivors, index.avgdl
+                    ),
+                    1,
+                    k,
+                    mode="any",
+                )
+                .select("score")
+                .collect()
+            )
+            theta = (
+                float(theta_top[-1]["score"])
+                if len(theta_top) == k
+                else None
+            )
+            if theta is not None:
+                cum = 0.0
+                nonessential: list[str] = []
+                for t in sorted(
+                    (t for t in term_list if t != top),
+                    key=lambda t: (bound[t], t),
+                ):
+                    if cum + bound[t] >= theta:
+                        break
+                    nonessential.append(t)
+                    cum += bound[t]
+                essential = [t for t in term_list if t not in nonessential]
+                if nonessential:
+                    ess_blocks = blocks.filter(F.col("term").isin(essential))
+                    cand = (
+                        decode_blocks(ess_blocks)
+                        .select(F.col("doc_id").alias("cand_id"))
+                        .distinct()
+                    )
+                    non_blocks = _blocks_containing(
+                        blocks.filter(F.col("term").isin(nonessential)),
+                        cand,
+                        index.n_docs,
+                    )
+                    blocks = ess_blocks.unionByName(non_blocks)
     elif prune and len(term_list) > 1:
         rarest = min(term_list, key=lambda t: (dfs[t], t))
         skip_pointers = dfs[rarest] <= semi_join_df_threshold
