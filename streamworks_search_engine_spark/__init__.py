@@ -13,7 +13,8 @@ Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           simhash_near_dup_pairs, connected_components, cosine_topk,
           ann_lsh_topk, ann_ivf_topk, build_ivf_index, near_dup_pairs_lsh,
           quality_stats, english_score,
-          unigram_lm_score, stratified_sample_flags
+          unigram_lm_score, stratified_sample_flags, sequence_pack
+          (training-sequence layout), hashed_tf (hashing vectorizer)
 
 Modules keep the full surface (functions.*, operators.*, plans.*,
 streaming.*); these re-exports are the stable entry points.
@@ -27,6 +28,7 @@ from .functions.dedup import (
     minhash_signatures,
     simhash_near_dup_pairs,
 )
+from .functions.packing import sequence_pack
 from .functions.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -41,6 +43,7 @@ from .functions.textstats import (
     stratified_sample_flags,
     unigram_lm_score,
 )
+from .functions.vectorize import hashed_tf
 from .operators.indexer import (
     assert_content_sha256,
     build_and_write_index,
@@ -104,4 +107,6 @@ __all__ = [
     "english_score",
     "unigram_lm_score",
     "stratified_sample_flags",
+    "sequence_pack",
+    "hashed_tf",
 ]

@@ -1,0 +1,80 @@
+"""Training-sequence packing — the layout step of an LLM pretraining data
+pipeline: lay tokenized documents end-to-end into fixed-capacity sequences
+(packing-with-splitting semantics: a document may straddle a sequence
+boundary, as common pretraining loaders do).
+
+No reference analog (the reference stops at retrieval); this extends the
+engine toward the 100-TB training-data use case the way dedup/sampling in
+``functions.dedup`` / ``functions.textstats`` do.
+
+Determinism without RNG state: a document's shard is derived from the md5
+of its id (same trick as ``textstats.stratified_sample_flags``), so every
+engine, every run, and any subset of the corpus reproduces the same
+assignment. Within a shard the layout order is ``doc_id`` — a total order
+that survives re-partitioning.
+
+Scale: the ONLY wide operation is a running-sum window PARTITIONED BY
+shard. Pick ``n_shards`` ~ total_tokens / (an executor-sized token slice)
+so no per-shard ordering task sees more than one shard's rows; sequences
+are shard-local by construction (sequence ids don't collide across shards),
+so shards never need to be merged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_uint32(col):
+    """First 8 md5 hex digits of ``col`` as a non-negative long — identical
+    in Spark (``conv(substring(md5(..)))``) and ANSI SQL engines."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def sequence_pack(
+    doc_lengths: DataFrame,
+    capacity: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign each doc a (shard, seq, offset) slot in fixed-``capacity``
+    token sequences.
+
+    ``doc_lengths``: (id_col, len_col). Returns (doc_id, n_tokens, shard,
+    seq, offset) where ``offset`` is the doc's starting position inside its
+    shard's token stream modulo capacity and ``seq`` the sequence index the
+    doc STARTS in. Docs with offset + n_tokens > capacity straddle into
+    seq+1 (splitting semantics); a loader consumes each shard's docs in
+    doc_id order and cuts every ``capacity`` tokens.
+    """
+    shard = F.pmod(_md5_uint32(F.col(id_col)), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(len_col).over(w), F.lit(0)).cast("long")
+    return (
+        doc_lengths.select(
+            F.col(id_col),
+            F.col(len_col).cast("long").alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .withColumn("cum_before", cum_before)
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            # floor division, never double division: double-then-cast is
+            # exact only for power-of-two capacities, and ANSI engines
+            # round rather than truncate double->bigint casts.
+            F.floor(F.col("cum_before") / F.lit(capacity))
+            .cast("long")
+            .alias("seq"),
+            F.pmod(F.col("cum_before"), F.lit(capacity)).alias("offset"),
+        )
+    )

@@ -1,0 +1,50 @@
+"""Feature-hashing vectorizer (hashed-tf) — the classic "hashing trick"
+featurizer a training pipeline runs over a tokenized corpus: bucket =
+hash(term) mod n_buckets, value = term frequency, emitted as sparse
+(id, bucket, tf) rows.
+
+No reference analog (the reference stops at retrieval); like
+``functions.packing`` this extends the engine toward the training-data
+use case. Spark's MLlib ``HashingTF`` uses murmur3, which ANSI SQL
+engines can't reproduce — here the bucket hash is the md5-prefix trick
+shared with ``textstats.stratified_sample_flags`` so the exact same
+assignment is computable in any engine (and by the DuckDB oracle).
+
+Scale: one explode + one (id, bucket) groupBy — a single map-side-
+combinable shuffle keyed by (id, bucket), no vocabulary broadcast, no
+fit step, bounded output (≤ n_buckets rows per doc). That is the whole
+point of the hashing trick at 100 TB: the featurizer is stateless, so
+it needs no global vocabulary build pass and commutes with partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_tf(
+    tokens_df: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, bucket, tf): sparse hashed term-frequency vectors.
+
+    ``tokens_df``: (id_col, tokens_col array<string>). bucket =
+    (first 8 md5 hex digits of the term) mod ``n_buckets``; collisions
+    sum, as in any hashing vectorizer. Docs with no tokens produce no
+    rows (sparse semantics).
+    """
+    hits = tokens_df.select(
+        F.col(id_col), F.explode(tokens_col).alias("term")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return (
+        hits.select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )

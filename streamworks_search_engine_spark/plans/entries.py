@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dedup, similarity, textstats
+from ..functions import dedup, packing, similarity, textstats, vectorize
 from ..functions.tokenizer import (
     ENGLISH_STOPWORDS,
     make_doc_postings_udf,
@@ -505,6 +505,32 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+PACK_CAPACITY = 2048
+PACK_SHARDS = 8
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing: lay each doc's tokens into fixed-2048-
+    token sequences, sharded deterministically (functions/packing.py)."""
+    dl = _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return packing.sequence_pack(
+        dl, capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+    )
+
+
+HASHED_TF_BUCKETS = 1024
+
+
+def q_hashed_tf(spark, sf_dir):
+    """Feature-hashing vectorizer: sparse (doc_id, bucket, tf) rows with
+    bucket = md5-hash(term) mod 1024 (functions/vectorize.py)."""
+    return vectorize.hashed_tf(
+        _doc_tokens(spark, sf_dir), n_buckets=HASHED_TF_BUCKETS
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: connected components over the embedding
     near-dup pair graph (vec_id < 200, cos >= 0.35) — component = min
@@ -723,6 +749,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "unigram_lm_score": q_unigram_lm_score,
     "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "hashed_tf": q_hashed_tf,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
     "repetition_stats": q_repetition_stats,
@@ -1448,6 +1476,28 @@ SELECT t.rank, t.doc_id, t.score, d.source AS repo,
        d.source || '/doc_' || d.doc_id AS path, d.lang
 FROM topk t JOIN documents d USING (doc_id) ORDER BY t.rank""",
     "proximity_top10": _PROX_SQL,
+    "sequence_pack": f"""{_SQL_TOKS},
+dl AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks),
+sh AS (SELECT doc_id, n_tokens,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       % {PACK_SHARDS} AS BIGINT) AS shard
+  FROM dl),
+c AS (SELECT doc_id, n_tokens, shard,
+  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS cum_before
+  FROM sh)
+SELECT doc_id, n_tokens, shard,
+  CAST(cum_before // {PACK_CAPACITY} AS BIGINT) AS seq,
+  CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS "offset"
+FROM c""",
+    "hashed_tf": f"""{_SQL_TOKS},
+hits AS (SELECT doc_id, unnest(tokens) AS term FROM toks)
+SELECT doc_id,
+  CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT
+       % {HASHED_TF_BUCKETS} AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS tf
+FROM hits GROUP BY doc_id, bucket""",
     # pagerank_top20: intentionally no SQL oracle (iterative power method,
     # not expressible in one SQL statement) -> rows-only driver check;
     # pure-Python oracle in tests/test_pagerank.py.

@@ -1,0 +1,130 @@
+"""Tests for training-sequence packing (functions/packing.py) and the
+feature-hashing vectorizer (functions/vectorize.py) against pure-Python
+oracles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions.packing import sequence_pack
+from streamworks_search_engine_spark.functions.vectorize import hashed_tf
+
+
+def _md5_u32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _oracle_pack(lengths, capacity, n_shards):
+    """Pure-Python packing oracle: per-shard doc_id-ordered cumsum."""
+    rows = {}
+    by_shard = {}
+    for doc_id, n in lengths:
+        by_shard.setdefault(_md5_u32(str(doc_id)) % n_shards, []).append(
+            (doc_id, n)
+        )
+    for shard, docs in by_shard.items():
+        cum = 0
+        for doc_id, n in sorted(docs):
+            rows[doc_id] = (n, shard, cum // capacity, cum % capacity)
+            cum += n
+    return rows
+
+
+CAP = 64
+
+
+@pytest.fixture(scope="module")
+def lengths():
+    # Deterministic lengths incl. zero-length, > capacity, == capacity.
+    out = []
+    for i in range(300):
+        n = (i * 37) % 150
+        if i % 41 == 0:
+            n = 0
+        if i % 53 == 0:
+            n = CAP
+        out.append((i, n))
+    return out
+
+
+def test_sequence_pack_matches_oracle(spark, lengths):
+    df = spark.createDataFrame(lengths, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (r.n_tokens, r.shard, r.seq, r.offset)
+        for r in sequence_pack(df, capacity=CAP, n_shards=4).collect()
+    }
+    assert got == _oracle_pack(lengths, CAP, 4)
+
+
+def test_sequence_pack_layout_invariants(spark, lengths):
+    """Per (shard, seq): starters' offsets are consistent with a gap-free
+    token stream cut every `capacity` tokens."""
+    df = spark.createDataFrame(lengths, "doc_id long, n_tokens long")
+    out = sequence_pack(df, capacity=CAP, n_shards=4).collect()
+    assert len(out) == len(lengths)  # every doc gets exactly one slot
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        stream_pos = 0
+        for r in rows:
+            # The doc starts exactly where the previous one ended.
+            assert r.seq * CAP + r.offset == stream_pos
+            assert 0 <= r.offset < CAP
+            stream_pos += r.n_tokens
+
+
+def test_sequence_pack_subset_stable(spark, lengths):
+    """Shard assignment is content-derived: dropping docs never moves a
+    surviving doc to another shard (sampling commutes with packing)."""
+    df = spark.createDataFrame(lengths, "doc_id long, n_tokens long")
+    full = {
+        r.doc_id: r.shard
+        for r in sequence_pack(df, capacity=CAP, n_shards=4).collect()
+    }
+    sub = df.filter(F.col("doc_id") % 3 == 0)
+    for r in sequence_pack(sub, capacity=CAP, n_shards=4).collect():
+        assert full[r.doc_id] == r.shard
+
+
+def test_hashed_tf_matches_oracle(spark):
+    docs = [
+        (1, ["foo", "bar", "foo", "baz"]),
+        (2, ["bar"]),
+        (3, []),  # sparse: no rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    got = sorted(
+        (r.doc_id, r.bucket, r.tf)
+        for r in hashed_tf(df, n_buckets=16).collect()
+    )
+    exp = {}
+    for doc_id, toks in docs:
+        for t in toks:
+            key = (doc_id, _md5_u32(t) % 16)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == sorted((d, b, tf) for (d, b), tf in exp.items())
+    assert not any(d == 3 for d, _, _ in got)
+
+
+def test_hashed_tf_collisions_sum(spark):
+    """Two terms landing in the same bucket must sum their tfs."""
+    # Find a deterministic collision pair within 8 buckets.
+    terms = [f"t{i}" for i in range(40)]
+    seen = {}
+    pair = None
+    for t in terms:
+        b = _md5_u32(t) % 8
+        if b in seen:
+            pair = (seen[b], t, b)
+            break
+        seen[b] = t
+    assert pair is not None
+    a, b_term, bucket = pair
+    df = spark.createDataFrame(
+        [(7, [a, b_term, a])], "doc_id long, tokens array<string>"
+    )
+    rows = hashed_tf(df, n_buckets=8).collect()
+    assert {(r.doc_id, r.bucket, r.tf) for r in rows} == {(7, bucket, 3)}
