@@ -6,6 +6,7 @@ Build:    get_spark, build_index, build_index_with_tags (per-hit tag
           classes), build_and_write_index, write_index,
           CheckpointedIndexBuild (resumable), assert_content_sha256
 Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
+          bm25_topk_batch (a whole queries table in one postings pass),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
           tag_feature_indexed, save_features / load_features
@@ -56,6 +57,7 @@ from .operators.query import (
     SearchIndex,
     bm25_search,
     bm25_topk,
+    bm25_topk_batch,
     bm25_topk_packed,
     load_index,
     tfidf_reference_topk,
@@ -82,6 +84,7 @@ __all__ = [
     "load_index",
     "bm25_search",
     "bm25_topk",
+    "bm25_topk_batch",
     "bm25_topk_packed",
     "tfidf_reference_topk",
     "topk_with_metadata",

@@ -273,6 +273,104 @@ def bm25_topk(
     )
 
 
+def bm25_topk_batch(
+    index: SearchIndex,
+    queries: DataFrame,
+    k: int = 10,
+    mode: str = "all",
+    max_pushdown_terms: int = 256,
+) -> DataFrame:
+    """Score a whole TABLE of queries in one job: (query_id, rank, doc_id,
+    score), rank 1..k per query, same per-query semantics as ``bm25_topk``.
+
+    The reference serves one query per HTTP round-trip
+    (engine/handlers/SearchHandler.java:183 -> MatchHandler.java:95-161);
+    offline retrieval over a 100-TB corpus — training-data mining, hard
+    negatives, eval sweeps — wants millions of queries amortized over ONE
+    postings pass instead. Plan:
+
+    - query terms are tokenizer-normalized Spark-side (same Arrow UDF as
+      the index build — no driver loop over queries),
+    - the lexicon join drops absent terms and attaches idf; per-query
+      surviving-term counts replace the single-query broadcast scalar,
+    - the postings scan is shared by ALL queries: when the distinct term
+      set is small (<= ``max_pushdown_terms``) it is collected and pushed
+      into the parquet scan as an IN filter (row-group pruning); beyond
+      that the scan goes wide and the term join does the routing — a
+      deliberate switch, since a million-term IN list helps nobody,
+    - top-k is a Window PARTITIONED BY query_id (distributed — one
+      partition per query hash, never a global single-partition sort).
+
+    Determinism matches the single-query path: sorted-term ``F.aggregate``
+    summation per (query_id, doc_id), ties broken by ascending doc_id.
+    ``queries``: (query_id, terms array<string>) with raw (untokenized)
+    terms. Queries whose terms all miss the lexicon yield no rows.
+    """
+    from ..functions.tokenizer import make_tokens_udf
+
+    tok = make_tokens_udf()
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(
+                    tok(F.concat_ws(" ", F.col("terms")), F.lit(""))
+                )
+            ).alias("term"),
+        )
+        .join(index.lexicon.select("term", "idf"), "term")
+    )
+    nq = qterms.groupBy("query_id").agg(F.count("*").alias("nq_n"))
+
+    distinct_terms = [
+        r["term"]
+        for r in qterms.select("term")
+        .distinct()
+        .limit(max_pushdown_terms + 1)
+        .collect()
+    ]
+    if len(distinct_terms) <= max_pushdown_terms:
+        rows = postings_for_terms(index, distinct_terms, positions=False)
+    else:
+        rows = index.postings
+        if "positions" in rows.columns:
+            rows = rows.drop("positions")
+
+    contribs = rows.join(qterms, "term").select(
+        "query_id",
+        "term",
+        "doc_id",
+        _bm25_contrib(
+            F.col("idf"), F.col("tf"), F.col("doc_len"), index.avgdl
+        ).alias("contrib"),
+    )
+    agg = contribs.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_matched"),
+        F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias(
+            "parts"
+        ),
+    )
+    if mode == "all":
+        agg = agg.join(nq, "query_id").filter(
+            F.col("n_matched") == F.col("nq_n")
+        )
+    scored = agg.withColumn(
+        "score",
+        F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+    ).select("query_id", "doc_id", "score")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _contribs_from_decoded(decoded: DataFrame, survivors: list[tuple[str, float]], avgdl: float) -> DataFrame:
     idf_map = F.create_map(
         *[x for t, idf in survivors for x in (F.lit(t), F.lit(idf))]

@@ -25,7 +25,12 @@ from ..functions.tokenizer import (
     make_tokens_udf,
 )
 from ..operators.indexer import IndexTables, build_index_from_plist
-from ..operators.query import SearchIndex, bm25_topk, tfidf_reference_topk
+from ..operators.query import (
+    SearchIndex,
+    bm25_topk,
+    bm25_topk_batch,
+    tfidf_reference_topk,
+)
 
 # ---------------------------------------------------------------- shared ----
 
@@ -505,6 +510,27 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+BATCH_QUERIES = [
+    (1, Q_SINGLE),
+    (2, Q_CONJ2),
+    (3, Q_CONJ3),
+    (4, Q_ABSENT_MIX),
+]
+
+
+def q_bm25_batch_topk(spark, sf_dir):
+    """Batched multi-query BM25: 4 queries (incl. an absent-term mix)
+    scored per-query-identically to bm25_topk but in ONE shared postings
+    pass (operators/query.py:bm25_topk_batch)."""
+    qdf = spark.createDataFrame(
+        BATCH_QUERIES, "query_id long, terms array<string>"
+    )
+    res = bm25_topk_batch(_search_index(spark, sf_dir), qdf, k=10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 PACK_CAPACITY = 2048
 PACK_SHARDS = 8
 
@@ -736,6 +762,7 @@ QUERIES = {
     "bm25_absent_term_dropped": _bm25_matches(Q_ABSENT_MIX),
     "bm25_all_absent_empty": _bm25_matches(Q_ALL_ABSENT),
     "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
+    "bm25_batch_topk": q_bm25_batch_topk,
     "bm25_or_matches": _bm25_matches(Q_CONJ3, mode="any"),
     "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
     "tfidf_reference": q_tfidf_reference,
@@ -1491,6 +1518,28 @@ SELECT doc_id, n_tokens, shard,
   CAST(cum_before // {PACK_CAPACITY} AS BIGINT) AS seq,
   CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS "offset"
 FROM c""",
+    "bm25_batch_topk": f"""{_SQL_INDEX},
+q(query_id, term) AS (VALUES {", ".join(
+    f"({qid}, '{t}')" for qid, terms in BATCH_QUERIES for t in terms
+)}),
+qsurv AS (SELECT CAST(query_id AS BIGINT) AS query_id, l.term, l.idf
+          FROM q JOIN lexicon l ON q.term = l.term),
+nq AS (SELECT query_id, count(*) AS n FROM qsurv GROUP BY query_id),
+scored AS (
+  SELECT s.query_id, p.doc_id,
+         s.idf * p.tf * 2.2
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / (SELECT avgdl FROM stats)))
+           AS contrib
+  FROM postings p JOIN qsurv s ON p.term = s.term JOIN doclen d USING (doc_id)),
+agg AS (SELECT query_id, doc_id, count(*) AS nm, sum(contrib) AS s
+        FROM scored GROUP BY query_id, doc_id),
+matched AS (SELECT a.query_id, doc_id, s FROM agg a JOIN nq USING (query_id)
+            WHERE nm = n),
+ranked AS (SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id)
+       AS BIGINT) AS rank,
+  doc_id, round(s, 6) AS score FROM matched)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""",
     "hashed_tf": f"""{_SQL_TOKS},
 hits AS (SELECT doc_id, unnest(tokens) AS term FROM toks)
 SELECT doc_id,

@@ -1,0 +1,72 @@
+"""Batched multi-query BM25 (operators/query.py:bm25_topk_batch) must be
+per-query rank-identical to the single-query path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.query import (
+    bm25_topk,
+    bm25_topk_batch,
+)
+
+QUERIES = [
+    (1, ["parseIndex"]),
+    (2, ["parseIndex", "token"]),
+    (3, ["merge", "sort", "buffer"]),
+    (4, ["token", "zzqqxxnotaterm"]),  # absent term dropped
+    (5, ["zzqqxxnotaterm"]),  # fully absent -> no rows
+]
+
+
+def _qdf(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, terms array<string>")
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9)) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("mode", ["all", "any"])
+def test_batch_matches_single_query_path(spark_index, mode):
+    spark = spark_index.postings.sparkSession
+    batch = bm25_topk_batch(spark_index, _qdf(spark, QUERIES), k=10, mode=mode)
+    got = _rows(batch)
+    exp = []
+    for qid, terms in QUERIES:
+        single = bm25_topk(spark_index, terms, k=10, mode=mode)
+        exp.extend(
+            (qid, r.rank, r.doc_id, round(r.score, 9))
+            for r in single.collect()
+        )
+    assert got == sorted(exp)
+    assert not any(q == 5 for q, _, _, _ in got)  # absent query vanishes
+
+
+def test_batch_beyond_pushdown_threshold(spark_index):
+    """Tiny pushdown threshold forces the wide-scan + term-join route; the
+    results must not change."""
+    spark = spark_index.postings.sparkSession
+    qdf = _qdf(spark, QUERIES)
+    narrow = bm25_topk_batch(spark_index, qdf, k=10, max_pushdown_terms=1)
+    wide = bm25_topk_batch(spark_index, qdf, k=10, max_pushdown_terms=256)
+    assert _rows(narrow) == _rows(wide)
+
+
+def test_batch_k_bounds(spark_index):
+    spark = spark_index.postings.sparkSession
+    res = bm25_topk_batch(spark_index, _qdf(spark, [(9, ["parseIndex"])]), k=3)
+    ranks = [r.rank for r in res.orderBy("rank").collect()]
+    assert ranks == [1, 2, 3]
+    # k larger than the match count: every match returned once
+    big = bm25_topk_batch(
+        spark_index, _qdf(spark, [(9, ["parseIndex"])]), k=10**6
+    )
+    n = big.count()
+    assert n == bm25_topk(spark_index, ["parseIndex"], k=None).count()
+
+
+def test_batch_empty_queries(spark_index):
+    spark = spark_index.postings.sparkSession
+    assert bm25_topk_batch(spark_index, _qdf(spark, []), k=10).count() == 0
