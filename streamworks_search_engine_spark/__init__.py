@@ -15,7 +15,8 @@ Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           ann_lsh_topk, ann_ivf_topk, build_ivf_index, near_dup_pairs_lsh,
           quality_stats, english_score,
           unigram_lm_score, stratified_sample_flags, sequence_pack
-          (training-sequence layout), hashed_tf (hashing vectorizer)
+          (training-sequence layout), hashed_tf (hashing vectorizer),
+          secret_stats / redact (PII + secret scrubbing)
 
 Modules keep the full surface (functions.*, operators.*, plans.*,
 streaming.*); these re-exports are the stable entry points.
@@ -30,6 +31,7 @@ from .functions.dedup import (
     simhash_near_dup_pairs,
 )
 from .functions.packing import sequence_pack
+from .functions.scrub import redact, secret_stats
 from .functions.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -112,4 +114,6 @@ __all__ = [
     "stratified_sample_flags",
     "sequence_pack",
     "hashed_tf",
+    "secret_stats",
+    "redact",
 ]

@@ -1,0 +1,60 @@
+"""PII / secret scrubbing — the redaction gate a training-data pipeline
+runs over a code corpus before anything else consumes it: detect and
+redact emails, IPv4 literals, cloud access keys, long hex secrets, and
+private-key headers.
+
+No reference analog (the reference crawls public HTML and never
+redacts); this is a first-class curation operator alongside
+``functions.dedup`` / ``functions.textstats``.
+
+Scale: pure JVM ``regexp_count`` / ``regexp_replace`` expressions —
+whole-stage codegen, no UDF, no shuffle, commutes with partitioning.
+Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
+exact same scan runs on any engine, including the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) — applied in order for redaction.
+# Replacements introduce no new matches for any later pattern.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWSKEY>"),
+    ("hex_secret", r"\b[0-9a-fA-F]{40}\b", "<SECRET>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATEKEY>"),
+]
+
+
+def secret_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc match counts per pattern: (id, n_email, n_ipv4, n_aws_key,
+    n_hex_secret, n_private_key). One projection, zero shuffles."""
+    cols = [F.col(id_col)]
+    for name, pat, _ in SECRET_PATTERNS:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    return df.select(*cols)
+
+
+def redact_col(text_col):
+    """Column expression: ``text_col`` with every secret pattern replaced
+    by its placeholder, in SECRET_PATTERNS order."""
+    out = text_col
+    for _, pat, repl in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace secrets in ``text_col`` (in place unless ``out_col``)."""
+    return df.withColumn(out_col or text_col, redact_col(F.col(text_col)))
