@@ -16,7 +16,8 @@ Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           quality_stats, english_score,
           unigram_lm_score, stratified_sample_flags, sequence_pack
           (training-sequence layout), hashed_tf (hashing vectorizer),
-          secret_stats / redact (PII + secret scrubbing)
+          secret_stats / redact (PII + secret scrubbing),
+          vocab_build / encode (token-id encoding)
 
 Modules keep the full surface (functions.*, operators.*, plans.*,
 streaming.*); these re-exports are the stable entry points.
@@ -46,7 +47,7 @@ from .functions.textstats import (
     stratified_sample_flags,
     unigram_lm_score,
 )
-from .functions.vectorize import hashed_tf
+from .functions.vectorize import encode, hashed_tf, vocab_build
 from .operators.indexer import (
     assert_content_sha256,
     build_and_write_index,
@@ -116,4 +117,6 @@ __all__ = [
     "hashed_tf",
     "secret_stats",
     "redact",
+    "vocab_build",
+    "encode",
 ]

@@ -23,6 +23,79 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def vocab_build(
+    tokens_df: DataFrame,
+    size: int,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(term, cnt, token_id): the top-``size`` corpus terms by frequency
+    with dense ids 0..size-1 — the vocabulary-fit step of an id-based
+    featurizer/encoder.
+
+    Order (and therefore ids) is total and deterministic: count desc,
+    term asc. The count agg is map-side combinable; the top-``size`` cut
+    is ``orderBy().limit()`` (distributed TakeOrderedAndProject — never a
+    global unpartitioned window), and id assignment happens on the
+    already-bounded ``size`` rows in one partition (the same
+    rank-without-Window trick as ``operators.query.attach_rank``).
+    """
+    counts = (
+        tokens_df.select(F.explode(tokens_col).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(size)
+    one = top.coalesce(1).sortWithinPartitions(F.desc("cnt"), F.asc("term"))
+    return one.withColumn(
+        "token_id", F.monotonically_increasing_id().cast("long")
+    )
+
+
+def encode(
+    tokens_df: DataFrame,
+    vocab: DataFrame,
+    oov_id: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, ids): each doc's token array mapped to vocabulary ids in
+    order; out-of-vocabulary tokens become ``oov_id``. With
+    ``sequence_pack`` this completes the tokenize -> ids -> pack chain a
+    pretraining loader consumes.
+
+    Plan: posexplode -> broadcast join against the (bounded) vocab ->
+    one groupBy re-assembling the array in position order. Empty-token
+    docs keep an empty array (collect_list drops the null marker rows).
+    """
+    pos = tokens_df.select(
+        F.col(id_col), F.posexplode_outer(tokens_col).alias("pos", "term")
+    )
+    j = pos.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(
+                            F.col("pos"),
+                            F.coalesce(F.col("token_id"), F.lit(oov_id))
+                            .cast("long")
+                            .alias("tid"),
+                        ),
+                    )
+                )
+            ).alias("a")
+        )
+        .select(
+            F.col(id_col), F.transform("a", lambda x: x["tid"]).alias("ids")
+        )
+    )
+
+
 def hashed_tf(
     tokens_df: DataFrame,
     n_buckets: int = 1024,

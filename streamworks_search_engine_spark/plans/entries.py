@@ -598,6 +598,24 @@ def q_sequence_pack(spark, sf_dir):
     )
 
 
+VOCAB_SIZE = 2000
+OOV_ID = VOCAB_SIZE  # ids 0..size-1 are in-vocab; size = OOV
+
+
+def q_vocab_topn(spark, sf_dir):
+    """Vocabulary fit: top-2000 corpus terms with dense deterministic ids
+    (functions/vectorize.py:vocab_build)."""
+    return vectorize.vocab_build(_doc_tokens(spark, sf_dir), VOCAB_SIZE)
+
+
+def q_encode_ids(spark, sf_dir):
+    """Token-id encoding: each doc's tokens as vocab ids in order, OOV ->
+    id 2000 (functions/vectorize.py:encode)."""
+    toks = _doc_tokens(spark, sf_dir)
+    vocab = vectorize.vocab_build(toks, VOCAB_SIZE)
+    return vectorize.encode(toks, vocab, oov_id=OOV_ID)
+
+
 HASHED_TF_BUCKETS = 1024
 
 
@@ -830,6 +848,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "sequence_pack": q_sequence_pack,
     "secret_scrub": q_secret_scrub,
+    "vocab_topn": q_vocab_topn,
+    "encode_ids": q_encode_ids,
     "hashed_tf": q_hashed_tf,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
@@ -1594,6 +1614,27 @@ ranked AS (SELECT query_id,
        AS BIGINT) AS rank,
   doc_id, round(s, 6) AS score FROM matched)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""",
+    "vocab_topn": f"""{_SQL_TOKS},
+counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term)
+SELECT term, cnt,
+  CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS token_id
+FROM counts ORDER BY cnt DESC, term LIMIT {VOCAB_SIZE}""",
+    "encode_ids": f"""{_SQL_TOKS},
+counts AS (SELECT term, count(*) AS cnt
+           FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term),
+vocab AS (SELECT term,
+  CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS token_id
+  FROM counts ORDER BY cnt DESC, term LIMIT {VOCAB_SIZE}),
+pos AS (SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
+               unnest(tokens) AS term FROM toks),
+joined AS (SELECT p.doc_id, p.pos,
+                  coalesce(v.token_id, {OOV_ID}) AS tid
+           FROM pos p LEFT JOIN vocab v USING (term)),
+enc AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
+        FROM joined GROUP BY doc_id)
+SELECT t.doc_id, coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
+FROM toks t LEFT JOIN enc e USING (doc_id)""",
     "hashed_tf": f"""{_SQL_TOKS},
 hits AS (SELECT doc_id, unnest(tokens) AS term FROM toks)
 SELECT doc_id,

@@ -1,0 +1,56 @@
+"""Vocabulary build + token-id encoding (functions/vectorize.py) vs
+pure-Python oracles."""
+
+from collections import Counter
+
+from streamworks_search_engine_spark.functions.vectorize import (
+    encode,
+    vocab_build,
+)
+
+DOCS = [
+    (1, ["b", "a", "b", "c"]),
+    (2, ["a", "b", "zzz", "a"]),
+    (3, []),
+    (4, ["c", "c", "rare"]),
+]
+
+
+def _py_vocab(size):
+    counts = Counter(t for _, toks in DOCS for t in toks)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    return {t: i for i, (t, _) in enumerate(ordered)}
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, tokens array<string>")
+
+
+def test_vocab_build_order_and_ids(spark):
+    rows = vocab_build(_df(spark), size=3).collect()
+    got = {r.term: (r.token_id, r.cnt) for r in rows}
+    # counts: a=3 b=3 c=3 rare=1 zzz=1 -> top3 by (cnt desc, term asc)
+    assert got == {"a": (0, 3), "b": (1, 3), "c": (2, 3)}
+
+
+def test_encode_order_oov_and_empty(spark):
+    df = _df(spark)
+    vocab = vocab_build(df, size=3)
+    got = {r.doc_id: r.ids for r in encode(df, vocab, oov_id=3).collect()}
+    v = _py_vocab(3)
+    exp = {
+        doc_id: [v.get(t, 3) for t in toks] for doc_id, toks in DOCS
+    }
+    assert got == exp
+    assert got[3] == []  # empty doc keeps an empty array
+    assert 3 in got[2]  # zzz is OOV
+
+
+def test_encode_full_vocab_roundtrip(spark):
+    """With a vocab covering every term, decode(encode(x)) == x."""
+    df = _df(spark)
+    vocab = vocab_build(df, size=100)
+    inv = {r.token_id: r.term for r in vocab.collect()}
+    got = {r.doc_id: r.ids for r in encode(df, vocab, oov_id=-1).collect()}
+    for doc_id, toks in DOCS:
+        assert [inv[i] for i in got[doc_id]] == toks
