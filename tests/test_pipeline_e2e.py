@@ -105,3 +105,54 @@ def test_curation_pipeline_end_to_end(spark, pipeline_docs, tmp_path):
     ]
     assert got == exp
     docs.unpersist()
+
+
+def test_training_export_chain(spark, pipeline_docs):
+    """The other half of the pipeline: scrub -> tokenize -> vocab/encode
+    -> sequence-pack. Proves the round-3 export operators compose on the
+    same corpus the curation test uses."""
+    docs, _ = pipeline_docs
+    from streamworks_search_engine_spark.functions.tokenizer import (
+        make_tokens_udf,
+    )
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    d = with_doc_id(docs)
+    n_docs = d.count()
+
+    # 1. scrub: plant an email in every doc, redact, verify detector-clean
+    planted = d.withColumn(
+        "content", F.concat("content", F.lit(" contact: bob@corp.example.com"))
+    )
+    before = sse.secret_stats(planted, text_col="content")
+    assert before.agg(F.sum("n_email")).collect()[0][0] == n_docs
+    red = sse.redact(planted, text_col="content")
+    after = sse.secret_stats(red, text_col="content")
+    assert after.agg(F.sum("n_email")).collect()[0][0] == 0
+
+    # 2. tokenize -> bounded vocab -> id encoding (token-count conserving)
+    toks = red.select(
+        "doc_id",
+        make_tokens_udf()(F.col("content"), F.col("lang")).alias("tokens"),
+    )
+    vocab = sse.vocab_build(toks, size=500)
+    assert vocab.count() <= 500
+    ids = sse.encode(toks, vocab, oov_id=500)
+    mismatched = (
+        toks.join(ids, "doc_id")
+        .filter(F.size("tokens") != F.size("ids"))
+        .count()
+    )
+    assert mismatched == 0
+
+    # 3. pack into fixed-capacity training sequences: every doc slotted,
+    # token mass conserved
+    lengths = ids.select(
+        "doc_id", F.size("ids").cast("long").alias("n_tokens")
+    )
+    packed = sse.sequence_pack(lengths, capacity=256)
+    assert packed.count() == n_docs
+    assert (
+        packed.agg(F.sum("n_tokens")).collect()[0][0]
+        == lengths.agg(F.sum("n_tokens")).collect()[0][0]
+    )
