@@ -65,6 +65,36 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, "media_id long, blob binary")
 
 
+def media_blobs_from_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(media_id, blob): deterministic media containers synthesized from a
+    text corpus — header fields are pure functions of the id (kind =
+    1 + id%3, width = 16 + (id%8)*16, height = 16 + (id%5)*16, channels=3,
+    extra = 10 + id%50) and the payload is the utf-8 text bytes. Because
+    every header field and the payload length are SQL-derivable from the
+    source row, a downstream header parse can be hash-checked end-to-end
+    by an engine that never sees the binary (the DuckDB oracle) — a real
+    round-trip test of the binary-in/binary-out mapInPandas plumbing."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                kind = 1 + mid % 3
+                w, h = 16 + (mid % 8) * 16, 16 + (mid % 5) * 16
+                extra = 10 + mid % 50
+                ids.append(mid)
+                blobs.append(
+                    struct.pack(_HDR, MAGIC, kind, w, h, 3, extra)
+                    + str(text).encode("utf-8")
+                )
+            yield pd.DataFrame({"media_id": ids, "blob": blobs})
+
+    return docs.mapInPandas(build, schema="media_id long, blob binary")
+
+
 def extract_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """mapInPandas metadata extraction — parses the (fake) container header
     per Arrow batch; malformed blobs yield valid=false rows, never a crash."""

@@ -562,6 +562,29 @@ def q_secret_scrub(spark, sf_dir):
     return docs.select(*cols)
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal plumbing round-trip: synthesize binary media containers
+    from the documents table (functions/multimodal.py:media_blobs_from_docs),
+    parse them back with the Arrow header-parse kernel; the oracle derives
+    every field straight from the source row, so a pack/parse bug anywhere
+    in the binary path breaks the hash."""
+    from ..functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = multimodal.media_blobs_from_docs(docs)
+    return multimodal.extract_media_meta(blobs)
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (1->N mapInPandas explosion) over the same
+    synthesized containers: one row per 4th frame of each kind=3 blob."""
+    from ..functions import multimodal
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = multimodal.media_blobs_from_docs(docs)
+    return multimodal.sample_frames(blobs, every_n=4)
+
+
 BATCH_QUERIES = [
     (1, Q_SINGLE),
     (2, Q_CONJ2),
@@ -850,6 +873,8 @@ QUERIES = {
     "secret_scrub": q_secret_scrub,
     "vocab_topn": q_vocab_topn,
     "encode_ids": q_encode_ids,
+    "media_meta": q_media_meta,
+    "media_frames": q_media_frames,
     "hashed_tf": q_hashed_tf,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
@@ -1614,6 +1639,20 @@ ranked AS (SELECT query_id,
        AS BIGINT) AS rank,
   doc_id, round(s, 6) AS score FROM matched)
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""",
+    "media_meta": """
+SELECT doc_id AS media_id,
+  CAST(1 + doc_id % 3 AS BIGINT) AS kind,
+  CAST(16 + (doc_id % 8) * 16 AS BIGINT) AS width,
+  CAST(16 + (doc_id % 5) * 16 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(10 + doc_id % 50 AS BIGINT) AS extra,
+  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+  TRUE AS valid
+FROM documents""",
+    "media_frames": """
+SELECT doc_id AS media_id,
+  CAST(unnest(range(0, 10 + doc_id % 50, 4)) AS BIGINT) AS frame_idx
+FROM documents WHERE doc_id % 3 = 2""",
     "vocab_topn": f"""{_SQL_TOKS},
 counts AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
            FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term)

@@ -62,3 +62,24 @@ def test_real_codec_stubbed(spark):
     ):
         with pytest.raises(NotImplementedError):
             fn()
+
+
+def test_blobs_from_docs_roundtrip(spark):
+    """Containers synthesized from a text table parse back to fields that
+    are pure functions of the source row (the driver-entry invariant)."""
+    docs = spark.createDataFrame(
+        [(7, "hello world"), (8, ""), (9, "xyz")], "doc_id long, text string"
+    )
+    meta = {
+        r["media_id"]: r
+        for r in MM.extract_media_meta(MM.media_blobs_from_docs(docs)).collect()
+    }
+    for mid, text in [(7, "hello world"), (8, ""), (9, "xyz")]:
+        r = meta[mid]
+        assert r["valid"]
+        assert r["kind"] == 1 + mid % 3
+        assert r["width"] == 16 + (mid % 8) * 16
+        assert r["height"] == 16 + (mid % 5) * 16
+        assert r["channels"] == 3
+        assert r["extra"] == 10 + mid % 50
+        assert r["payload_bytes"] == len(text.encode())
