@@ -1,0 +1,269 @@
+"""Incremental index maintenance — segment merge, multi-segment query view,
+and compaction.
+
+The reference mutates its live index in place: IndexUpdateBolt merges new
+lexicon rows into the running lexicon (A4,
+edu/upenn/cis455/mapreduce/job/IndexUpdateBolt.java:136-143) and re-uploaded
+docs simply overwrite their BDB rows. That works for a single-node store but
+not for an immutable columnar layout at 10^12-file scale, where rewriting
+the whole postings table for a 0.1% corpus delta is the cost model's
+worst case. This module restates the update as Lucene-style segment algebra
+in pure DataFrame terms:
+
+  * a DELTA index built only over new/changed docs — the expensive Arrow
+    tokenize pass runs ONLY on the delta;
+  * TOMBSTONES: doc_ids superseded by the delta or explicitly deleted;
+  * logical merge = (base postings ANTI-JOIN tombstones) UNION delta
+    postings, with df/idf/n_docs/avgdl re-derived exactly — provably equal
+    to a full rebuild over the effective corpus (tests/test_merge.py);
+  * a query-time multi-segment view (``merge_search_segments``) that
+    rewrites NOTHING: queries run over the unioned view, and the merged
+    lexicon is a lazy aggregation whose ``term IN (...)`` semi-join filter
+    pushes below the union into both parquet scans (row-group pruning on
+    the range layout still applies per segment);
+  * compaction (``compact_segments``): stream the merged postings into a
+    fresh packed layout — pure columnar I/O + block re-pack, no tokenize.
+
+Scale notes:
+  * The tombstone set is bounded by the delta (plus deletes), so it is
+    broadcast — the base anti-join is map-side, no shuffle of the base.
+  * The merged lexicon is exact, not patched: df must drop superseded docs'
+    old postings, and deriving it from the merged postings view is one
+    column-pruned (term, doc_id) aggregation — when semi-joined by a query
+    it collapses to a k-term pushed scan per segment.
+  * Compaction cost = read postings columns + one range shuffle + pack.
+    On this host's measured build profile the tokenize stage is >55% of a
+    full rebuild (BENCH.md per-phase tables), so merge+compact lands well
+    under rebuild even before the delta-only tokenize saving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .indexer import IndexTables, salted_lexicon
+from .query import SearchIndex
+
+
+def tombstones(delta: IndexTables, deletes: DataFrame | None) -> DataFrame:
+    """Doc ids whose base rows are superseded: every delta doc (SCD1 — the
+    delta's version of a doc replaces the base's) plus explicit deletes."""
+    tomb = delta.doclen.select("doc_id")
+    if deletes is not None:
+        tomb = tomb.unionByName(deletes.select("doc_id"))
+    return tomb.distinct()
+
+
+def _anti(df: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Anti-join against the (small, broadcast) tombstone set — map-side;
+    the big side never shuffles."""
+    return df.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
+def merge_index_tables(
+    spark: SparkSession,
+    base: IndexTables,
+    delta: IndexTables,
+    deletes: DataFrame | None = None,
+) -> IndexTables:
+    """Logical segment merge: delta docs supersede base docs, deletes win
+    over both. Returns lazily-evaluated merged tables that are equal (row
+    for row, stat for stat) to a full rebuild over the effective corpus.
+
+    Precedence: a doc_id present in ``delta`` replaces all its base rows;
+    a doc_id in ``deletes`` is absent from the result even if the delta
+    also carries it (deletes are applied after the delta).
+    """
+    tomb = tombstones(delta, deletes)
+    del_only = (
+        deletes.select("doc_id").distinct()
+        if deletes is not None
+        else None
+    )
+
+    def merged(base_df: DataFrame | None, delta_df: DataFrame | None):
+        if base_df is None or delta_df is None:
+            return None
+        kept_delta = _anti(delta_df, del_only) if del_only is not None else delta_df
+        return _anti(base_df, tomb).unionByName(
+            kept_delta, allowMissingColumns=True
+        )
+
+    postings = merged(base.postings, delta.postings)
+    doclen = merged(base.doclen, delta.doclen)
+    assert postings is not None and doclen is not None
+
+    stats_row = doclen.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+
+    lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
+    return IndexTables(
+        postings=postings,
+        lexicon=lexicon,
+        doclen=doclen,
+        docs_dim=merged(base.docs_dim, delta.docs_dim),
+        n_docs=n_docs,
+        avgdl=avgdl,
+        path_hits=merged(base.path_hits, delta.path_hits),
+    )
+
+
+def merge_search_segments(
+    spark: SparkSession,
+    base: SearchIndex,
+    delta: IndexTables,
+    deletes: DataFrame | None = None,
+) -> SearchIndex:
+    """Query-time multi-segment view — serve queries over base+delta with
+    ZERO rewrite of the base layout (the between-compactions serving mode).
+
+    The returned SearchIndex's postings/doclen are union views; its lexicon
+    is the exact lazy aggregation over the unioned postings (a query's
+    ``term IN (...)`` semi-join filter pushes below the union AND below the
+    df aggregation into each segment's scan, so per-query cost is k pushed
+    term lookups per segment, not a corpus scan). n_docs/avgdl are patched
+    arithmetically from the base stats: subtract the tombstoned base docs'
+    (count, Σdoc_len) — one broadcast-semi-joined scan of base.doclen, n_docs
+    rows — then add the delta's.
+    """
+    tomb = tombstones(delta, deletes)
+    del_only = (
+        deletes.select("doc_id").distinct() if deletes is not None else None
+    )
+    delta_doclen = (
+        _anti(delta.doclen, del_only) if del_only is not None else delta.doclen
+    )
+
+    removed = (
+        base.doclen.join(F.broadcast(tomb), "doc_id", "left_semi")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("len"),
+        )
+        .collect()[0]
+    )
+    added = delta_doclen.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("len"),
+    ).collect()[0]
+    n_docs = base.n_docs - int(removed["n"]) + int(added["n"])
+    base_total = base.n_docs * base.avgdl
+    total_len = base_total - float(removed["len"]) + float(added["len"])
+    avgdl = total_len / n_docs if n_docs else 0.0
+
+    delta_postings = (
+        _anti(delta.postings, del_only) if del_only is not None else delta.postings
+    )
+    postings = _anti(base.postings, tomb).unionByName(
+        delta_postings, allowMissingColumns=True
+    )
+    doclen = _anti(base.doclen, tomb).unionByName(delta_doclen)
+    lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
+
+    path_hits = None
+    if base.path_hits is not None and delta.path_hits is not None:
+        delta_ph = (
+            _anti(delta.path_hits, del_only)
+            if del_only is not None
+            else delta.path_hits
+        )
+        path_hits = _anti(base.path_hits, tomb).unionByName(delta_ph)
+
+    docs_dim = None
+    if base.docs_dim is not None and delta.docs_dim is not None:
+        delta_dim = (
+            _anti(delta.docs_dim, del_only)
+            if del_only is not None
+            else delta.docs_dim
+        )
+        docs_dim = _anti(base.docs_dim, tomb).unionByName(delta_dim)
+
+    return SearchIndex(
+        postings=postings,
+        lexicon=lexicon,
+        doclen=doclen,
+        docs_dim=docs_dim,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        packed=None,  # union view serves the flat path; compaction re-packs
+        packed_only=False,
+        path_hits=path_hits,
+    )
+
+
+def compact_segments(
+    spark: SparkSession,
+    base: IndexTables,
+    delta: IndexTables,
+    out_dir: str,
+    deletes: DataFrame | None = None,
+    term_buckets: int = 32,
+    pack: bool = True,
+    flat: bool = True,
+    timings: dict | None = None,
+) -> IndexTables:
+    """Materialize the merged segments as a fresh index layout.
+
+    This is the periodic compaction step between incremental serves: read
+    the two segments' postings columns, anti-join the broadcast tombstones,
+    one range shuffle, re-pack. NO tokenize — the dominant build phase
+    (BENCH.md: tokenize_checkpoint is >55% of a cold build) never runs.
+    """
+    from .indexer import write_index
+
+    merged = merge_index_tables(spark, base, delta, deletes=deletes)
+    write_index(
+        merged, out_dir, term_buckets=term_buckets, pack=pack, flat=flat,
+        timings=timings,
+    )
+    return merged
+
+
+def index_tables_from_dir(spark: SparkSession, index_dir: str) -> IndexTables:
+    """Re-open a written layout as IndexTables (segment handle for merge /
+    compaction). Packed-only layouts decode lazily, same as load_index."""
+    from .query import load_index
+
+    idx = load_index(spark, index_dir)
+    return IndexTables(
+        postings=idx.postings,
+        lexicon=idx.lexicon,
+        doclen=idx.doclen,
+        docs_dim=idx.docs_dim,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+        path_hits=idx.path_hits,
+    )
+
+
+def incremental_update(
+    spark: SparkSession,
+    base_dir: str,
+    delta_docs: DataFrame,
+    out_dir: str,
+    deletes: DataFrame | None = None,
+    term_buckets: int = 32,
+    pack: bool = True,
+    flat: bool = True,
+    timings: dict | None = None,
+) -> IndexTables:
+    """End-to-end incremental build: tokenize ONLY ``delta_docs`` (input_hint
+    schema), merge against the layout at ``base_dir``, write the compacted
+    result to ``out_dir``. The returned tables are the merged logical index.
+    """
+    import time as _time
+
+    from .indexer import build_index
+
+    t = timings if timings is not None else {}
+    t0 = _time.time()
+    base = index_tables_from_dir(spark, base_dir)
+    delta = build_index(spark, delta_docs)
+    t["delta_tokenize"] = round(_time.time() - t0, 2)
+    return compact_segments(
+        spark, base, delta, out_dir, deletes=deletes,
+        term_buckets=term_buckets, pack=pack, flat=flat, timings=t,
+    )

@@ -70,6 +70,23 @@ lexicon AS (SELECT term, count(*) AS df,
 _SQL_INDEX = f"""{_SQL_TOKS},
 {_SQL_INDEX_BODY}"""
 
+# Effective corpus of the segment-merge case (see _merged_index): delta docs
+# supersede base docs, deletes win over both.
+_SQL_MERGE_TOKS = f"""WITH eff AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 3 AND doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id, text || ' merged update' FROM documents
+  WHERE doc_id % 4 <> 3 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+    t -> length(t) >= 2 AND length(t) <= 64
+         AND NOT regexp_matches(t, '^[0-9]+$')
+         AND NOT list_contains({_STOP_SQL}, t)) AS tokens
+  FROM eff WHERE doc_id % 25 <> 7)"""
+
 
 def _sql_terms_array(terms: list[str]) -> str:
     return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
@@ -842,8 +859,68 @@ def q_bm25_topk_metadata(spark, sf_dir):
     )
 
 
+_MERGE_CACHE: dict[tuple[str, str], IndexTables] = {}
+
+
+def _merged_index(spark, sf_dir) -> IndexTables:
+    """Segment-merge case over the documents table (operators.merge):
+    base = docs with doc_id % 4 != 3 (original text); delta = the docs with
+    doc_id % 4 == 3 (new) plus updated versions (text + ' merged update')
+    of every base doc with doc_id % 10 == 0; deletes = doc_id % 25 == 7
+    (overlapping the delta, so deletes-beat-delta is exercised). The merged
+    index must equal a rebuild over the effective corpus — which is exactly
+    what the oracle computes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MERGE_CACHE:
+        return _MERGE_CACHE[key]
+    from ..operators.merge import merge_index_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    base_docs = docs.filter(F.col("doc_id") % 4 != 3).select(
+        "doc_id", "text", "lang"
+    )
+    delta_docs = base_docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" merged update")).alias("text"),
+        "lang",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 3).select("doc_id", "text", "lang")
+    )
+    deletes = docs.filter(F.col("doc_id") % 25 == 7).select("doc_id")
+
+    udf = make_doc_postings_udf()
+
+    def idx(d):
+        plist = d.select(
+            "doc_id", udf(F.col("text"), F.col("lang")).alias("plist")
+        ).persist()
+        return build_index_from_plist(spark, plist)
+
+    _MERGE_CACHE[key] = merge_index_tables(
+        spark, idx(base_docs), idx(delta_docs), deletes=deletes
+    )
+    return _MERGE_CACHE[key]
+
+
+def q_index_merge_postings(spark, sf_dir):
+    """Segment merge (incremental maintenance): merged postings must match
+    a full rebuild over the effective corpus — base anti-join broadcast
+    tombstones UNION delta, no re-tokenize of the base."""
+    return _merged_index(spark, sf_dir).postings.select("term", "doc_id", "tf")
+
+
+def q_index_merge_lexicon(spark, sf_dir):
+    """Merged lexicon: df/idf re-derived exactly over the merged segments
+    (the reference's IndexUpdateBolt lexicon merge, generalized to
+    supersede + delete semantics)."""
+    m = _merged_index(spark, sf_dir)
+    return m.lexicon.select("term", "df", F.round("idf", 9).alias("idf"))
+
+
 QUERIES = {
     "index_wordcount": q_index_wordcount,
+    "index_merge_postings": q_index_merge_postings,
+    "index_merge_lexicon": q_index_merge_lexicon,
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
     "index_doclen": q_index_doclen,
@@ -1290,6 +1367,12 @@ SELECT term, count(*) AS n
 FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term""",
     "index_postings": f"""{_SQL_INDEX}
 SELECT term, doc_id, tf FROM postings""",
+    "index_merge_postings": f"""{_SQL_MERGE_TOKS},
+{_SQL_INDEX_BODY}
+SELECT term, doc_id, tf FROM postings""",
+    "index_merge_lexicon": f"""{_SQL_MERGE_TOKS},
+{_SQL_INDEX_BODY}
+SELECT term, df, round(idf, 9) AS idf FROM lexicon""",
     "index_lexicon": f"""{_SQL_INDEX}
 SELECT term, df, round(idf, 9) AS idf FROM lexicon""",
     "index_doclen": f"""{_SQL_TOKS}

@@ -1,0 +1,236 @@
+"""Segment merge / incremental maintenance: the merged index must be
+indistinguishable from a full rebuild over the effective corpus, and the
+query-time multi-segment view must be rank-identical to that rebuild."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streamworks_search_engine_spark.operators.indexer import build_index
+from streamworks_search_engine_spark.operators.merge import (
+    compact_segments,
+    incremental_update,
+    merge_index_tables,
+    merge_search_segments,
+)
+from streamworks_search_engine_spark.operators.query import (
+    SearchIndex,
+    bm25_topk,
+    load_index,
+)
+from streamworks_search_engine_spark.sources.corpus import (
+    doc_id_of,
+    generate_corpus,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=_SCHEMA).repartition(4)
+
+
+@pytest.fixture(scope="module")
+def merge_case(spark):
+    """base (200 docs) + delta (20 updates + 40 new) + deletes (12 docs,
+    drawn from untouched base, updated, and new docs — so every precedence
+    rule is exercised) and the effective corpus a rebuild should see."""
+    rows = generate_corpus(260, seed=7)
+    base_rows = rows[:200]
+    new_rows = rows[200:]
+
+    updated = [
+        {**r, "content": r["content"] + "\nmerged update extra line"}
+        for r in base_rows[::10]  # every 10th base doc changes
+    ]
+    delta_rows = updated + new_rows
+
+    def did(r):
+        return doc_id_of(r["repo"], r["path"], r["commit"])
+
+    delete_rows = base_rows[5::40] + updated[:2] + new_rows[:3]
+    delete_ids = sorted({did(r) for r in delete_rows})
+
+    updated_keys = {(r["repo"], r["path"]) for r in updated}
+    effective = (
+        [r for r in base_rows if (r["repo"], r["path"]) not in updated_keys]
+        + delta_rows
+    )
+    effective = [r for r in effective if did(r) not in delete_ids]
+
+    base_idx = build_index(spark, _df(spark, base_rows))
+    delta_idx = build_index(spark, _df(spark, delta_rows))
+    rebuild_idx = build_index(spark, _df(spark, effective))
+    deletes = spark.createDataFrame(
+        [(i,) for i in delete_ids], "doc_id long"
+    )
+    merged = merge_index_tables(spark, base_idx, delta_idx, deletes=deletes)
+    return {
+        "base": base_idx,
+        "delta": delta_idx,
+        "deletes": deletes,
+        "delete_ids": delete_ids,
+        "merged": merged,
+        "rebuild": rebuild_idx,
+        "updated_ids": sorted(did(r) for r in updated),
+    }
+
+
+def _postings_set(postings):
+    return {
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in postings.select("term", "doc_id", "tf", "positions").collect()
+    }
+
+
+def test_merge_postings_equal_rebuild(merge_case):
+    assert _postings_set(merge_case["merged"].postings) == _postings_set(
+        merge_case["rebuild"].postings
+    )
+
+
+def test_merge_doclen_and_stats_equal_rebuild(merge_case):
+    m, r = merge_case["merged"], merge_case["rebuild"]
+    assert sorted(map(tuple, m.doclen.collect())) == sorted(
+        map(tuple, r.doclen.collect())
+    )
+    assert m.n_docs == r.n_docs
+    assert m.avgdl == pytest.approx(r.avgdl, rel=1e-12)
+
+
+def test_merge_lexicon_equal_rebuild(merge_case):
+    m = {r["term"]: (r["df"], r["idf"]) for r in merge_case["merged"].lexicon.collect()}
+    r = {r["term"]: (r["df"], r["idf"]) for r in merge_case["rebuild"].lexicon.collect()}
+    assert m.keys() == r.keys()
+    for t in m:
+        assert m[t][0] == r[t][0], t
+        assert m[t][1] == pytest.approx(r[t][1], rel=1e-12)
+
+
+def test_deletes_win_over_delta(merge_case):
+    gone = (
+        merge_case["merged"]
+        .doclen.filter(F.col("doc_id").isin(merge_case["delete_ids"]))
+        .count()
+    )
+    assert gone == 0
+
+
+def test_updated_docs_serve_new_content(merge_case):
+    """An updated, undeleted doc's postings must include the delta's new
+    terms (and its doc_len must be the delta's, not the base's)."""
+    alive_updated = [
+        i for i in merge_case["updated_ids"]
+        if i not in set(merge_case["delete_ids"])
+    ]
+    assert alive_updated
+    hit = (
+        merge_case["merged"]
+        .postings.filter(
+            (F.col("term") == "merged") & F.col("doc_id").isin(alive_updated)
+        )
+        .count()
+    )
+    assert hit == len(alive_updated)
+
+
+def _as_search(idx):
+    return SearchIndex(
+        postings=idx.postings,
+        lexicon=idx.lexicon,
+        doclen=idx.doclen,
+        docs_dim=None,
+        n_docs=idx.n_docs,
+        avgdl=idx.avgdl,
+    )
+
+
+def _topk_rows(si, terms, k=10, mode="all"):
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(si, terms, k=k, mode=mode).collect()
+    ]
+
+
+def test_segment_view_rank_identical_to_rebuild(spark, merge_case):
+    view = merge_search_segments(
+        spark,
+        _as_search(merge_case["base"]),
+        merge_case["delta"],
+        deletes=merge_case["deletes"],
+    )
+    rebuilt = _as_search(merge_case["rebuild"])
+    assert view.n_docs == rebuilt.n_docs
+    assert view.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+    for terms, mode in [
+        (["scan", "merge"], "all"),
+        (["merged", "update"], "all"),
+        (["token", "zzqqnotaterm"], "any"),
+    ]:
+        got = _topk_rows(view, terms, mode=mode)
+        assert got, (terms, mode)  # vacuous-equality guard
+        assert got == _topk_rows(rebuilt, terms, mode=mode), (terms, mode)
+
+
+def test_compaction_roundtrip(spark, merge_case, tmp_path):
+    out = str(tmp_path / "compacted")
+    compact_segments(
+        spark,
+        merge_case["base"],
+        merge_case["delta"],
+        out,
+        deletes=merge_case["deletes"],
+        term_buckets=4,
+    )
+    loaded = load_index(spark, out)
+    rebuilt = _as_search(merge_case["rebuild"])
+    assert loaded.n_docs == rebuilt.n_docs
+    assert _postings_set(loaded.postings) == _postings_set(rebuilt.postings)
+    got = _topk_rows(loaded, ["scan", "merge"])
+    assert got
+    assert got == _topk_rows(rebuilt, ["scan", "merge"])
+
+
+def test_incremental_update_end_to_end(spark, tmp_path):
+    """incremental_update: tokenize only the delta, merge against a written
+    base layout, write the compacted result — equal to a rebuild."""
+    rows = generate_corpus(150, seed=11)
+    base_rows, new_rows = rows[:120], rows[120:]
+    updated = [
+        {**r, "content": r["content"] + "\nincremental extra"}
+        for r in base_rows[::15]
+    ]
+    delta_rows = updated + new_rows
+    updated_keys = {(r["repo"], r["path"]) for r in updated}
+    effective = [
+        r for r in base_rows if (r["repo"], r["path"]) not in updated_keys
+    ] + delta_rows
+
+    from streamworks_search_engine_spark.operators.indexer import write_index
+
+    base_dir = str(tmp_path / "base")
+    write_index(build_index(spark, _df(spark, base_rows)), base_dir, term_buckets=4)
+
+    out_dir = str(tmp_path / "merged")
+    timings = {}
+    incremental_update(
+        spark, base_dir, _df(spark, delta_rows), out_dir,
+        term_buckets=4, timings=timings,
+    )
+    assert "delta_tokenize" in timings
+
+    loaded = load_index(spark, out_dir)
+    rebuilt = build_index(spark, _df(spark, effective))
+    assert loaded.n_docs == rebuilt.n_docs
+    assert _postings_set(loaded.postings) == _postings_set(rebuilt.postings)
+    got = _topk_rows(loaded, ["query", "hash"])
+    assert got
+    assert got == _topk_rows(_as_search(rebuilt), ["query", "hash"])
