@@ -204,6 +204,52 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     timings["corpus_index_build_40k"] = round(corpus_build_s, 3)
 
+    # --- incremental maintenance design point: 2% delta vs full rebuild ---
+    # corpus_index_build_40k above IS the full-rebuild cost (tokenize all
+    # 40k files + pack). The incremental path tokenizes ONLY the 800-doc
+    # delta, anti-joins broadcast tombstones, and re-packs — at 100 TB the
+    # rebuild:merge gap is the whole point of the segment model.
+    from streamworks_search_engine_spark.operators.merge import (
+        incremental_update,
+    )
+    from streamworks_search_engine_spark.sources.corpus import generate_corpus
+
+    # seed 99: disjoint (repo, path, commit) triples from the seed-42 base,
+    # so the delta is 800 genuinely new docs
+    delta_rows = generate_corpus(800, seed=99)
+    delta_df = spark.createDataFrame(delta_rows)
+    merged_out = tempfile.mkdtemp(prefix="sse_bench_merged_index_")
+    t0 = time.time()
+    merged = incremental_update(
+        spark, corpus_out, delta_df, merged_out, term_buckets=int(CPUS),
+        pack=True, flat=False,
+    )
+    merge_s = time.time() - t0
+    assert merged.n_docs == n_corpus + len(delta_rows)
+    timings["merge2pct_40k"] = round(merge_s, 3)
+    timings["merge_speedup_vs_rebuild"] = round(corpus_build_s / merge_s, 2)
+
+    # --- append-only segment ingest: make 800 new docs searchable ---
+    # The zero-rewrite path: the delta becomes its OWN segment (packed),
+    # served through load_segmented_index — the base is never touched, so
+    # the cost is the 800-doc build + stats/lexicon patch + first query.
+    # Compare with corpus_index_build_40k (the full-rebuild alternative).
+    from streamworks_search_engine_spark.operators.merge import (
+        load_segmented_index,
+    )
+
+    seg_out = tempfile.mkdtemp(prefix="sse_bench_delta_seg_")
+    t0 = time.time()
+    build_and_write_index(
+        spark, delta_df, seg_out, term_buckets=8, pack=True, flat=False
+    )
+    seg_view = load_segmented_index(spark, [corpus_out, seg_out])
+    seg_rows = bm25_topk(seg_view, ["parse", "merge"], k=10).collect()
+    append_s = time.time() - t0
+    assert seg_view.n_docs == n_corpus + len(delta_rows) and seg_rows
+    timings["append800_40k"] = round(append_s, 3)
+    timings["append_speedup_vs_rebuild"] = round(corpus_build_s / append_s, 2)
+
     # query latency against the packed-only 40k index: the block path is
     # the ONLY path here (no flat table) — positions-pruned block scan +
     # decode (bm25_search routes to it automatically)

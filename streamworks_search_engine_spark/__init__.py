@@ -5,6 +5,10 @@ Public API — the operations a user of the reference engine needs:
 Build:    get_spark, build_index, build_index_with_tags (per-hit tag
           classes), build_and_write_index, write_index,
           CheckpointedIndexBuild (resumable), assert_content_sha256
+Maintain: incremental_update (tokenize only the delta), merge_index_tables,
+          merge_search_segments (serve base+delta with zero rewrite),
+          load_segmented_index (append-only doc-disjoint segments),
+          compact_segments
 Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_topk_batch (a whole queries table in one postings pass),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
@@ -55,6 +59,13 @@ from .operators.indexer import (
     build_index_with_tags,
     write_index,
 )
+from .operators.merge import (
+    compact_segments,
+    incremental_update,
+    load_segmented_index,
+    merge_index_tables,
+    merge_search_segments,
+)
 from .operators.proximity import phrase_match, proximity_topk
 from .operators.query import (
     SearchIndex,
@@ -83,6 +94,11 @@ __all__ = [
     "write_index",
     "CheckpointedIndexBuild",
     "assert_content_sha256",
+    "incremental_update",
+    "load_segmented_index",
+    "merge_index_tables",
+    "merge_search_segments",
+    "compact_segments",
     "SearchIndex",
     "load_index",
     "bm25_search",

@@ -86,9 +86,17 @@ def merge_index_tables(
         if base_df is None or delta_df is None:
             return None
         kept_delta = _anti(delta_df, del_only) if del_only is not None else delta_df
-        return _anti(base_df, tomb).unionByName(
+        out = _anti(base_df, tomb).unionByName(
             kept_delta, allowMissingColumns=True
         )
+        # tag-class counts: a segment without per-hit tags means zero 'a'
+        # hits (same None -> zeros convention as the block decoder); a NULL
+        # here would poison the varint re-pack at compaction
+        if "tf_def" in out.columns:
+            out = out.withColumn(
+                "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
+            )
+        return out
 
     postings = merged(base.postings, delta.postings)
     doclen = merged(base.doclen, delta.doclen)
@@ -160,6 +168,10 @@ def merge_search_segments(
     postings = _anti(base.postings, tomb).unionByName(
         delta_postings, allowMissingColumns=True
     )
+    if "tf_def" in postings.columns:  # same None -> zeros rule as the decoder
+        postings = postings.withColumn(
+            "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
+        )
     doclen = _anti(base.doclen, tomb).unionByName(delta_doclen)
     lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
 
@@ -236,6 +248,106 @@ def index_tables_from_dir(spark: SparkSession, index_dir: str) -> IndexTables:
         n_docs=idx.n_docs,
         avgdl=idx.avgdl,
         path_hits=idx.path_hits,
+    )
+
+
+def load_segmented_index(
+    spark: SparkSession,
+    seg_dirs: list[str],
+    validate_disjoint: bool = False,
+) -> SearchIndex:
+    """Serve a list of doc-disjoint segments as ONE SearchIndex with zero
+    rewrite — the append-only ingest path: each new crawl batch becomes its
+    own segment (``build_and_write_index`` into a fresh dir), and making it
+    searchable costs only the delta build, never a base rewrite.
+
+    Exactness: postings/doclen are union views (a query's ``term IN (...)``
+    pushes into every segment's scan); the merged lexicon is derived from
+    the segments' own lexicon tables — ``df = Σ segment df`` (valid because
+    segments are doc-disjoint) with idf recomputed against the merged
+    n_docs, so it never scans postings at all. n_docs/avgdl combine
+    arithmetically from the segments' stats tables.
+
+    The view serves through the FLAT scoring path. Packed block pruning is
+    deliberately not offered across segments: ``block_max_score`` is an
+    upper bound computed with the segment's own pack-time idf/avgdl, and a
+    merge that grows n_docs raises idf — real scores could then exceed the
+    stale bounds and lossless pruning would silently become lossy.
+    Compaction (``compact_segments``) re-packs with merged stats and
+    restores the pruned path.
+
+    ``validate_disjoint=True`` asserts no doc_id appears in two segments
+    (one distinct-count over the unioned doclen — n_docs rows per segment,
+    cheap) and raises otherwise; with overlapping segments use
+    ``merge_search_segments`` (supersede semantics) instead.
+    """
+    from .query import load_index
+
+    if not seg_dirs:
+        raise ValueError("load_segmented_index needs at least one segment")
+    segs = [load_index(spark, d) for d in seg_dirs]
+
+    n_docs = sum(s.n_docs for s in segs)
+    total_len = sum(s.n_docs * s.avgdl for s in segs)
+    avgdl = total_len / n_docs if n_docs else 0.0
+
+    def union_all(frames):
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    postings = union_all([s.postings for s in segs])
+    if "tf_def" in postings.columns:  # same None -> zeros rule as the decoder
+        postings = postings.withColumn(
+            "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
+        )
+    doclen = union_all([s.doclen for s in segs])
+
+    if validate_disjoint:
+        distinct = doclen.select("doc_id").distinct().count()
+        if distinct != n_docs:
+            raise ValueError(
+                f"segments overlap: {n_docs - distinct} doc_ids appear in "
+                "more than one segment — use merge_search_segments for "
+                "supersede semantics"
+            )
+
+    lexicon = (
+        union_all([s.lexicon.select("term", "df") for s in segs])
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+
+    docs_dim = None
+    if all(s.docs_dim is not None for s in segs):
+        docs_dim = union_all([s.docs_dim for s in segs])
+    path_hits = None
+    if all(s.path_hits is not None for s in segs):
+        path_hits = union_all([s.path_hits for s in segs])
+
+    return SearchIndex(
+        postings=postings,
+        lexicon=lexicon,
+        doclen=doclen,
+        docs_dim=docs_dim,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        packed=None,
+        packed_only=False,
+        path_hits=path_hits,
+        # term-filtered access recurses per segment so the IN filter reaches
+        # each segment's own scan — a packed-only segment decodes only the
+        # matching terms' blocks, never the whole table
+        segments=segs,
     )
 
 

@@ -43,6 +43,10 @@ class SearchIndex:
     packed_only: bool = False  # no flat table on disk; postings = lazy decode
     # (doc_id, term, h_cnt) 'h'-class path hits — present iff tag-aware build
     path_hits: DataFrame | None = None
+    # multi-segment view (operators.merge.load_segmented_index): term-filtered
+    # access recurses into each segment so the filter reaches every segment's
+    # own scan (packed-only segments decode ONLY the matching terms' blocks)
+    segments: list["SearchIndex"] | None = None
 
 
 def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
@@ -94,6 +98,19 @@ def postings_for_terms(
     pushdown barrier; filtering after a decode of the whole table would
     read everything). ``positions=False`` additionally drops the heavy
     position blobs before the decode (scoring never needs them)."""
+    if index.segments:
+        parts = [
+            postings_for_terms(s, terms, positions=positions)
+            for s in index.segments
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if "tf_def" in out.columns:  # None -> zeros, as the block decoder
+            out = out.withColumn(
+                "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
+            )
+        return out
     if index.packed_only and index.packed is not None:
         from .postings import decode_blocks
 

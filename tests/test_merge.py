@@ -234,3 +234,104 @@ def test_incremental_update_end_to_end(spark, tmp_path):
     got = _topk_rows(loaded, ["query", "hash"])
     assert got
     assert got == _topk_rows(_as_search(rebuilt), ["query", "hash"])
+
+
+def test_packed_base_compaction_with_plain_delta(spark, tmp_path):
+    """Regression: a packed-only base's decode view carries tf_def (zeros
+    when the build wasn't tag-aware) while a fresh delta build doesn't; the
+    union must not leave NULL tf_def rows (they poison the varint re-pack)."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        index_tables_from_dir,
+        compact_segments,
+    )
+
+    base_dir = str(tmp_path / "packed_base")
+    build_and_write_index(
+        spark, _df(spark, generate_corpus(80, seed=3)), base_dir,
+        term_buckets=4, pack=True, flat=False,
+    )
+    base = index_tables_from_dir(spark, base_dir)
+    delta = build_index(spark, _df(spark, generate_corpus(30, seed=5)))
+    out = str(tmp_path / "compacted_packed")
+    merged = compact_segments(
+        spark, base, delta, out, term_buckets=4, pack=True, flat=False
+    )
+    assert merged.postings.filter(F.col("tf_def").isNull()).count() == 0
+    loaded = load_index(spark, out)
+    assert loaded.n_docs == merged.n_docs
+    got = _topk_rows(loaded, ["scan", "merge"])
+    assert got
+
+
+def test_segmented_index_append_only(spark, tmp_path):
+    """Append-only segments: two doc-disjoint segments (one flat, one
+    packed-only) served as one index must be rank-identical to a rebuild
+    over the union, and the query's term filter must reach BOTH segments'
+    scans (no decode-all of the packed segment)."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+        write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        load_segmented_index,
+    )
+    from streamworks_search_engine_spark.operators.query import (
+        postings_for_terms,
+    )
+
+    rows_a = generate_corpus(120, seed=21)
+    rows_b = generate_corpus(60, seed=22)
+    dir_a = str(tmp_path / "seg_a")
+    dir_b = str(tmp_path / "seg_b")
+    write_index(build_index(spark, _df(spark, rows_a)), dir_a, term_buckets=4)
+    build_and_write_index(
+        spark, _df(spark, rows_b), dir_b, term_buckets=4, pack=True, flat=False
+    )
+
+    view = load_segmented_index(spark, [dir_a, dir_b], validate_disjoint=True)
+    rebuilt = build_index(spark, _df(spark, rows_a + rows_b))
+    assert view.n_docs == rebuilt.n_docs
+    assert view.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+
+    # lexicon from segment-lexicon sums == rebuild lexicon
+    vl = {r["term"]: (r["df"], r["idf"]) for r in view.lexicon.collect()}
+    rl = {r["term"]: (r["df"], r["idf"]) for r in rebuilt.lexicon.collect()}
+    assert vl.keys() == rl.keys()
+    for t in vl:
+        assert vl[t][0] == rl[t][0], t
+        assert vl[t][1] == pytest.approx(rl[t][1], rel=1e-12)
+
+    for terms, mode in [(["scan", "merge"], "all"), (["token"], "any")]:
+        got = _topk_rows(view, terms, mode=mode)
+        assert got, (terms, mode)
+        assert got == _topk_rows(_as_search(rebuilt), terms, mode=mode)
+
+    # the term predicate must be pushed into each segment's scan: the flat
+    # parquet scan (PushedFilters In(term,...)) AND the packed block scan
+    # (filter before the decode mapInPandas, visible as the same pushed
+    # filter on the blocks parquet)
+    plan = (
+        postings_for_terms(view, ["scan", "merge"], positions=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("In(term") >= 2, plan
+
+
+def test_segmented_index_rejects_overlap(spark, tmp_path):
+    from streamworks_search_engine_spark.operators.indexer import write_index
+    from streamworks_search_engine_spark.operators.merge import (
+        load_segmented_index,
+    )
+
+    rows = generate_corpus(80, seed=31)
+    d1 = str(tmp_path / "o1")
+    d2 = str(tmp_path / "o2")
+    write_index(build_index(spark, _df(spark, rows)), d1, term_buckets=4)
+    write_index(build_index(spark, _df(spark, rows[:40])), d2, term_buckets=4)
+    with pytest.raises(ValueError, match="overlap"):
+        load_segmented_index(spark, [d1, d2], validate_disjoint=True)
