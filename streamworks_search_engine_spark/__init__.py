@@ -17,7 +17,8 @@ Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
 Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           simhash_near_dup_pairs, connected_components, cosine_topk,
           ann_lsh_topk, ann_ivf_topk, build_ivf_index, near_dup_pairs_lsh,
-          quality_stats, english_score,
+          quantize_embeddings / ann_quantized_topk (int8 codes, exact
+          integer cosine kernel), quality_stats, english_score,
           unigram_lm_score, stratified_sample_flags, sequence_pack
           (training-sequence layout), hashed_tf (hashing vectorizer),
           secret_stats / redact (PII + secret scrubbing),
@@ -40,9 +41,11 @@ from .functions.scrub import redact, secret_stats
 from .functions.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
+    ann_quantized_topk,
     build_ivf_index,
     cosine_topk,
     near_dup_pairs_lsh,
+    quantize_embeddings,
 )
 from .functions.textstats import (
     english_score,
@@ -123,6 +126,8 @@ __all__ = [
     "ann_ivf_topk",
     "build_ivf_index",
     "ann_lsh_topk",
+    "ann_quantized_topk",
+    "quantize_embeddings",
     "near_dup_pairs_lsh",
     "quality_stats",
     "repetition_stats",

@@ -387,3 +387,93 @@ def ann_ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------- int8 quantization ------
+
+
+def quantize_embeddings(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 127,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x| / n_levels``,
+    ``code_i = round(x_i / scale)`` in [-n_levels, n_levels]. Returns
+    (id, codes array<int>, scale double).
+
+    The scale lever for vector search: int8 codes are 4x smaller than
+    float32 (8x vs this table's float64) — at 100 TB the embedding scan
+    volume IS the ANN bottleneck, and the distance kernel becomes integer
+    arithmetic. Zero vectors quantize to scale 0 + all-zero codes. Pure
+    JVM higher-order functions — whole-stage codegen, no UDF.
+    """
+    maxabs = F.aggregate(
+        vec_col,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    staged = emb_df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (maxabs / F.lit(float(n_levels))).alias("scale"),
+    )
+    codes = F.when(
+        F.col("scale") == 0.0,
+        F.transform(vec_col, lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            vec_col,
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+        )
+    )
+    return staged.select(F.col(id_col), codes.alias("codes"), "scale")
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (sum in long — order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_quantized_topk(
+    emb_df: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 127,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized embeddings.
+
+    The per-vector scales CANCEL in cosine, so the whole kernel is exact
+    integer arithmetic — Σ(ca·cb) / (sqrt(Σca²)·sqrt(Σcb²)) — with one
+    final float division: no float-sum reassociation anywhere, the result
+    is bit-identical across engines and partition orders. The 1-row query
+    codes broadcast; the big side never shuffles (same plan shape as
+    cosine_topk, reading 8x fewer embedding bytes once codes are stored).
+    """
+    qz = quantize_embeddings(
+        emb_df, id_col=id_col, vec_col=vec_col, n_levels=n_levels
+    )
+    q = qz.filter(F.col(id_col) == query_vec_id).select(
+        F.col("codes").alias("__qcodes")
+    )
+    num = _int_dot(F.col("codes"), F.col("__qcodes")).cast("double")
+    den = F.sqrt(
+        _int_dot(F.col("codes"), F.col("codes")).cast("double")
+    ) * F.sqrt(_int_dot(F.col("__qcodes"), F.col("__qcodes")).cast("double"))
+    sim = F.when(den == 0.0, F.lit(0.0)).otherwise(num / den)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        qz.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim_q"))
+        .orderBy(F.desc("cos_sim_q"), F.asc(id_col))
+        .limit(k)
+    )

@@ -300,6 +300,22 @@ def q_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), 0, k=20)
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """int8 symmetric quantization of the embeddings table — codes are
+    exact integers, scale a single float64 division (hash-stable)."""
+    qz = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return qz.select("vec_id", "codes", F.round("scale", 6).alias("scale"))
+
+
+def q_ann_quantized_topk(spark, sf_dir):
+    """Cosine top-k over int8 codes: scales cancel, the kernel is exact
+    integer arithmetic with one final float division — bit-identical to
+    the SQL oracle with NO float-sum reassociation concerns at all."""
+    return similarity.ann_quantized_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20
+    )
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -959,6 +975,8 @@ QUERIES = {
     "langid_en": q_langid_en,
     "token_counts": q_token_counts,
     "cosine_topk": q_cosine_topk,
+    "embedding_quantize": q_embedding_quantize,
+    "ann_quantized_topk": q_ann_quantized_topk,
     "embedding_norms": q_embedding_norms,
     "tpch_q1": q_tpch_q1,
     "top_orders": q_top_orders,
@@ -1101,6 +1119,27 @@ def _sql_cos(a: str, b: str) -> str:
                                   i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
      * sqrt(list_sum(list_transform(generate_series(1, len({b})),
                                     i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))))"""
+
+
+# Mirrors similarity.quantize_embeddings: scale = max|x|/127 (one exact
+# division of the exact fold-max), codes = round(x/scale) — identical IEEE
+# operands on both engines, so the doubles and the int codes are
+# bit-identical. DuckDB round() and Spark F.round both round half away
+# from zero.
+_QUANTIZE_CTE = """WITH scaled AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+           AS scale
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0
+         THEN list_transform(embedding, x -> 0)
+         ELSE list_transform(embedding,
+                             x -> CAST(round(x::DOUBLE / scale) AS INT)) END
+      AS codes,
+    scale
+  FROM scaled)"""
 
 
 _ANN_IVF_SQL = f"""WITH lead_rank AS (
@@ -1510,6 +1549,22 @@ SELECT vec_id,
     AS cos_sim
 FROM embeddings, q WHERE vec_id != 0
 ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+    "embedding_quantize": f"""{_QUANTIZE_CTE}
+SELECT vec_id, codes, round(scale, 6) AS scale FROM qz""",
+    "ann_quantized_topk": f"""{_QUANTIZE_CTE},
+q AS (SELECT codes AS qcodes FROM qz WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+    list_sum(list_transform(generate_series(1, len(codes)),
+      i -> CAST(codes[i] AS BIGINT) * qcodes[i]))::DOUBLE AS num,
+    sqrt(list_sum(list_transform(generate_series(1, len(codes)),
+      i -> CAST(codes[i] AS BIGINT) * codes[i]))::DOUBLE)
+    * sqrt(list_sum(list_transform(generate_series(1, len(qcodes)),
+      i -> CAST(qcodes[i] AS BIGINT) * qcodes[i]))::DOUBLE) AS den
+  FROM qz, q WHERE vec_id != 0)
+SELECT vec_id,
+  round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS cos_sim_q
+FROM sims ORDER BY cos_sim_q DESC, vec_id LIMIT 20""",
     "embedding_norms": """
 SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
   round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),

@@ -506,3 +506,82 @@ def test_decontaminate_literal_and_join_paths_agree(spark):
         ).collect()
     }
     assert set(got.values()) == {0}
+
+
+# ------------------------------------------------- int8 quantization --------
+
+
+def _np_quantize(vecs: np.ndarray, n_levels: int = 127):
+    """Single-process oracle for quantize_embeddings: per-vector symmetric
+    scale = max|x|/n_levels, codes = round-half-away-from-zero(x/scale)."""
+    scale = np.abs(vecs).max(axis=1) / n_levels
+    safe = np.where(scale == 0.0, 1.0, scale)
+    ratio = vecs / safe[:, None]
+    codes = np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)  # HALF_UP
+    codes = np.where(scale[:, None] == 0.0, 0.0, codes).astype(np.int64)
+    return codes, scale
+
+
+def test_quantize_embeddings_matches_numpy(emb_df, emb_rows):
+    vecs = np.array([v for _, v in emb_rows])
+    exp_codes, exp_scale = _np_quantize(vecs)
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["scale"])
+        for r in similarity.quantize_embeddings(emb_df).collect()
+    }
+    for i in range(N_VECS):
+        codes, scale = got[i]
+        assert codes == exp_codes[i].tolist(), f"vec {i} codes diverge"
+        assert scale == exp_scale[i]  # one exact division — bit-identical
+    assert all(
+        -127 <= c <= 127 for codes, _ in got.values() for c in codes
+    )
+
+
+def test_ann_quantized_topk_matches_numpy_oracle(emb_df, emb_rows):
+    qid, k = 0, 10
+    vecs = np.array([v for _, v in emb_rows])
+    codes, _ = _np_quantize(vecs)
+    q = codes[qid]
+    qn = np.sqrt(float(q @ q))
+    sims = {}
+    for i in range(N_VECS):
+        if i == qid:
+            continue
+        den = np.sqrt(float(codes[i] @ codes[i])) * qn
+        sims[i] = round(float(codes[i] @ q) / den, 6) if den else 0.0
+    exp = sorted(sims, key=lambda i: (-sims[i], i))[:k]
+    got = similarity.ann_quantized_topk(emb_df, qid, k=k).collect()
+    assert [r["vec_id"] for r in got] == exp
+    for r in got:
+        assert r["cos_sim_q"] == sims[r["vec_id"]]  # exact int kernel
+
+
+def test_quantize_zero_vector_and_degenerate_query(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 2.0, -3.0]), (2, [0.5, 1.0, -1.5])],
+        "vec_id long, embedding array<double>",
+    )
+    qz = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert qz[0]["scale"] == 0.0 and list(qz[0]["codes"]) == [0, 0, 0]
+    # vec 2 is vec 1 scaled by 0.5 -> identical codes (scale absorbs it)
+    assert list(qz[1]["codes"]) == list(qz[2]["codes"])
+    # zero-vector query: den == 0 -> sims all 0.0, no crash
+    got = similarity.ann_quantized_topk(df, 0, k=5).collect()
+    assert {r["vec_id"] for r in got} == {1, 2}
+    assert all(r["cos_sim_q"] == 0.0 for r in got)
+
+
+def test_quantized_topk_close_to_exact(emb_df, emb_rows):
+    """Quality bound: int8 quantized cosine top-k recalls most of the exact
+    top-k (relative error of the quantized kernel is O(1/127) per factor).
+    Seed-fixed corpus -> deterministic measured recall; pin a floor."""
+    k = 10
+    brute = {
+        r["vec_id"] for r in similarity.cosine_topk(emb_df, 0, k=k).collect()
+    }
+    quant = {
+        r["vec_id"]
+        for r in similarity.ann_quantized_topk(emb_df, 0, k=k).collect()
+    }
+    assert len(brute & quant) / k >= 0.8, (brute, quant)
