@@ -18,7 +18,9 @@ Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           simhash_near_dup_pairs, connected_components, cosine_topk,
           ann_lsh_topk, ann_ivf_topk, build_ivf_index, near_dup_pairs_lsh,
           quantize_embeddings / ann_quantized_topk (int8 codes, exact
-          integer cosine kernel), quality_stats, english_score,
+          integer cosine kernel), kmeans_fit / kmeans_assign /
+          semantic_near_dup_pairs (SemDeDup cells, exactly-reproducible
+          Lloyd's), quality_stats, english_score,
           unigram_lm_score, stratified_sample_flags, sequence_pack
           (training-sequence layout), hashed_tf (hashing vectorizer),
           secret_stats / redact (PII + secret scrubbing),
@@ -35,6 +37,11 @@ from .functions.dedup import (
     jaccard_pairs,
     minhash_signatures,
     simhash_near_dup_pairs,
+)
+from .functions.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    semantic_near_dup_pairs,
 )
 from .functions.packing import sequence_pack
 from .functions.scrub import redact, secret_stats
@@ -128,6 +135,9 @@ __all__ = [
     "ann_lsh_topk",
     "ann_quantized_topk",
     "quantize_embeddings",
+    "kmeans_fit",
+    "kmeans_assign",
+    "semantic_near_dup_pairs",
     "near_dup_pairs_lsh",
     "quality_stats",
     "repetition_stats",

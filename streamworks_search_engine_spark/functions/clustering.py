@@ -1,0 +1,210 @@
+"""Embedding k-means (Lloyd's) for SemDeDup-style semantic curation.
+
+The classic blocker for verifying iterative clustering across engines is
+float-sum reassociation: centroid means are sums over an unordered row
+set, so two engines (or two partitionings of one engine) produce
+different low-order bits, the argmax assignment flips on near-ties, and
+results diverge. This module removes the problem at the root: vectors
+are int8-quantized first (:func:`..similarity.quantize_embeddings`), so
+
+- every cross-row accumulation is an EXACT integer sum (long/HUGEINT),
+- each centroid coordinate is one IEEE division sum/count of exact
+  integers — bit-identical everywhere,
+- all remaining float math (cosine of a row against a centroid) is a
+  per-row sequential fold, never a cross-row reduction.
+
+A fixed-iteration run is therefore deterministic to the last bit and the
+whole loop — init, n_iter assign/update rounds, final assignment — is
+hash-checked against a DuckDB oracle that unrolls the same iterations
+(`plans/entries.py: _kmeans_sql`). Seeding reuses the md5-order
+construction of `similarity.ivf_leaders` (deterministic 'random' sample,
+no RNG state).
+
+Scale shape (Lloyd's on Spark, the standard layout):
+- quantized codes are computed once and cached; each iteration is ONE
+  scan of the cached codes + ONE map-side-combined aggregation whose
+  output is k×(dim+1) longs — bytes, not rows;
+- assignment is map-only: centroids travel as broadcast literals
+  (``method="expr"``, oracle-exact, k up to a few hundred) or as a
+  numpy matmul pandas UDF (``method="matmul"``, the large-k path —
+  same tie-break, float order differs only inside one row's dot);
+- no window functions, no per-row Python in the expr path.
+
+Reference parity: the reference engine has no clustering operator — this
+is part of the training-data-pipeline surface the brief adds on top
+(SemDeDup: Abbas et al. 2023, semantic dedup via k-means cells).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _lit_vec,
+    cosine,
+    make_ivf_assign_udf,
+    quantize_embeddings,
+)
+
+
+def _cos_guarded(codes: Column, centroid: list[float]) -> Column:
+    """cosine(codes, centroid) with the 0-norm guard (zero vector or
+    zero centroid -> 0.0), matching ann_quantized_topk's convention."""
+    c = cosine(codes, _lit_vec(centroid))
+    return F.when(F.isnan(c), F.lit(0.0)).otherwise(c)
+
+
+def _assign_col(codes: Column, centroids: list[list[float]]) -> Column:
+    """argmax-cosine cluster id (ties -> smallest cluster) as one pure
+    expression: greatest() over (cos, -cluster) structs — lexicographic
+    struct comparison IS the (cos DESC, cluster ASC) order."""
+    structs = [
+        F.struct(_cos_guarded(codes, cen).alias("c"), F.lit(-j).alias("nc"))
+        for j, cen in enumerate(centroids)
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["nc"]).cast("long")
+
+
+def _seed_centroids(qz: DataFrame, k: int, id_col: str) -> list[list[float]]:
+    """k seed centroids: the quantized codes of the k rows with smallest
+    md5(id) (deterministic sample, same construction as ivf_leaders),
+    numbered 0..k-1 in md5 order. orderBy().limit() plans as a
+    distributed TakeOrderedAndProject — no single-partition exchange."""
+    picked = (
+        qz.select(F.col(id_col), "codes")
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    rows = sorted(
+        picked,
+        key=lambda r: (
+            hashlib.md5(str(r[id_col]).encode()).hexdigest(),
+            r[id_col],
+        ),
+    )
+    return [[float(c) for c in r["codes"]] for r in rows]
+
+
+def kmeans_fit(
+    emb_df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_levels: int = 127,
+    method: str = "expr",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fixed-iteration Lloyd's k-means over int8-quantized embeddings.
+
+    Runs ``n_iter`` (assign, centroid-update) rounds from the md5-seeded
+    init, then returns ``(assignment, centroids)`` where assignment is
+    (id, cluster_id) under the FINAL centroids. Exactly reproducible:
+    see the module docstring for why no float reassociation exists.
+
+    Empty clusters keep their previous centroid (documented, mirrored by
+    the SQL oracle). Driver state is k×dim floats per round — bounded.
+    """
+    if method not in ("expr", "matmul"):
+        raise ValueError(f"unknown kmeans method: {method!r}")
+    qz = quantize_embeddings(
+        emb_df, id_col=id_col, vec_col=vec_col, n_levels=n_levels
+    ).select(F.col(id_col), "codes")
+    qz.persist()
+    try:
+        centroids = _seed_centroids(qz, k, id_col)
+        dim = len(centroids[0])
+        for _ in range(n_iter):
+            assigned = qz.select(
+                "codes", _cluster_expr(qz, centroids, method).alias("cluster_id")
+            )
+            sums = assigned.groupBy("cluster_id").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.col("codes")[d]).cast("long").alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            ).collect()
+            new = {
+                int(r["cluster_id"]): [r[f"s{d}"] / r["n"] for d in range(dim)]
+                for r in sums
+            }
+            centroids = [new.get(j, centroids[j]) for j in range(k)]
+        final = qz.select(
+            F.col(id_col),
+            _cluster_expr(qz, centroids, method).alias("cluster_id"),
+        )
+        return final, centroids
+    finally:
+        qz.unpersist(blocking=False)
+
+
+def _cluster_expr(
+    qz: DataFrame, centroids: list[list[float]], method: str
+) -> Column:
+    if method == "matmul":
+        udf = make_ivf_assign_udf(list(enumerate(centroids)))
+        return udf(F.col("codes").cast("array<double>"))
+    return _assign_col(F.col("codes"), centroids)
+
+
+def kmeans_assign(
+    emb_df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "expr",
+) -> DataFrame:
+    """(id, cluster_id) after ``n_iter`` Lloyd's rounds — the entry-point
+    wrapper around :func:`kmeans_fit`."""
+    assign, _ = kmeans_fit(
+        emb_df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        method=method,
+    )
+    return assign
+
+
+def semantic_near_dup_pairs(
+    emb_df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    method: str = "expr",
+) -> DataFrame:
+    """SemDeDup: near-dup pairs (id_a < id_b, exact float cosine >=
+    threshold) compared only WITHIN each k-means cell — a LEARNED
+    partition of the embedding space instead of near_dup_pairs_lsh's
+    random hyperplanes. Cost is Σ_cell |cell|² like the LSH variant, but
+    cells follow the data's cluster structure, so recall at a given
+    candidate budget is higher on clustered corpora (the usual case for
+    model-generated embeddings).
+
+    Scale: assignment is map-only; the pair join shuffles on cluster_id.
+    At 100 TB pick k ~ n/target_cell_size (the matmul assign path) so
+    cells stay bounded; a skewed mega-cell is AQE-splittable since the
+    join key is the cell id.
+    """
+    assign = kmeans_assign(
+        emb_df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        method=method,
+    )
+    tagged = emb_df.join(assign, id_col)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster_id"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cluster_id"
+    )
+    pairs = a.join(b, "cluster_id").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), round_digits)
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )

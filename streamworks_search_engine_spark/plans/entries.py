@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import (
+    clustering,
     dedup,
     packing,
     scrub,
@@ -313,6 +314,24 @@ def q_ann_quantized_topk(spark, sf_dir):
     the SQL oracle with NO float-sum reassociation concerns at all."""
     return similarity.ann_quantized_topk(
         _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20
+    )
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """2-iteration Lloyd's k-means (k=8) over int8-quantized embeddings —
+    the iterative loop itself is hash-checked: integer-sum centroids
+    remove float reassociation, so the unrolled DuckDB oracle lands on
+    bit-identical assignments."""
+    return clustering.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=2
+    )
+
+
+def q_semantic_near_dups(spark, sf_dir):
+    """SemDeDup: exact-cosine near-dup pairs compared only within each
+    k-means cell (learned partition instead of LSH hyperplanes)."""
+    return clustering.semantic_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=2, threshold=0.35
     )
 
 
@@ -977,6 +996,8 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_quantize": q_embedding_quantize,
     "ann_quantized_topk": q_ann_quantized_topk,
+    "kmeans_assign": q_kmeans_assign,
+    "semantic_near_dups": q_semantic_near_dups,
     "embedding_norms": q_embedding_norms,
     "tpch_q1": q_tpch_q1,
     "top_orders": q_top_orders,
@@ -1140,6 +1161,76 @@ qz AS (
       AS codes,
     scale
   FROM scaled)"""
+
+
+def _kmeans_ctes(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled-SQL twin of clustering.kmeans_fit: _QUANTIZE_CTE + md5
+    seed init + n_iter (assign, centroid-update) rounds + a final assign
+    CTE named ``fin``. Exact despite being iterative: all cross-row sums
+    are integer, each centroid coordinate one IEEE division, per-row
+    cosines sequential folds — see clustering.py's module docstring."""
+
+    def cos(codes: str, cvec: str) -> str:
+        num = (
+            f"list_sum(list_transform(generate_series(1, len({codes})),"
+            f" i -> {codes}[i]::DOUBLE * {cvec}[i]))"
+        )
+        den = (
+            f"(sqrt(list_sum(list_transform(generate_series(1, len({codes})),"
+            f" i -> {codes}[i]::DOUBLE * {codes}[i]::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform(generate_series(1, len({cvec})),"
+            f" i -> {cvec}[i] * {cvec}[i]))))"
+        )
+        return f"(CASE WHEN {den} = 0 THEN 0.0 ELSE {num} / {den} END)"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, codes, cluster_id FROM (
+    SELECT q.vec_id, q.codes, c.cluster_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos('q.codes', 'c.cvec')} DESC,
+                                       c.cluster_id) AS rn
+    FROM qz q CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+    def update(name: str, prev: str, asg: str) -> str:
+        return f"""{name} AS (
+  SELECT p.cluster_id, coalesce(m.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster_id, list(mu ORDER BY d) AS cvec
+    FROM (SELECT cluster_id, d, sum(codes[d]) / count(*) AS mu
+          FROM {asg}, unnest(generate_series(1, {dim})) AS t(d)
+          GROUP BY cluster_id, d)
+    GROUP BY cluster_id) m ON p.cluster_id = m.cluster_id)"""
+
+    parts = [
+        f"""{_QUANTIZE_CTE},
+ranked AS (
+  SELECT vec_id, codes,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM qz),
+c0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cluster_id,
+              list_transform(codes, x -> x::DOUBLE) AS cvec
+       FROM ranked WHERE rn <= {k})"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(assign(f"a{i}", f"c{i - 1}"))
+        parts.append(update(f"c{i}", f"c{i - 1}", f"a{i}"))
+    parts.append(assign("fin", f"c{n_iter}"))
+    return ",\n".join(parts)
+
+
+_KMEANS_SQL = f"""{_kmeans_ctes(k=8, n_iter=2, dim=64)}
+SELECT vec_id, cluster_id FROM fin"""
+
+
+_SEMANTIC_DUPS_SQL = f"""{_kmeans_ctes(k=8, n_iter=2, dim=64)}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+FROM fin a JOIN fin b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) >= 0.35"""
 
 
 _ANN_IVF_SQL = f"""WITH lead_rank AS (
@@ -1565,6 +1656,8 @@ sims AS (
 SELECT vec_id,
   round(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS cos_sim_q
 FROM sims ORDER BY cos_sim_q DESC, vec_id LIMIT 20""",
+    "kmeans_assign": _KMEANS_SQL,
+    "semantic_near_dups": _SEMANTIC_DUPS_SQL,
     "embedding_norms": """
 SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
   round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),

