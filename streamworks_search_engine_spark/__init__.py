@@ -11,6 +11,7 @@ Maintain: incremental_update (tokenize only the delta), merge_index_tables,
           compact_segments
 Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_topk_batch (a whole queries table in one postings pass),
+          bm25_prefix_topk (lexicon-expanded prefix search),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
           tag_feature_indexed, save_features / load_features
@@ -81,6 +82,7 @@ from .operators.query import (
     SearchIndex,
     bm25_search,
     bm25_topk,
+    bm25_prefix_topk,
     bm25_topk_batch,
     bm25_topk_packed,
     load_index,
@@ -113,6 +115,7 @@ __all__ = [
     "load_index",
     "bm25_search",
     "bm25_topk",
+    "bm25_prefix_topk",
     "bm25_topk_batch",
     "bm25_topk_packed",
     "tfidf_reference_topk",

@@ -290,6 +290,88 @@ def bm25_topk(
     )
 
 
+def bm25_prefix_topk(
+    index: SearchIndex,
+    prefix: str,
+    k: int | None = 10,
+    max_terms: int = 64,
+) -> DataFrame:
+    """Prefix search: BM25 over every indexed term starting with ``prefix``
+    (disjunctive across the expansion — a doc matching several expanded
+    terms sums their contributions). Returns (rank, doc_id, score).
+
+    Beyond-reference capability (the reference query language is exact
+    terms only, `engine/handlers/MatchHandler.java:186-213`); standard in
+    code search, where identifiers share stems (``parse`` -> parseIndex,
+    parseQuery, parser...).
+
+    Scale shape:
+    - the expansion runs on the LEXICON (vocabulary-sized, not corpus-
+      sized); ``startswith`` pushes to the parquet scan as StringStartsWith
+      and the lexicon is term-sorted, so row-group stats prune the scan to
+      the prefix's range;
+    - the expansion is capped at ``max_terms`` (smallest terms first —
+      deterministic) and the cap is LOGGED, never silent; the ≤max_terms
+      survivors collect to the driver (the moral equivalent of broadcast,
+      same as ``surviving_terms``);
+    - the postings scan then gets an explicit ``term IN (...)`` predicate —
+      the same row-group-pruned path every other query uses (flat, packed,
+      or segmented via ``postings_for_terms``);
+    - per-doc float summation order is pinned by ``_score_and_topk``.
+
+    The prefix gets the tokenizer's NORMALIZATION only (camel-split,
+    lowercase) — not its min-length/stopword filter, since a 1-char
+    prefix is a legitimate query. If it splits into several pieces the
+    FIRST piece is the prefix (a prefix is one term stem by
+    construction).
+    """
+    from ..functions.tokenizer import _CAMEL_ACRONYM, _CAMEL_LOWER_UPPER, _WORD
+
+    spark = index.lexicon.sparkSession
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    norm = _CAMEL_LOWER_UPPER.sub(
+        "\\1\x00\\2", _CAMEL_ACRONYM.sub("\\1\x00\\2", prefix or "")
+    )
+    pieces = _WORD.findall(norm)
+    if not pieces:
+        return empty
+    p = pieces[0].lower()
+    cap = (
+        index.lexicon.filter(F.col("term").startswith(p))
+        .select("term", "idf")
+        .orderBy("term")
+        .limit(max_terms + 1)
+        .collect()
+    )
+    if len(cap) > max_terms:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bm25_prefix_topk: prefix %r expands past max_terms=%d; "
+            "scoring the %d smallest terms only",
+            p,
+            max_terms,
+            max_terms,
+        )
+        cap = cap[:max_terms]
+    if not cap:
+        return empty
+    terms = sorted(r["term"] for r in cap)
+    lex_mini = spark.createDataFrame(
+        sorted((r["term"], float(r["idf"])) for r in cap),
+        "term string, idf double",
+    )
+    rows = postings_for_terms(index, terms, positions=False)
+    hits = rows.join(F.broadcast(lex_mini), "term").select(
+        "term",
+        "doc_id",
+        _bm25_contrib(
+            F.col("idf"), F.col("tf"), F.col("doc_len"), index.avgdl
+        ).alias("contrib"),
+    )
+    return _score_and_topk(hits, n_terms=len(terms), k=k, mode="any")
+
+
 def bm25_topk_batch(
     index: SearchIndex,
     queries: DataFrame,

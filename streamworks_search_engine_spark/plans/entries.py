@@ -35,6 +35,7 @@ from ..functions.tokenizer import (
 from ..operators.indexer import IndexTables, build_index_from_plist
 from ..operators.query import (
     SearchIndex,
+    bm25_prefix_topk,
     bm25_topk,
     bm25_topk_batch,
     tfidf_reference_topk,
@@ -112,6 +113,25 @@ agg AS (SELECT doc_id, count(*) AS nm, sum(contrib) AS s
 matched AS (SELECT doc_id, s FROM agg {match_pred})"""
 
 
+def _bm25_prefix_sql(prefix: str, k: int = 10, max_terms: int = 64) -> str:
+    """Oracle twin of bm25_prefix_topk: expand the prefix against the
+    lexicon (smallest max_terms terms), disjunctive BM25 over the
+    expansion."""
+    return f"""{_SQL_INDEX},
+qsurv AS (SELECT term, idf FROM lexicon WHERE term LIKE '{prefix}%'
+          ORDER BY term LIMIT {max_terms}),
+scored AS (
+  SELECT p.doc_id,
+         q.idf * p.tf * 2.2
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / (SELECT avgdl FROM stats)))
+           AS contrib
+  FROM postings p JOIN qsurv q USING (term) JOIN doclen d USING (doc_id)),
+matched AS (SELECT doc_id, sum(contrib) AS s FROM scored GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM matched ORDER BY s DESC, doc_id LIMIT {k}"""
+
+
 def _bm25_sql(terms: list[str], k: int | None = None, mode: str = "all") -> str:
     base = _bm25_sql_base(terms, mode=mode)
     if k is None:
@@ -182,6 +202,17 @@ def _bm25_top10(terms, mode="all"):
         )
 
     return run
+
+
+def q_bm25_prefix_top10(spark, sf_dir):
+    """Prefix search: 's' expands against the lexicon (StartsWith pushdown,
+    6 terms in this corpus), then disjunctive BM25 over the expansion."""
+    res = bm25_prefix_topk(_search_index(spark, sf_dir), "s", k=10)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 # ------------------------------------------------------- query registry ----
@@ -970,6 +1001,7 @@ QUERIES = {
     "bm25_batch_topk": q_bm25_batch_topk,
     "bm25_or_matches": _bm25_matches(Q_CONJ3, mode="any"),
     "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
+    "bm25_prefix_top10": q_bm25_prefix_top10,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1520,6 +1552,7 @@ WHERE list_contains({_sql_terms_array(sorted(set(Q_ABSENT_MIX + Q_CONJ2)))}, ter
     "bm25_top10_conj2": _bm25_sql(Q_CONJ2, k=10),
     "bm25_or_matches": _bm25_sql(Q_CONJ3, mode="any"),
     "bm25_or_top10": _bm25_sql(Q_CONJ3, k=10, mode="any"),
+    "bm25_prefix_top10": _bm25_prefix_sql("s", k=10),
     "tfidf_reference": f"""{_SQL_INDEX},
 sumsq AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * tf) AS ss
           FROM postings GROUP BY doc_id)

@@ -1,0 +1,79 @@
+"""Prefix search (operators/query.py:bm25_prefix_topk) must equal the
+disjunctive single-query path run over the explicitly expanded term list —
+the expansion is the only new machinery, so pin it against the lexicon."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.query import (
+    bm25_prefix_topk,
+    bm25_topk,
+)
+
+
+def _expansion(index, p):
+    return sorted(
+        r["term"]
+        for r in index.lexicon.filter(F.col("term").startswith(p)).collect()
+    )
+
+
+def _rows(df):
+    return [(r.rank, r.doc_id, round(r.score, 9)) for r in df.orderBy("rank").collect()]
+
+
+def test_prefix_equals_or_mode_over_expansion(spark_index):
+    p = "pa"  # page, parse, partition in the synthetic code corpus
+    terms = _expansion(spark_index, p)
+    assert len(terms) > 1, f"test premise: {p!r} must expand, got {terms}"
+    got = _rows(bm25_prefix_topk(spark_index, p, k=10))
+    exp = _rows(bm25_topk(spark_index, terms, k=10, mode="any"))
+    assert got == exp
+
+
+def test_prefix_normalization_not_filtered(spark_index):
+    """1-char and camelCase prefixes survive: only normalization applies,
+    not the tokenizer's min-length/stopword filter."""
+    one = bm25_prefix_topk(spark_index, "p", k=5)
+    assert one.count() > 0
+    # camel input: first split piece, lowercased, is the prefix
+    camel = _rows(bm25_prefix_topk(spark_index, "PaGrp", k=5))
+    plain = _rows(bm25_prefix_topk(spark_index, "pa", k=5))
+    assert camel == plain
+
+
+def test_prefix_cap_engages_and_logs(spark_index, caplog):
+    import logging
+
+    # k=None -> the full match set, so the subset relation is exact
+    full = {r.doc_id for r in bm25_prefix_topk(spark_index, "pa", k=None).collect()}
+    with caplog.at_level(logging.WARNING):
+        capped = bm25_prefix_topk(spark_index, "pa", k=None, max_terms=1)
+        capped_ids = {r.doc_id for r in capped.collect()}
+    assert any("max_terms" in r.message for r in caplog.records)
+    # capped expansion (fewer terms, OR mode) matches a subset of the docs
+    assert capped_ids < full
+
+
+def test_prefix_no_match_and_empty(spark_index):
+    assert bm25_prefix_topk(spark_index, "zzqqxx", k=5).count() == 0
+    assert bm25_prefix_topk(spark_index, "", k=5).count() == 0
+    assert bm25_prefix_topk(spark_index, "!!!", k=5).count() == 0
+
+
+def test_prefix_on_packed_only_index(spark, corpus_rows, tmp_path_factory):
+    """The expansion + postings_for_terms route must serve packed-only
+    layouts too (blocks decoded only for the expanded terms)."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 120, seed=42, partitions=4)
+    out = str(tmp_path_factory.mktemp("pidx") / "packed_only")
+    build_and_write_index(spark, docs, out, term_buckets=4, flat=False)
+    packed = load_index(spark, out)
+    assert packed.packed_only
+    got = _rows(bm25_prefix_topk(packed, "pa", k=10))
+    assert len(got) > 0
