@@ -40,6 +40,7 @@ def main() -> None:
         write_index,
     )
     from streamworks_search_engine_spark.operators.query import (
+        bm25_prefix_topk,
         bm25_search,
         bm25_topk,
         bm25_topk_batch,
@@ -50,7 +51,11 @@ def main() -> None:
         make_doc_postings_udf,
         make_tokens_udf,
     )
-    from streamworks_search_engine_spark.functions import dedup, similarity
+    from streamworks_search_engine_spark.functions import (
+        clustering,
+        dedup,
+        similarity,
+    )
     from streamworks_search_engine_spark.session import get_spark
 
     # bench harness tuning (NOT a library default): shuffle temp on tmpfs —
@@ -170,6 +175,18 @@ def main() -> None:
     t0 = time.time()
     similarity.cosine_topk(emb, 0, k=20).collect()
     timings["cosine_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.ann_quantized_topk(emb, 0, k=20).collect()
+    timings["ann_quantized_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    clustering.kmeans_assign(emb, k=8, n_iter=2).count()
+    timings["kmeans_8c_2iter"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    bm25_prefix_topk(si, "s", k=10).collect()
+    timings["bm25_prefix"] = round(time.time() - t0, 3)
 
     # --- headline build throughput on a 40k-file input_hint corpus ---
     # (the driver SF tables are small; this measures the build at a size

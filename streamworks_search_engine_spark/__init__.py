@@ -12,6 +12,7 @@ Maintain: incremental_update (tokenize only the delta), merge_index_tables,
 Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_topk_batch (a whole queries table in one postings pass),
           bm25_prefix_topk (lexicon-expanded prefix search),
+          bm25_topk_excluding (boolean NOT),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
           tag_feature_indexed, save_features / load_features
@@ -84,6 +85,7 @@ from .operators.query import (
     bm25_topk,
     bm25_prefix_topk,
     bm25_topk_batch,
+    bm25_topk_excluding,
     bm25_topk_packed,
     load_index,
     tfidf_reference_topk,
@@ -117,6 +119,7 @@ __all__ = [
     "bm25_topk",
     "bm25_prefix_topk",
     "bm25_topk_batch",
+    "bm25_topk_excluding",
     "bm25_topk_packed",
     "tfidf_reference_topk",
     "topk_with_metadata",

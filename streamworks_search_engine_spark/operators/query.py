@@ -372,6 +372,50 @@ def bm25_prefix_topk(
     return _score_and_topk(hits, n_terms=len(terms), k=k, mode="any")
 
 
+def bm25_topk_excluding(
+    index: SearchIndex,
+    raw_terms: list[str],
+    exclude_terms: list[str],
+    k: int | None = 10,
+    mode: str = "all",
+) -> DataFrame:
+    """Boolean NOT: BM25 over ``raw_terms`` (conjunctive or disjunctive per
+    ``mode``), dropping every doc that contains ANY excluded term. Returns
+    (rank, doc_id, score) — scores are unchanged BM25 over the positive
+    terms (exclusion filters, it never contributes to the score).
+
+    Completes the boolean surface (AND = mode="all", OR = mode="any",
+    NOT = this) — the reference's query language has no negation
+    (`engine/handlers/MatchHandler.java:186-213`), but code search without
+    ``-test`` / ``-vendor`` style exclusion is painful.
+
+    Scale shape: the positive side reuses the verified ``bm25_topk``
+    scoring plan untouched (k=None — the full match set, no early rank).
+    The exclusion is ONE left-anti join on doc_id against the excluded
+    terms' postings — that scan gets the same ``term IN (...)`` pushdown
+    as every other query (flat/packed/segmented via
+    ``postings_for_terms``), no distinct needed (anti-join semantics
+    absorb duplicates), and AQE broadcasts the excluded side when its df
+    is small (the common case: exclusions are selective by intent).
+    Excluded terms pass through the same tokenizer normalization; a term
+    both required and excluded yields the empty result by definition.
+    """
+    spark = index.lexicon.sparkSession
+    scored = bm25_topk(index, raw_terms, k=None, mode=mode)
+    ex = normalize_terms(exclude_terms)
+    if ex:
+        ex_docs = postings_for_terms(index, ex, positions=False).select(
+            "doc_id"
+        )
+        scored = scored.join(ex_docs, "doc_id", "left_anti")
+    if k is None:
+        return scored
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "score"
+    )
+
+
 def bm25_topk_batch(
     index: SearchIndex,
     queries: DataFrame,

@@ -38,6 +38,7 @@ from ..operators.query import (
     bm25_prefix_topk,
     bm25_topk,
     bm25_topk_batch,
+    bm25_topk_excluding,
     tfidf_reference_topk,
 )
 
@@ -202,6 +203,19 @@ def _bm25_top10(terms, mode="all"):
         )
 
     return run
+
+
+def q_bm25_not_top10(spark, sf_dir):
+    """Boolean NOT: docs matching 'scan' but NOT containing 'merge' —
+    exclusion is one left-anti join on the excluded terms' postings."""
+    res = bm25_topk_excluding(
+        _search_index(spark, sf_dir), ["scan"], ["merge"], k=10
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 def q_bm25_prefix_top10(spark, sf_dir):
@@ -1002,6 +1016,7 @@ QUERIES = {
     "bm25_or_matches": _bm25_matches(Q_CONJ3, mode="any"),
     "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
     "bm25_prefix_top10": q_bm25_prefix_top10,
+    "bm25_not_top10": q_bm25_not_top10,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1553,6 +1568,14 @@ WHERE list_contains({_sql_terms_array(sorted(set(Q_ABSENT_MIX + Q_CONJ2)))}, ter
     "bm25_or_matches": _bm25_sql(Q_CONJ3, mode="any"),
     "bm25_or_top10": _bm25_sql(Q_CONJ3, k=10, mode="any"),
     "bm25_prefix_top10": _bm25_prefix_sql("s", k=10),
+    "bm25_not_top10": f"""{_bm25_sql_base(["scan"])},
+exdocs AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'merge'),
+kept AS (SELECT m.doc_id, m.s FROM matched m
+         LEFT JOIN exdocs e ON m.doc_id = e.doc_id
+         WHERE e.doc_id IS NULL)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
     "tfidf_reference": f"""{_SQL_INDEX},
 sumsq AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * tf) AS ss
           FROM postings GROUP BY doc_id)

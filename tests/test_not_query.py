@@ -1,0 +1,72 @@
+"""Boolean NOT (operators/query.py:bm25_topk_excluding): positive-side
+scores must be untouched BM25 and exclusion must drop exactly the docs
+holding any excluded term."""
+
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.query import (
+    bm25_topk,
+    bm25_topk_excluding,
+)
+
+
+def _rows(df):
+    return [
+        (r.rank, r.doc_id, round(r.score, 9)) for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_exclusion_equals_manual_anti_join(spark_index):
+    terms, ex = ["parse"], ["merge"]
+    ex_ids = {
+        r.doc_id
+        for r in spark_index.postings.filter(F.col("term") == "merge")
+        .select("doc_id")
+        .collect()
+    }
+    full = bm25_topk(spark_index, terms, k=None).collect()
+    exp_scored = sorted(
+        ((r.doc_id, round(r.score, 9)) for r in full if r.doc_id not in ex_ids),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25_topk_excluding(spark_index, terms, ex, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exp_scored
+    assert ex_ids, "test premise: 'merge' must have postings"
+
+
+def test_empty_exclusion_is_plain_bm25(spark_index):
+    a = _rows(bm25_topk_excluding(spark_index, ["parse", "index"], [], k=10))
+    b = _rows(bm25_topk(spark_index, ["parse", "index"], k=10))
+    assert a == b
+
+
+def test_required_and_excluded_term_is_empty(spark_index):
+    assert (
+        bm25_topk_excluding(spark_index, ["parse"], ["parse"], k=10).count()
+        == 0
+    )
+
+
+def test_exclusion_or_mode(spark_index):
+    """mode='any' + NOT: every surviving doc matches some positive term
+    and no excluded term."""
+    got = bm25_topk_excluding(
+        spark_index, ["parse", "index"], ["merge"], k=None, mode="any"
+    )
+    ids = {r.doc_id for r in got.collect()}
+    pos = {
+        r.doc_id
+        for r in spark_index.postings.filter(
+            F.col("term").isin(["parse", "index"])
+        ).collect()
+    }
+    ex = {
+        r.doc_id
+        for r in spark_index.postings.filter(F.col("term") == "merge").collect()
+    }
+    assert ids == pos - ex
