@@ -12,7 +12,8 @@ Maintain: incremental_update (tokenize only the delta), merge_index_tables,
 Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_topk_batch (a whole queries table in one postings pass),
           bm25_prefix_topk (lexicon-expanded prefix search),
-          bm25_topk_excluding (boolean NOT),
+          bm25_topk_excluding (boolean NOT), search / parse_query
+          (free-text search box: terms, -exclusions, "phrases"),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
           tag_feature_indexed, save_features / load_features
@@ -81,6 +82,8 @@ from .operators.merge import (
 from .operators.proximity import phrase_match, proximity_topk
 from .operators.query import (
     SearchIndex,
+    parse_query,
+    search,
     bm25_search,
     bm25_topk,
     bm25_prefix_topk,
@@ -115,6 +118,8 @@ __all__ = [
     "compact_segments",
     "SearchIndex",
     "load_index",
+    "search",
+    "parse_query",
     "bm25_search",
     "bm25_topk",
     "bm25_prefix_topk",

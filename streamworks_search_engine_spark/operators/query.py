@@ -416,6 +416,90 @@ def bm25_topk_excluding(
     )
 
 
+_QUOTED = __import__("re").compile(r'"([^"]*)"')
+
+
+def parse_query(q: str | None) -> tuple[list[str], list[str], list[list[str]]]:
+    """Free-text query string -> (terms, excluded_terms, phrases).
+
+    Grammar (the search-box subset every engine user expects):
+    - ``"quoted words"`` -> an exact-phrase constraint (order preserved);
+      the phrase's words also score as positive terms,
+    - ``-token``         -> exclusion (boolean NOT),
+    - anything else      -> positive term.
+    A bare ``-`` is dropped; negated phrases are not supported (documented
+    sharp edge — exclusion is per-term).
+    """
+    phrases: list[list[str]] = []
+
+    def grab(m):
+        words = m.group(1).split()
+        if words:
+            phrases.append(words)
+        return " "
+
+    rest = _QUOTED.sub(grab, q or "")
+    terms: list[str] = []
+    excludes: list[str] = []
+    for tok in rest.split():
+        if tok.startswith("-"):
+            if len(tok) > 1:
+                excludes.append(tok[1:])
+        else:
+            terms.append(tok)
+    return terms, excludes, phrases
+
+
+def search(
+    index: SearchIndex,
+    query: str,
+    k: int | None = 10,
+    mode: str = "all",
+) -> DataFrame:
+    """String front door: ``search(idx, 'scan -window "table hash"')``.
+
+    The reference serves exactly this surface (a free-text search box —
+    `engine/handlers/SearchHandler.java:183` passes the raw string to
+    `MatchHandler`); the composed plan here is:
+
+    1. BM25 over ALL positive words (plain terms + each phrase's words,
+       conjunctive or disjunctive per ``mode``) — the verified
+       ``bm25_topk`` plan, k=None (full match set, no early rank);
+    2. one left-semi join per phrase against ``phrase_match`` (position
+       intersection, no UDF) — phrases restrict, words score;
+    3. one left-anti join against the excluded terms' postings;
+    4. deterministic top-k + rank.
+
+    Every stage reuses an already-verified operator and the same pruned
+    ``term IN (...)`` postings path; the only new code is the parser.
+    """
+    terms, excludes, phrases = parse_query(query)
+    positives = terms + [w for p in phrases for w in p]
+    spark = index.lexicon.sparkSession
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    if not positives:
+        return empty
+    scored = bm25_topk(index, positives, k=None, mode=mode)
+    if phrases:
+        from .proximity import phrase_match
+
+        for p in phrases:
+            scored = scored.join(phrase_match(index, p), "doc_id", "left_semi")
+    ex = normalize_terms(excludes)
+    if ex:
+        scored = scored.join(
+            postings_for_terms(index, ex, positions=False).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    if k is None:
+        return scored
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "score"
+    )
+
+
 def bm25_topk_batch(
     index: SearchIndex,
     queries: DataFrame,

@@ -41,6 +41,7 @@ from ..operators.query import (
     bm25_topk_excluding,
     tfidf_reference_topk,
 )
+from ..operators.query import search as search_query
 
 # ---------------------------------------------------------------- shared ----
 
@@ -210,6 +211,19 @@ def q_bm25_not_top10(spark, sf_dir):
     exclusion is one left-anti join on the excluded terms' postings."""
     res = bm25_topk_excluding(
         _search_index(spark, sf_dir), ["scan"], ["merge"], k=10
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_search_string(spark, sf_dir):
+    """Free-text search box: positive terms + exact phrase + boolean NOT
+    composed from verified operators ('scan -window \"table hash\"')."""
+    res = search_query(
+        _search_index(spark, sf_dir), 'scan -window "table hash"', k=10
     )
     return res.select(
         F.col("rank").cast("long").alias("rank"),
@@ -1017,6 +1031,7 @@ QUERIES = {
     "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
     "bm25_prefix_top10": q_bm25_prefix_top10,
     "bm25_not_top10": q_bm25_not_top10,
+    "search_string_top10": q_search_string,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1571,6 +1586,19 @@ WHERE list_contains({_sql_terms_array(sorted(set(Q_ABSENT_MIX + Q_CONJ2)))}, ter
     "bm25_not_top10": f"""{_bm25_sql_base(["scan"])},
 exdocs AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'merge'),
 kept AS (SELECT m.doc_id, m.s FROM matched m
+         LEFT JOIN exdocs e ON m.doc_id = e.doc_id
+         WHERE e.doc_id IS NULL)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    "search_string_top10": f"""{_bm25_sql_base(sorted(["scan", "table", "hash"]))},
+ph AS (SELECT doc_id FROM toks
+       WHERE len(tokens) >= 2 AND len(list_filter(
+         generate_series(1, len(tokens) - 1),
+         i -> tokens[i] = 'table' AND tokens[i + 1] = 'hash')) > 0),
+exdocs AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'window'),
+kept AS (SELECT m.doc_id, m.s FROM matched m
+         JOIN ph USING (doc_id)
          LEFT JOIN exdocs e ON m.doc_id = e.doc_id
          WHERE e.doc_id IS NULL)
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,

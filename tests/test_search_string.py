@@ -1,0 +1,73 @@
+"""String front door (operators/query.py:parse_query + search): the parser
+is the only new machinery — pin it, then pin the composition against the
+underlying verified operators."""
+
+from streamworks_search_engine_spark.operators.proximity import phrase_match
+from streamworks_search_engine_spark.operators.query import (
+    bm25_topk,
+    bm25_topk_excluding,
+    parse_query,
+    search,
+)
+
+
+def test_parse_query_grammar():
+    assert parse_query('scan -window "table hash"') == (
+        ["scan"],
+        ["window"],
+        [["table", "hash"]],
+    )
+    assert parse_query("a b c") == (["a", "b", "c"], [], [])
+    assert parse_query('-x -y "p q" "r"') == (
+        [],
+        ["x", "y"],
+        [["p", "q"], ["r"]],
+    )
+    assert parse_query("- -") == ([], [], [])  # bare dashes dropped
+    assert parse_query("") == ([], [], [])
+    assert parse_query(None) == ([], [], [])
+    assert parse_query('""') == ([], [], [])  # empty phrase dropped
+
+
+def _rows(df):
+    return [
+        (r.rank, r.doc_id, round(r.score, 9))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_plain_string_equals_bm25(spark_index):
+    assert _rows(search(spark_index, "parse index", k=10)) == _rows(
+        bm25_topk(spark_index, ["parse", "index"], k=10)
+    )
+
+
+def test_exclusion_string_equals_excluding(spark_index):
+    assert _rows(search(spark_index, "parse -merge", k=10)) == _rows(
+        bm25_topk_excluding(spark_index, ["parse"], ["merge"], k=10)
+    )
+
+
+def test_phrase_restricts_and_scores(spark_index):
+    got = search(spark_index, '"parse index"', k=None)
+    ids = {r.doc_id for r in got.collect()}
+    ph = {r.doc_id for r in phrase_match(spark_index, ["parse", "index"]).collect()}
+    # conjunctive over the phrase's words AND phrase containment
+    both = {
+        r.doc_id
+        for r in bm25_topk(spark_index, ["parse", "index"], k=None).collect()
+    }
+    assert ids == ph & both
+    assert ids, "test premise: phrase must occur in the corpus"
+    # scores equal plain BM25 over the words (phrase filters, words score)
+    sc = {r.doc_id: round(r.score, 9) for r in got.collect()}
+    ref = {
+        r.doc_id: round(r.score, 9)
+        for r in bm25_topk(spark_index, ["parse", "index"], k=None).collect()
+    }
+    assert all(ref[d] == s for d, s in sc.items())
+
+
+def test_empty_and_exclusion_only_queries(spark_index):
+    assert search(spark_index, "", k=10).count() == 0
+    assert search(spark_index, "-merge", k=10).count() == 0
