@@ -178,6 +178,7 @@ def semantic_near_dup_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     method: str = "expr",
+    max_cell_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup: near-dup pairs (id_a < id_b, exact float cosine >=
     threshold) compared only WITHIN each k-means cell — a LEARNED
@@ -190,12 +191,34 @@ def semantic_near_dup_pairs(
     Scale: assignment is map-only; the pair join shuffles on cluster_id.
     At 100 TB pick k ~ n/target_cell_size (the matmul assign path) so
     cells stay bounded; a skewed mega-cell is AQE-splittable since the
-    join key is the cell id.
+    join key is the cell id — but |cell|² work survives any split, so
+    cells larger than ``max_cell_size`` are EXCLUDED from pair
+    generation and the exclusion is logged (same safe-by-default design
+    as ``jaccard_pairs``' shingle-df cap: a 10M-row degenerate cell is a
+    10^13-pair job nobody asked for). ``max_cell_size=None`` opts into
+    the uncapped baseline.
     """
     assign = kmeans_assign(
         emb_df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         method=method,
     )
+    if max_cell_size is not None:
+        sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("__n"))
+        hot = sizes.filter(F.col("__n") > max_cell_size)
+        n_hot = hot.count()  # one tiny (≤k-row) agg, only when capping
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_near_dup_pairs: excluding %d cell(s) larger than "
+                "max_cell_size=%d from pair generation (logged recall "
+                "loss; raise k or the cap to cover them)",
+                n_hot,
+                max_cell_size,
+            )
+            assign = assign.join(
+                F.broadcast(hot.select("cluster_id")), "cluster_id", "left_anti"
+            )
     tagged = emb_df.join(assign, id_col)
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cluster_id"

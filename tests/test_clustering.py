@@ -143,3 +143,26 @@ def test_semantic_pairs_subset_of_brute_force(emb_df):
 def test_kmeans_rejects_unknown_method(emb_df):
     with pytest.raises(ValueError):
         clustering.kmeans_fit(emb_df, k=2, n_iter=1, method="bogus")
+
+
+def test_semantic_pairs_cell_cap_engages_and_logs(spark, caplog):
+    import logging
+
+    # 30 identical vectors -> one mega-cell; cap 10 excludes it entirely
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(30)] + [
+        (100 + i, [0.0, 1.0, 0.0]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING):
+        capped = clustering.semantic_near_dup_pairs(
+            df, k=2, n_iter=1, threshold=0.9, max_cell_size=10
+        ).collect()
+    assert any("max_cell_size" in r.message for r in caplog.records)
+    # the mega-cell's pairs are gone; the small cell's 3 pairs survive
+    ids = {i for p in capped for i in (p["id_a"], p["id_b"])}
+    assert ids <= {100, 101, 102} and len(capped) == 3
+    # uncapped opt-in keeps everything
+    full = clustering.semantic_near_dup_pairs(
+        df, k=2, n_iter=1, threshold=0.9, max_cell_size=None
+    ).count()
+    assert full == 30 * 29 // 2 + 3
