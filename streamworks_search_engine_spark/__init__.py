@@ -14,6 +14,7 @@ Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_prefix_topk (lexicon-expanded prefix search),
           bm25_topk_excluding (boolean NOT), search / parse_query
           (free-text search box: terms, -exclusions, "phrases"),
+          hybrid_rrf_topk (BM25 + vector cosine, reciprocal-rank fusion),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
           tag_feature_indexed, save_features / load_features
@@ -90,6 +91,7 @@ from .operators.query import (
     bm25_topk_batch,
     bm25_topk_excluding,
     bm25_topk_packed,
+    hybrid_rrf_topk,
     load_index,
     tfidf_reference_topk,
     topk_with_metadata,
@@ -126,6 +128,7 @@ __all__ = [
     "bm25_topk_batch",
     "bm25_topk_excluding",
     "bm25_topk_packed",
+    "hybrid_rrf_topk",
     "tfidf_reference_topk",
     "topk_with_metadata",
     "phrase_match",

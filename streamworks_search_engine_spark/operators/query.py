@@ -1029,6 +1029,66 @@ def bm25_search(
     return bm25_topk_packed(index, raw_terms, k, mode=mode)
 
 
+def hybrid_rrf_topk(
+    index: SearchIndex,
+    emb_df: DataFrame,
+    raw_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    n_deep: int = 100,
+    k_rrf: int = 60,
+    mode: str = "all",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) + embedding cosine (vector) fused
+    by reciprocal-rank fusion — ``rrf = Σ 1/(k_rrf + rank)`` over the two
+    top-``n_deep`` lists (Cormack et al. 2009's k=60 default). Returns
+    (rank, doc_id, rrf) by fused rank.
+
+    RRF is the standard way to combine heterogeneous retrievers without
+    score calibration: only RANKS enter the fusion, so the BM25 and
+    cosine scales never meet. That also makes the whole operator exactly
+    verifiable: each contribution is one double division of exact
+    integers and the fusion is a two-term sum in fixed expression order —
+    no float accumulation across rows anywhere.
+
+    Scale shape: both legs are the already-verified top-n_deep plans
+    (pruned postings scan / broadcast-query cosine, each ending in a
+    distributed TakeOrderedAndProject of n_deep rows); the fusion is a
+    full-outer join of two ≤n_deep-row frames — driver-scale, not
+    corpus-scale. Docs are keyed by doc_id == the embedding table's
+    ``id_col`` (the corpus contract: one embedding per doc).
+    """
+    lex = bm25_topk(index, raw_terms, k=n_deep, mode=mode).select(
+        "doc_id", F.col("rank").cast("long").alias("r_lex")
+    )
+    from ..functions.similarity import cosine_topk
+
+    cos = cosine_topk(
+        emb_df, query_vec_id, k=n_deep, id_col=id_col, vec_col=vec_col,
+        round_digits=None,
+    )
+    sem = attach_rank(
+        cos, [F.desc("cos_sim"), F.asc(id_col)], dtype="long"
+    ).select(F.col(id_col).alias("doc_id"), F.col("rank").alias("r_sem"))
+    contrib_lex = F.when(
+        F.col("r_lex").isNotNull(),
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("r_lex")),
+    ).otherwise(F.lit(0.0))
+    contrib_sem = F.when(
+        F.col("r_sem").isNotNull(),
+        F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("r_sem")),
+    ).otherwise(F.lit(0.0))
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", (contrib_lex + contrib_sem).alias("rrf")
+    )
+    ordered = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("rrf"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "rrf"
+    )
+
+
 def tfidf_reference_topk(
     index: SearchIndex, raw_terms: list[str], k: int | None = 10
 ) -> DataFrame:

@@ -39,6 +39,7 @@ from ..operators.query import (
     bm25_topk,
     bm25_topk_batch,
     bm25_topk_excluding,
+    hybrid_rrf_topk,
     tfidf_reference_topk,
 )
 from ..operators.query import search as search_query
@@ -229,6 +230,24 @@ def q_search_string(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
+    )
+
+
+def q_hybrid_rrf_top10(spark, sf_dir):
+    """Hybrid lexical+vector retrieval: BM25('scan') and cosine(vec 0)
+    top-100 lists fused by reciprocal rank (k_rrf=60) — rank-only fusion
+    means exact arithmetic end to end."""
+    res = hybrid_rrf_topk(
+        _search_index(spark, sf_dir),
+        _t(spark, sf_dir, "embeddings"),
+        ["scan"],
+        query_vec_id=0,
+        k=10,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("rrf", 9).alias("rrf"),
     )
 
 
@@ -1032,6 +1051,7 @@ QUERIES = {
     "bm25_prefix_top10": q_bm25_prefix_top10,
     "bm25_not_top10": q_bm25_not_top10,
     "search_string_top10": q_search_string,
+    "hybrid_rrf_top10": q_hybrid_rrf_top10,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
@@ -1604,6 +1624,26 @@ kept AS (SELECT m.doc_id, m.s FROM matched m
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(s, 6) AS score
 FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    "hybrid_rrf_top10": f"""{_bm25_sql_base(["scan"])},
+lex AS (SELECT doc_id, r_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex
+    FROM matched) WHERE r_lex <= 100),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+csim AS (SELECT vec_id AS doc_id, {_sql_cos('embedding', 'qe')} AS c
+         FROM embeddings, qv WHERE vec_id != 0),
+sem AS (SELECT doc_id, r_sem FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r_sem
+    FROM csim) WHERE r_sem <= 100),
+fused AS (
+  SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
+         (CASE WHEN l.r_lex IS NOT NULL
+               THEN 1.0 / (60.0 + l.r_lex) ELSE 0.0 END
+          + CASE WHEN s2.r_sem IS NOT NULL
+                 THEN 1.0 / (60.0 + s2.r_sem) ELSE 0.0 END) AS rrf
+  FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(rrf, 9) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
     "tfidf_reference": f"""{_SQL_INDEX},
 sumsq AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * tf) AS ss
           FROM postings GROUP BY doc_id)

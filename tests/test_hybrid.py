@@ -1,0 +1,84 @@
+"""Hybrid RRF (operators/query.py:hybrid_rrf_topk) pinned against a
+Python fusion of the two already-verified legs — the fusion arithmetic is
+exact (integer ranks, fixed-order two-term sum), so equality is strict."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions.similarity import cosine_topk
+from streamworks_search_engine_spark.operators.query import (
+    bm25_topk,
+    hybrid_rrf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_for_index(spark, spark_index):
+    """One deterministic embedding per indexed doc (doc_id == vec_id)."""
+    docs = spark_index.doclen.select("doc_id")
+    return docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            *[
+                (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(d)), F.lit(1000))
+                 .cast("double") / 500.0 - 1.0)
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def _python_rrf(lex_rows, sem_rows, k_rrf=60):
+    ranks = {}
+    for r in lex_rows:
+        ranks.setdefault(r.doc_id, [None, None])[0] = r.rank
+    for i, r in enumerate(sem_rows, start=1):
+        ranks.setdefault(r.vec_id, [None, None])[1] = i
+    out = {}
+    for d, (rl, rs) in ranks.items():
+        s = 0.0
+        if rl is not None:
+            s += 1.0 / (k_rrf + rl)
+        if rs is not None:
+            s += 1.0 / (k_rrf + rs)
+        out[d] = s
+    return out
+
+
+def test_hybrid_matches_python_fusion(spark_index, emb_for_index):
+    qid, n_deep, k = emb_for_index.first()["vec_id"], 50, 10
+    lex = bm25_topk(spark_index, ["parse"], k=n_deep).collect()
+    sem = cosine_topk(
+        emb_for_index, qid, k=n_deep, round_digits=None
+    ).collect()  # already ordered (desc cos, asc id)
+    exp = _python_rrf(lex, sem)
+    top = sorted(exp.items(), key=lambda t: (-t[1], t[0]))[:k]
+    got = hybrid_rrf_topk(
+        spark_index, emb_for_index, ["parse"], qid, k=k, n_deep=n_deep
+    ).collect()
+    assert [(r.doc_id, r.rrf) for r in got] == top  # exact floats
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+def test_hybrid_single_leg_docs_survive(spark_index, emb_for_index):
+    """A doc in only one list still scores (full-outer fusion)."""
+    qid = emb_for_index.first()["vec_id"]
+    got = hybrid_rrf_topk(
+        spark_index, emb_for_index, ["zzqqxxnotaterm"], qid, k=5
+    ).collect()
+    # lexical leg is empty -> pure vector ranking survives
+    assert len(got) == 5
+    sem = cosine_topk(emb_for_index, qid, k=5, round_digits=None).collect()
+    assert [r.doc_id for r in got] == [r.vec_id for r in sem]
+
+
+def test_hybrid_k_rrf_changes_weighting(spark_index, emb_for_index):
+    qid = emb_for_index.first()["vec_id"]
+    a = hybrid_rrf_topk(
+        spark_index, emb_for_index, ["parse"], qid, k=5, k_rrf=60
+    ).collect()
+    b = hybrid_rrf_topk(
+        spark_index, emb_for_index, ["parse"], qid, k=5, k_rrf=1
+    ).collect()
+    assert all(r.rrf <= 2 / 61 for r in a)
+    assert any(r.rrf > 2 / 61 for r in b)
