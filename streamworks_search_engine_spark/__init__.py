@@ -13,7 +13,8 @@ Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_topk_batch (a whole queries table in one postings pass),
           bm25_prefix_topk (lexicon-expanded prefix search),
           bm25_topk_excluding (boolean NOT), search / parse_query
-          (free-text search box: terms, -exclusions, "phrases"),
+          (free-text search box: terms, -exclusions, "phrases",
+          key:value field qualifiers), facet_counts (sidebar counts),
           hybrid_rrf_topk (BM25 + vector cosine, reciprocal-rank fusion),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
@@ -91,6 +92,7 @@ from .operators.query import (
     bm25_topk_batch,
     bm25_topk_excluding,
     bm25_topk_packed,
+    facet_counts,
     hybrid_rrf_topk,
     load_index,
     tfidf_reference_topk,
@@ -128,6 +130,7 @@ __all__ = [
     "bm25_topk_batch",
     "bm25_topk_excluding",
     "bm25_topk_packed",
+    "facet_counts",
     "hybrid_rrf_topk",
     "tfidf_reference_topk",
     "topk_with_metadata",

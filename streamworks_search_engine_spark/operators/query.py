@@ -417,18 +417,23 @@ def bm25_topk_excluding(
 
 
 _QUOTED = __import__("re").compile(r'"([^"]*)"')
+_QUALIFIER = __import__("re").compile(r"^([a-z_][a-z0-9_]*):(.+)$")
 
 
-def parse_query(q: str | None) -> tuple[list[str], list[str], list[list[str]]]:
-    """Free-text query string -> (terms, excluded_terms, phrases).
+def parse_query(
+    q: str | None,
+) -> tuple[list[str], list[str], list[list[str]], list[tuple[str, str]]]:
+    """Free-text query string -> (terms, excluded_terms, phrases, fields).
 
     Grammar (the search-box subset every engine user expects):
     - ``"quoted words"`` -> an exact-phrase constraint (order preserved);
       the phrase's words also score as positive terms,
     - ``-token``         -> exclusion (boolean NOT),
+    - ``key:value``      -> metadata field qualifier (``lang:en``,
+      ``path:parser`` — GitHub-style scoping),
     - anything else      -> positive term.
-    A bare ``-`` is dropped; negated phrases are not supported (documented
-    sharp edge — exclusion is per-term).
+    A bare ``-`` is dropped; negated phrases/qualifiers are not supported
+    (documented sharp edge — exclusion is per-term).
     """
     phrases: list[list[str]] = []
 
@@ -441,13 +446,39 @@ def parse_query(q: str | None) -> tuple[list[str], list[str], list[list[str]]]:
     rest = _QUOTED.sub(grab, q or "")
     terms: list[str] = []
     excludes: list[str] = []
+    fields: list[tuple[str, str]] = []
     for tok in rest.split():
-        if tok.startswith("-"):
+        m = _QUALIFIER.match(tok)
+        if m:
+            fields.append((m.group(1), m.group(2)))
+        elif tok.startswith("-"):
             if len(tok) > 1:
                 excludes.append(tok[1:])
         else:
             terms.append(tok)
-    return terms, excludes, phrases
+    return terms, excludes, phrases, fields
+
+
+def _field_filter(meta: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
+    """doc_id frame passing every field qualifier. Semantics: values for
+    the SAME key OR together, distinct keys AND (GitHub search rules);
+    ``path`` matches by substring, every other key by equality."""
+    by_key: dict[str, list[str]] = {}
+    for k_, v in fields:
+        by_key.setdefault(k_, []).append(v)
+    out = meta
+    for key, vals in sorted(by_key.items()):
+        if key not in meta.columns:
+            raise ValueError(f"unknown field qualifier {key!r}: "
+                             f"metadata has {sorted(meta.columns)}")
+        if key == "path":
+            cond = F.lit(False)
+            for v in vals:
+                cond = cond | F.col(key).contains(v)
+        else:
+            cond = F.col(key).isin(vals)
+        out = out.filter(cond)
+    return out.select("doc_id")
 
 
 def search(
@@ -455,8 +486,9 @@ def search(
     query: str,
     k: int | None = 10,
     mode: str = "all",
+    meta: DataFrame | None = None,
 ) -> DataFrame:
-    """String front door: ``search(idx, 'scan -window "table hash"')``.
+    """String front door: ``search(idx, 'scan -window "table hash" lang:en')``.
 
     The reference serves exactly this surface (a free-text search box —
     `engine/handlers/SearchHandler.java:183` passes the raw string to
@@ -468,15 +500,24 @@ def search(
     2. one left-semi join per phrase against ``phrase_match`` (position
        intersection, no UDF) — phrases restrict, words score;
     3. one left-anti join against the excluded terms' postings;
-    4. deterministic top-k + rank.
+    4. ``key:value`` qualifiers -> ONE left-semi join against the
+       ``meta`` table filtered by all qualifiers (same-key values OR,
+       distinct keys AND; ``path`` by substring, other keys by equality).
+       Qualifiers without a ``meta`` table raise — never silently ignore
+       a user's filter;
+    5. deterministic top-k + rank.
 
     Every stage reuses an already-verified operator and the same pruned
     ``term IN (...)`` postings path; the only new code is the parser.
     """
-    terms, excludes, phrases = parse_query(query)
+    terms, excludes, phrases, fields = parse_query(query)
     positives = terms + [w for p in phrases for w in p]
     spark = index.lexicon.sparkSession
     empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    if fields and meta is None:
+        raise ValueError(
+            f"query has field qualifiers {fields} but no meta table was given"
+        )
     if not positives:
         return empty
     scored = bm25_topk(index, positives, k=None, mode=mode)
@@ -492,11 +533,36 @@ def search(
             "doc_id",
             "left_anti",
         )
+    if fields:
+        scored = scored.join(_field_filter(meta, fields), "doc_id", "left_semi")
     if k is None:
         return scored
     ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
         "rank", "doc_id", "score"
+    )
+
+
+def facet_counts(
+    index: SearchIndex,
+    query: str,
+    meta: DataFrame,
+    facet_col: str,
+    mode: str = "all",
+) -> DataFrame:
+    """Facet aggregation over the FULL match set of ``query``: (facet
+    value, n_docs) for each distinct ``meta[facet_col]`` among matching
+    docs — the sidebar counts every search UI shows.
+
+    One metadata join + one count aggregation on top of the verified
+    ``search(k=None)`` match set; the facet cardinality (languages,
+    repos) is tiny relative to the corpus, so the agg output is
+    broadcast-scale even at 100 TB."""
+    matched = search(index, query, k=None, mode=mode, meta=meta)
+    return (
+        matched.join(meta.select("doc_id", facet_col), "doc_id")
+        .groupBy(facet_col)
+        .agg(F.count("*").alias("n_docs"))
     )
 
 

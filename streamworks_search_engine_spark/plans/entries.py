@@ -233,6 +233,34 @@ def q_search_string(spark, sf_dir):
     )
 
 
+def q_search_fielded(spark, sf_dir):
+    """Field-qualified search: 'scan lang:en' — BM25 match set semi-joined
+    to the metadata table filtered by the qualifier."""
+    res = search_query(
+        _search_index(spark, sf_dir),
+        "scan lang:en",
+        k=10,
+        meta=_t(spark, sf_dir, "documents").select("doc_id", "lang"),
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_facet_lang_counts(spark, sf_dir):
+    """Facet sidebar: per-lang doc counts over the full 'scan' match set."""
+    from ..operators.query import facet_counts
+
+    return facet_counts(
+        _search_index(spark, sf_dir),
+        "scan",
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+    )
+
+
 def q_hybrid_rrf_top10(spark, sf_dir):
     """Hybrid lexical+vector retrieval: BM25('scan') and cosine(vec 0)
     top-100 lists fused by reciprocal rank (k_rrf=60) — rank-only fusion
@@ -1051,6 +1079,8 @@ QUERIES = {
     "bm25_prefix_top10": q_bm25_prefix_top10,
     "bm25_not_top10": q_bm25_not_top10,
     "search_string_top10": q_search_string,
+    "search_fielded_top10": q_search_fielded,
+    "facet_lang_counts": q_facet_lang_counts,
     "hybrid_rrf_top10": q_hybrid_rrf_top10,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
@@ -1624,6 +1654,16 @@ kept AS (SELECT m.doc_id, m.s FROM matched m
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(s, 6) AS score
 FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    "search_fielded_top10": f"""{_bm25_sql_base(["scan"])},
+kept AS (SELECT m.doc_id, m.s FROM matched m
+         JOIN documents d ON d.doc_id = m.doc_id WHERE d.lang = 'en')
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    "facet_lang_counts": f"""{_bm25_sql_base(["scan"])}
+SELECT d.lang, count(*) AS n_docs
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY d.lang""",
     "hybrid_rrf_top10": f"""{_bm25_sql_base(["scan"])},
 lex AS (SELECT doc_id, r_lex FROM (
     SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex

@@ -16,17 +16,25 @@ def test_parse_query_grammar():
         ["scan"],
         ["window"],
         [["table", "hash"]],
+        [],
     )
-    assert parse_query("a b c") == (["a", "b", "c"], [], [])
+    assert parse_query("a b c") == (["a", "b", "c"], [], [], [])
     assert parse_query('-x -y "p q" "r"') == (
         [],
         ["x", "y"],
         [["p", "q"], ["r"]],
+        [],
     )
-    assert parse_query("- -") == ([], [], [])  # bare dashes dropped
-    assert parse_query("") == ([], [], [])
-    assert parse_query(None) == ([], [], [])
-    assert parse_query('""') == ([], [], [])  # empty phrase dropped
+    assert parse_query("- -") == ([], [], [], [])  # bare dashes dropped
+    assert parse_query("") == ([], [], [], [])
+    assert parse_query(None) == ([], [], [], [])
+    assert parse_query('""') == ([], [], [], [])  # empty phrase dropped
+    assert parse_query("scan lang:en path:src lang:fr") == (
+        ["scan"],
+        [],
+        [],
+        [("lang", "en"), ("path", "src"), ("lang", "fr")],
+    )
 
 
 def _rows(df):
@@ -71,3 +79,73 @@ def test_phrase_restricts_and_scores(spark_index):
 def test_empty_and_exclusion_only_queries(spark_index):
     assert search(spark_index, "", k=10).count() == 0
     assert search(spark_index, "-merge", k=10).count() == 0
+
+
+def test_field_qualifiers_filter_by_metadata(spark_index):
+    meta = spark_index.docs_dim
+    langs = [r.lang for r in meta.select("lang").distinct().collect()]
+    assert len(langs) >= 2, f"test premise: multi-lang corpus, got {langs}"
+    lang = sorted(langs)[0]
+    got = search(spark_index, f"parse lang:{lang}", k=None, meta=meta)
+    ids = {r.doc_id for r in got.collect()}
+    allowed = {r.doc_id for r in meta.filter(meta.lang == lang).collect()}
+    base = {
+        r.doc_id for r in search(spark_index, "parse", k=None).collect()
+    }
+    assert ids == base & allowed
+    assert ids, "test premise: some match in that lang"
+    # distinct keys AND, same key OR
+    two = search(
+        spark_index,
+        f"parse lang:{sorted(langs)[0]} lang:{sorted(langs)[1]}",
+        k=None,
+        meta=meta,
+    )
+    allowed2 = {
+        r.doc_id
+        for r in meta.filter(meta.lang.isin(sorted(langs)[:2])).collect()
+    }
+    assert {r.doc_id for r in two.collect()} == base & allowed2
+
+
+def test_path_qualifier_is_substring(spark_index):
+    meta = spark_index.docs_dim
+    frag = meta.first().path.split("/")[-1][:4]
+    got = {
+        r.doc_id
+        for r in search(
+            spark_index, f"parse path:{frag}", k=None, meta=meta
+        ).collect()
+    }
+    allowed = {
+        r.doc_id for r in meta.filter(meta.path.contains(frag)).collect()
+    }
+    base = {r.doc_id for r in search(spark_index, "parse", k=None).collect()}
+    assert got == base & allowed
+
+
+def test_qualifier_errors(spark_index):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no meta table"):
+        search(spark_index, "parse lang:en", k=5)
+    with _pytest.raises(ValueError, match="unknown field"):
+        search(
+            spark_index, "parse bogus:x", k=5, meta=spark_index.docs_dim
+        ).collect()
+
+
+def test_facet_counts_match_manual(spark_index):
+    from streamworks_search_engine_spark.operators.query import facet_counts
+
+    meta = spark_index.docs_dim
+    got = {
+        r.lang: r.n_docs
+        for r in facet_counts(spark_index, "parse", meta, "lang").collect()
+    }
+    matched = {r.doc_id for r in search(spark_index, "parse", k=None).collect()}
+    exp = {}
+    for r in meta.collect():
+        if r.doc_id in matched:
+            exp[r.lang] = exp.get(r.lang, 0) + 1
+    assert got == exp and sum(got.values()) == len(matched)
