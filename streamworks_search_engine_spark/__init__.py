@@ -26,7 +26,9 @@ Pipeline: exact_dup_flags, minhash_signatures, jaccard_pairs,
           integer cosine kernel), kmeans_fit / kmeans_assign /
           semantic_near_dup_pairs (SemDeDup cells, exactly-reproducible
           Lloyd's), quality_stats, english_score,
-          unigram_lm_score, stratified_sample_flags, sequence_pack
+          unigram_lm_score, ngram_lm_build / ngram_lm_doc_score
+          (trigram LM quality filter, hash-checked incl. the float mean),
+          stratified_sample_flags, sequence_pack
           (training-sequence layout), hashed_tf (hashing vectorizer),
           secret_stats / redact (PII + secret scrubbing),
           vocab_build / encode (token-id encoding)
@@ -47,6 +49,10 @@ from .functions.clustering import (
     kmeans_assign,
     kmeans_fit,
     semantic_near_dup_pairs,
+)
+from .functions.ngramlm import (
+    ngram_lm_build,
+    ngram_lm_doc_score,
 )
 from .functions.packing import sequence_pack
 from .functions.scrub import redact, secret_stats
@@ -160,6 +166,8 @@ __all__ = [
     "repetition_stats",
     "english_score",
     "unigram_lm_score",
+    "ngram_lm_build",
+    "ngram_lm_doc_score",
     "stratified_sample_flags",
     "sequence_pack",
     "hashed_tf",

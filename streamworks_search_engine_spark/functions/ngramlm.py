@@ -1,0 +1,131 @@
+"""Count-based n-gram language model: build + per-doc scoring.
+
+The heavier sibling of ``textstats.unigram_lm_score`` — the standard
+KenLM-style quality signal for training-data curation (docs whose n-gram
+stream is improbable under the corpus LM are boilerplate, minified or
+generated noise, or the wrong language). Everything is expressed with JVM
+higher-order functions (sequence/slice/concat_ws inside ``transform``),
+no UDF anywhere.
+
+Determinism: counts are exact longs, each conditional probability is ONE
+IEEE division cnt/ctx_cnt, and the per-doc sum of log-probs is pinned to
+position order via the sort_array(collect_list)+fold trick (the same
+order-pinning `_score_and_topk` uses for BM25) — so both the LM table and
+the doc scores are DuckDB hash-checkable with no float-reassociation
+caveats. The aggregation buffer holds one struct per n-gram of a doc —
+bounded by the longest document, which a curation pipeline has already
+length-gated upstream (`textstats.quality_stats`).
+
+Scale shape: the gram explode is map-only; the LM build is two
+map-side-combined aggregations (gram counts, then context totals joined
+back — the context table is vocab²-ish, small vs corpus); scoring joins
+the gram stream to the broadcast-able LM and reduces per doc. At 100 TB
+the LM table is written once and reused (pass ``lm=`` to score against a
+persisted model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_OOV_LOGP = -23.025850929940457  # ln(1e-10): unseen-gram floor
+
+
+def doc_ngrams(
+    toks_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, pos, context, token): every n-gram of every doc, pure JVM.
+    context = the n-1 preceding tokens joined by ' '; docs shorter than n
+    emit nothing."""
+    if n < 2:
+        raise ValueError("n must be >= 2 (use unigram_lm_score for n=1)")
+    toks = F.col(tokens_col)
+    # sequence(1, stop) DESCENDS when stop < 1 — docs shorter than n must
+    # short-circuit to an empty index list, not a [1, 0] one
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i, n - 1)).alias("context"),
+            F.element_at(toks, i + n - 1).alias("token"),
+        ),
+    )
+    return (
+        toks_df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .select("id", "g.pos", "g.context", "g.token")
+    )
+
+
+def ngram_lm_build(
+    toks_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(context, token, cnt, ctx_cnt, logp): MLE conditional n-gram LM —
+    logp = ln(cnt / ctx_cnt), exact counts, one division, one ln."""
+    grams = doc_ngrams(toks_df, n, id_col, tokens_col)
+    counts = grams.groupBy("context", "token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ctx = counts.groupBy("context").agg(
+        F.sum("cnt").cast("long").alias("ctx_cnt")
+    )
+    return counts.join(ctx, "context").select(
+        "context",
+        "token",
+        "cnt",
+        "ctx_cnt",
+        F.log(F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double"))
+        .alias("logp"),
+    )
+
+
+def ngram_lm_doc_score(
+    toks_df: DataFrame,
+    lm: DataFrame | None = None,
+    n: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    oov_logp: float = DEFAULT_OOV_LOGP,
+) -> DataFrame:
+    """(id, n_grams, lm_score): mean conditional log-probability of the
+    doc's n-gram stream under ``lm`` (built from ``toks_df`` itself when
+    omitted — the self-scoring curation mode, where OOV cannot occur).
+    Unseen grams get the ``oov_logp`` floor. Docs with fewer than n
+    tokens score NULL with n_grams = 0.
+
+    The per-doc sum is position-pinned (sort_array + sequential fold), so
+    the score is bit-identical across partitionings and engines up to the
+    single final division by n_grams."""
+    if lm is None:
+        lm = ngram_lm_build(toks_df, n, id_col, tokens_col)
+    grams = doc_ngrams(toks_df, n, id_col, tokens_col)
+    scored = grams.join(
+        lm.select("context", "token", "logp"), ["context", "token"], "left"
+    ).select(
+        "id",
+        "pos",
+        F.coalesce(F.col("logp"), F.lit(float(oov_logp))).alias("logp"),
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sort_array(F.collect_list(F.struct("pos", "logp"))).alias("parts"),
+    )
+    per_doc = per_doc.select(
+        "id",
+        "n_grams",
+        (
+            F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["logp"])
+            / F.col("n_grams").cast("double")
+        ).alias("lm_score"),
+    )
+    ids = toks_df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").fillna({"n_grams": 0})

@@ -261,6 +261,31 @@ def q_facet_lang_counts(spark, sf_dir):
     )
 
 
+def q_trigram_lm(spark, sf_dir):
+    """Count-based trigram LM over the documents corpus: exact counts,
+    one division + one ln per row — KenLM-style quality filtering's
+    model-build step."""
+    from ..functions.ngramlm import ngram_lm_build
+
+    lm = ngram_lm_build(_doc_tokens(spark, sf_dir), n=3)
+    return lm.select(
+        "context", "token", "cnt", "ctx_cnt", F.round("logp", 9).alias("logp")
+    )
+
+
+def q_trigram_lm_doc_score(spark, sf_dir):
+    """Per-doc mean trigram log-prob (self-scored): the position-pinned
+    fold makes even the float mean hash-checkable."""
+    from ..functions.ngramlm import ngram_lm_doc_score
+
+    s = ngram_lm_doc_score(_doc_tokens(spark, sf_dir), n=3)
+    return s.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        F.round("lm_score", 9).alias("lm_score"),
+    )
+
+
 def q_hybrid_rrf_top10(spark, sf_dir):
     """Hybrid lexical+vector retrieval: BM25('scan') and cosine(vec 0)
     top-100 lists fused by reciprocal rank (k_rrf=60) — rank-only fusion
@@ -1081,6 +1106,8 @@ QUERIES = {
     "search_string_top10": q_search_string,
     "search_fielded_top10": q_search_fielded,
     "facet_lang_counts": q_facet_lang_counts,
+    "trigram_lm": q_trigram_lm,
+    "trigram_lm_doc_score": q_trigram_lm_doc_score,
     "hybrid_rrf_top10": q_hybrid_rrf_top10,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
@@ -1654,6 +1681,41 @@ kept AS (SELECT m.doc_id, m.s FROM matched m
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(s, 6) AS score
 FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    "trigram_lm": f"""{_SQL_TOKS},
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         concat_ws(' ', tokens[i], tokens[i+1]) AS context,
+         tokens[i+2] AS token
+  FROM toks, unnest(generate_series(1, len(tokens) - 2)) AS t(i)
+  WHERE len(tokens) >= 3),
+counts AS (SELECT context, token, count(*) AS cnt FROM grams GROUP BY 1, 2),
+ctx AS (SELECT context, sum(cnt) AS ctx_cnt FROM counts GROUP BY 1)
+SELECT c.context, c.token, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(x.ctx_cnt AS BIGINT) AS ctx_cnt,
+       round(ln(c.cnt / CAST(x.ctx_cnt AS DOUBLE)), 9) AS logp
+FROM counts c JOIN ctx x USING (context)""",
+    "trigram_lm_doc_score": f"""{_SQL_TOKS},
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         concat_ws(' ', tokens[i], tokens[i+1]) AS context,
+         tokens[i+2] AS token
+  FROM toks, unnest(generate_series(1, len(tokens) - 2)) AS t(i)
+  WHERE len(tokens) >= 3),
+counts AS (SELECT context, token, count(*) AS cnt FROM grams GROUP BY 1, 2),
+ctx AS (SELECT context, sum(cnt) AS ctx_cnt FROM counts GROUP BY 1),
+lm AS (SELECT c.context, c.token,
+              ln(c.cnt / CAST(x.ctx_cnt AS DOUBLE)) AS logp
+       FROM counts c JOIN ctx x USING (context)),
+lmjoin AS (
+  SELECT g.doc_id, g.pos, coalesce(l.logp, -23.025850929940457) AS logp
+  FROM grams g LEFT JOIN lm l ON l.context = g.context AND l.token = g.token),
+per0 AS (SELECT doc_id, count(*) AS n_grams,
+                list(logp ORDER BY pos) AS ls
+         FROM lmjoin GROUP BY doc_id),
+per AS (SELECT doc_id, n_grams, list_sum(ls) / n_grams AS score FROM per0)
+SELECT t.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       round(per.score, 9) AS lm_score
+FROM toks t LEFT JOIN per USING (doc_id)""",
     "search_fielded_top10": f"""{_bm25_sql_base(["scan"])},
 kept AS (SELECT m.doc_id, m.s FROM matched m
          JOIN documents d ON d.doc_id = m.doc_id WHERE d.lang = 'en')

@@ -1,0 +1,95 @@
+"""Pure-Python oracle for the count-based n-gram LM: counts, conditional
+log-probs, and the position-pinned per-doc mean must match exactly."""
+
+import math
+
+import pytest
+
+from streamworks_search_engine_spark.functions.ngramlm import (
+    DEFAULT_OOV_LOGP,
+    ngram_lm_build,
+    ngram_lm_doc_score,
+)
+
+ROWS = [
+    (1, ["a", "b", "c", "a", "b", "d"]),
+    (2, ["a", "b", "c"]),
+    (3, ["a", "b"]),  # shorter than n=3: no grams
+    (4, []),
+    (5, ["c", "a", "b", "c"]),
+]
+
+
+@pytest.fixture(scope="module")
+def toks_df(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, tokens array<string>")
+
+
+def _py_lm(rows, n=3):
+    counts: dict[tuple[str, str], int] = {}
+    for _, toks in rows:
+        for i in range(len(toks) - n + 1):
+            key = (" ".join(toks[i : i + n - 1]), toks[i + n - 1])
+            counts[key] = counts.get(key, 0) + 1
+    ctx: dict[str, int] = {}
+    for (c, _), v in counts.items():
+        ctx[c] = ctx.get(c, 0) + v
+    return {
+        (c, t): (v, ctx[c], math.log(v / ctx[c]))
+        for (c, t), v in counts.items()
+    }
+
+
+def test_lm_build_matches_python(toks_df):
+    exp = _py_lm(ROWS)
+    got = {
+        (r.context, r.token): (r.cnt, r.ctx_cnt, r.logp)
+        for r in ngram_lm_build(toks_df, n=3).collect()
+    }
+    assert set(got) == set(exp)
+    for key, (cnt, cc, lp) in exp.items():
+        gcnt, gcc, glp = got[key]
+        assert (gcnt, gcc) == (cnt, cc)
+        assert glp == lp  # one division + one ln: bit-identical
+
+
+def test_doc_score_matches_python(toks_df):
+    lm = _py_lm(ROWS)
+    got = {
+        r.id: (r.n_grams, r.lm_score)
+        for r in ngram_lm_doc_score(toks_df, n=3).collect()
+    }
+    for doc_id, toks in ROWS:
+        grams = [
+            (" ".join(toks[i : i + 2]), toks[i + 2])
+            for i in range(len(toks) - 2)
+        ]
+        if not grams:
+            assert got[doc_id] == (0, None)
+            continue
+        s = 0.0
+        for g in grams:  # position order, fold from 0.0 — same as Spark
+            s += lm[g][2]
+        assert got[doc_id] == (len(grams), s / len(grams))
+
+
+def test_oov_floor_against_foreign_lm(spark, toks_df):
+    foreign = spark.createDataFrame(
+        [(99, ["x", "y", "z", "x", "y"])], "doc_id long, tokens array<string>"
+    )
+    lm = ngram_lm_build(foreign, n=3)
+    got = {
+        r.id: r.lm_score
+        for r in ngram_lm_doc_score(toks_df, lm=lm, n=3).collect()
+    }
+    # every gram of doc 1 is OOV under the foreign LM -> exactly the floor
+    assert got[1] == DEFAULT_OOV_LOGP
+
+
+def test_bigram_mode_and_bad_n(toks_df):
+    got = {
+        r.id: r.n_grams for r in ngram_lm_doc_score(toks_df, n=2).collect()
+    }
+    assert got == {1: 5, 2: 2, 3: 1, 4: 0, 5: 3}
+    with pytest.raises(ValueError):
+        ngram_lm_build(toks_df, n=1)
