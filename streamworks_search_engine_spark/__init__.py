@@ -14,7 +14,8 @@ Query:    load_index, bm25_search (layout-aware front door), bm25_topk,
           bm25_prefix_topk (lexicon-expanded prefix search),
           bm25_topk_excluding (boolean NOT), search / parse_query
           (free-text search box: terms, -exclusions, "phrases",
-          key:value field qualifiers), facet_counts (sidebar counts),
+          key:value field qualifiers), facet_counts (sidebar counts), more_like_this
+          (similar-doc query via top tf-idf terms),
           hybrid_rrf_topk (BM25 + vector cosine, reciprocal-rank fusion),
           bm25_topk_packed, tfidf_reference_topk, topk_with_metadata,
           phrase_match, proximity_topk, weighted_search_topk,
@@ -101,6 +102,7 @@ from .operators.query import (
     facet_counts,
     hybrid_rrf_topk,
     load_index,
+    more_like_this,
     tfidf_reference_topk,
     topk_with_metadata,
 )
@@ -130,6 +132,7 @@ __all__ = [
     "load_index",
     "search",
     "parse_query",
+    "more_like_this",
     "bm25_search",
     "bm25_topk",
     "bm25_prefix_topk",

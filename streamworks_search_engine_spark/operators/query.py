@@ -543,6 +543,73 @@ def search(
     )
 
 
+def more_like_this(
+    index: SearchIndex,
+    docs_df: DataFrame,
+    doc_id: int,
+    k: int | None = 10,
+    m_terms: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Lucene-style MoreLikeThis: rank docs similar to ``doc_id`` by
+    turning its ``m_terms`` most characteristic terms (highest tf·idf,
+    ties by term) into a disjunctive BM25 query, excluding the source doc.
+    Returns (rank, doc_id, score).
+
+    Scale shape — deliberately NOT a doc_id filter on the postings table
+    (the postings are term-ordered; one doc's rows spread across every
+    term's range, so that scan prunes nothing). Instead:
+    - fetch THE source row from ``docs_df`` (doc-ordered storage: an
+      equality pushdown), tokenize it driver-side with the shared
+      tokenizer (one row — no job), tf from its own token stream;
+    - idf for its ≤|doc| distinct terms via one lexicon semi-join
+      (vocabulary-sized), collected — the same k-row-collect contract as
+      ``surviving_terms``;
+    - the tf·idf top-m picked in Python (exact products, deterministic
+      ties) becomes a standard ``mode="any"`` BM25 query down the usual
+      pruned postings path.
+    """
+    from ..functions.tokenizer import tokenize
+
+    spark = index.lexicon.sparkSession
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    cols = [text_col] + ([lang_col] if lang_col else [])
+    src = docs_df.filter(F.col(id_col) == doc_id).select(*cols).collect()
+    if not src:
+        return empty
+    toks = tokenize(
+        src[0][text_col], src[0][lang_col] if lang_col else ""
+    )
+    if not toks:
+        return empty
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    lex = (
+        index.lexicon.filter(F.col("term").isin(sorted(tf)))
+        .select("term", "idf")
+        .collect()
+    )
+    ranked = sorted(
+        ((r["term"], tf[r["term"]] * float(r["idf"])) for r in lex),
+        key=lambda x: (-x[1], x[0]),
+    )
+    terms = [t for t, _ in ranked[:m_terms]]
+    if not terms:
+        return empty
+    scored = bm25_topk(index, terms, k=None, mode="any").filter(
+        F.col("doc_id") != doc_id
+    )
+    if k is None:
+        return scored
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "score"
+    )
+
+
 def facet_counts(
     index: SearchIndex,
     query: str,

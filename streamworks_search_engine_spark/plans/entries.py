@@ -286,6 +286,25 @@ def q_trigram_lm_doc_score(spark, sf_dir):
     )
 
 
+def q_more_like_this(spark, sf_dir):
+    """Similar docs to doc 7: its 5 highest-tf*idf terms become a
+    disjunctive BM25 query (Lucene MoreLikeThis semantics)."""
+    from ..operators.query import more_like_this
+
+    res = more_like_this(
+        _search_index(spark, sf_dir),
+        _t(spark, sf_dir, "documents"),
+        doc_id=7,
+        k=10,
+        m_terms=5,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_hybrid_rrf_top10(spark, sf_dir):
     """Hybrid lexical+vector retrieval: BM25('scan') and cosine(vec 0)
     top-100 lists fused by reciprocal rank (k_rrf=60) — rank-only fusion
@@ -1108,6 +1127,7 @@ QUERIES = {
     "facet_lang_counts": q_facet_lang_counts,
     "trigram_lm": q_trigram_lm,
     "trigram_lm_doc_score": q_trigram_lm_doc_score,
+    "more_like_this_top10": q_more_like_this,
     "hybrid_rrf_top10": q_hybrid_rrf_top10,
     "tfidf_reference": q_tfidf_reference,
     "dedup_exact": q_dedup_exact,
@@ -1726,6 +1746,24 @@ FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
 SELECT d.lang, count(*) AS n_docs
 FROM matched m JOIN documents d ON d.doc_id = m.doc_id
 GROUP BY d.lang""",
+    "more_like_this_top10": f"""{_SQL_INDEX},
+srctf AS (SELECT term, count(*) AS tf FROM (
+    SELECT unnest(tokens) AS term FROM toks WHERE doc_id = 7) GROUP BY term),
+mlt AS (SELECT s.term FROM srctf s JOIN lexicon l USING (term)
+        ORDER BY s.tf * l.idf DESC, s.term LIMIT 5),
+qsurv AS (SELECT term, idf FROM lexicon
+          WHERE term IN (SELECT term FROM mlt)),
+scored AS (
+  SELECT p.doc_id,
+         q.idf * p.tf * 2.2
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / (SELECT avgdl FROM stats)))
+           AS contrib
+  FROM postings p JOIN qsurv q USING (term) JOIN doclen d USING (doc_id)),
+matched AS (SELECT doc_id, sum(contrib) AS s FROM scored
+            WHERE doc_id != 7 GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM matched ORDER BY s DESC, doc_id LIMIT 10""",
     "hybrid_rrf_top10": f"""{_bm25_sql_base(["scan"])},
 lex AS (SELECT doc_id, r_lex FROM (
     SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r_lex

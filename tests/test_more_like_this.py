@@ -1,0 +1,71 @@
+"""MoreLikeThis (operators/query.py:more_like_this): the term-selection
+is the only new machinery — derive the expected top-m tf*idf terms
+manually and require exact equality with the OR-mode BM25 over them."""
+
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions.tokenizer import tokenize
+from streamworks_search_engine_spark.operators.query import (
+    bm25_topk,
+    more_like_this,
+)
+
+
+def _rows(df):
+    return [
+        (r.rank, r.doc_id, round(r.score, 9))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_mlt_equals_bm25_over_derived_terms(spark, spark_index, corpus_rows):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    docs = with_doc_id(spark.createDataFrame(corpus_rows)).select(
+        "doc_id", F.col("content").alias("text"), "lang"
+    )
+    src = docs.first()
+    tf = {}
+    for t in tokenize(src.text, src.lang):
+        tf[t] = tf.get(t, 0) + 1
+    lex = {
+        r.term: r.idf
+        for r in spark_index.lexicon.filter(
+            F.col("term").isin(sorted(tf))
+        ).collect()
+    }
+    m = 5
+    terms = [
+        t
+        for t, _ in sorted(
+            ((t, tf[t] * lex[t]) for t in tf if t in lex),
+            key=lambda x: (-x[1], x[0]),
+        )[:m]
+    ]
+    exp = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25_topk(spark_index, terms, k=None, mode="any")
+        .filter(F.col("doc_id") != src.doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in more_like_this(
+            spark_index, docs, src.doc_id, k=10, m_terms=m
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exp
+    assert got, "test premise: MLT must return neighbors"
+    assert all(d != src.doc_id for d, _ in got)
+
+
+def test_mlt_missing_doc_and_empty_text(spark, spark_index):
+    docs = spark.createDataFrame(
+        [(999999999, "", "java")], "doc_id long, text string, lang string"
+    )
+    assert more_like_this(spark_index, docs, 12345, k=5).count() == 0
+    assert more_like_this(spark_index, docs, 999999999, k=5).count() == 0
