@@ -51,10 +51,12 @@ from .similarity import (
 
 
 def _cos_guarded(codes: Column, centroid: list[float]) -> Column:
-    """cosine(codes, centroid) with the 0-norm guard (zero vector or
-    zero centroid -> 0.0), matching ann_quantized_topk's convention."""
-    c = cosine(codes, _lit_vec(centroid))
-    return F.when(F.isnan(c), F.lit(0.0)).otherwise(c)
+    """cosine(codes, centroid); the zero-norm guard (zero vector or zero
+    centroid -> 0.0) lives in :func:`..similarity.cosine` itself — under
+    Spark 4's default ANSI mode an unguarded x/0 THROWS ``DIVIDE_BY_ZERO``
+    (never NaN), so the guard must sit on the denominator, not on the
+    result."""
+    return cosine(codes, _lit_vec(centroid))
 
 
 def _assign_col(codes: Column, centroids: list[list[float]]) -> Column:

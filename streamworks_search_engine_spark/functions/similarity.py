@@ -32,7 +32,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """cosine(a, b) with the zero-norm guard: an all-zero vector (or
+    centroid) yields 0.0 instead of raising. Spark 4 runs ANSI mode by
+    default, where x/0 THROWS ``DIVIDE_BY_ZERO`` — a single zero
+    embedding row in a 100-TB corpus must not kill the job. The guard is
+    exact for every non-zero pair (the division is untouched), matching
+    the DuckDB oracles' ``CASE WHEN den = 0 THEN 0.0`` convention and
+    ``ann_quantized_topk``'s integer kernel."""
+    num = dot(a, b)
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den == F.lit(0.0), F.lit(0.0)).otherwise(num / den)
 
 
 def cosine_topk(
@@ -315,7 +324,13 @@ def make_ivf_assign_udf(leader_lits: list[tuple[int, list[float]]]):
     def ivf_cell(emb: pd.Series) -> pd.Series:
         x = np.vstack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
         xnorm = np.sqrt((x * x).sum(axis=1, keepdims=True))
-        cos = (x @ mat.T) / (xnorm * lnorm[None, :])
+        # zero-norm guard (same 0.0 convention as `cosine`): a zero row or
+        # zero leader must assign deterministically, never produce NaN
+        den = xnorm * lnorm[None, :]
+        cos = np.divide(
+            x @ mat.T, den, out=np.zeros((x.shape[0], mat.shape[0])),
+            where=den != 0,
+        )
         # leaders are sorted by cell_id, so argmax's first-max rule IS the
         # smallest-cell tie-break
         return pd.Series(cells[np.argmax(cos, axis=1)], index=emb.index)

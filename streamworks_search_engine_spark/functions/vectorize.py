@@ -96,6 +96,40 @@ def encode(
     )
 
 
+def encode_flat(
+    tokens_df: DataFrame,
+    vocab: DataFrame,
+    oov_id: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(id, pos, token_id): the exploded scalar-row twin of :func:`encode`
+    — one row per token position, OOV tokens mapped to ``oov_id``. Same
+    information as the array shape, but every output column is a scalar,
+    so any downstream comparator/writer that canonicalizes by sorting
+    columns (e.g. the driver's oracle harness) handles it natively.
+
+    Plan: posexplode -> broadcast vocab join — MAP-ONLY (the array shape's
+    re-assembling groupBy disappears entirely), so this is also the
+    cheaper plan at scale: zero shuffles, and a pretraining loader that
+    re-sorts by (id, pos) anyway loses nothing. Docs with no tokens
+    produce no rows (the array twin keeps them as empty arrays).
+    """
+    pos = tokens_df.select(
+        F.col(id_col), F.posexplode(tokens_col).alias("pos", "term")
+    )
+    j = pos.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(oov_id))
+        .cast("long")
+        .alias("token_id"),
+    )
+
+
 def hashed_tf(
     tokens_df: DataFrame,
     n_buckets: int = 1024,

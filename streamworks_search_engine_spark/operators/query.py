@@ -422,6 +422,7 @@ _QUALIFIER = __import__("re").compile(r"^([a-z_][a-z0-9_]*):(.+)$")
 
 def parse_query(
     q: str | None,
+    allowed_qualifiers: set[str] | frozenset[str] | None = None,
 ) -> tuple[list[str], list[str], list[list[str]], list[tuple[str, str]]]:
     """Free-text query string -> (terms, excluded_terms, phrases, fields).
 
@@ -430,10 +431,19 @@ def parse_query(
       the phrase's words also score as positive terms,
     - ``-token``         -> exclusion (boolean NOT),
     - ``key:value``      -> metadata field qualifier (``lang:en``,
-      ``path:parser`` — GitHub-style scoping),
-    - anything else      -> positive term.
-    A bare ``-`` is dropped; negated phrases/qualifiers are not supported
-    (documented sharp edge — exclusion is per-term).
+      ``path:parser`` — GitHub-style scoping) — but ONLY when ``key`` is in
+      ``allowed_qualifiers`` (``None`` = permissive: any lowercase key).
+      Callers with a metadata table pass its column set (``search`` does),
+      so ordinary colon-bearing queries — ``std::vector``, ``http://x``,
+      ``TODO:fix`` — degrade to plain term search instead of erroring,
+    - a NEGATED qualifier (``-lang:en`` with ``lang`` allowed) is DROPPED
+      with a warning: qualifier negation is unsupported, and silently
+      tokenizing it into term exclusions would exclude every doc
+      containing the words ``lang``/``en``,
+    - anything else      -> positive term (terms pass through the
+      tokenizer downstream, so ``std::vector`` searches ``std vector``).
+    A bare ``-`` is dropped; negated phrases are not supported (documented
+    sharp edge — exclusion is per-term).
     """
     phrases: list[list[str]] = []
 
@@ -443,17 +453,34 @@ def parse_query(
             phrases.append(words)
         return " "
 
+    def is_qualifier(tok: str):
+        m = _QUALIFIER.match(tok)
+        if m and (
+            allowed_qualifiers is None or m.group(1) in allowed_qualifiers
+        ):
+            return m
+        return None
+
     rest = _QUOTED.sub(grab, q or "")
     terms: list[str] = []
     excludes: list[str] = []
     fields: list[tuple[str, str]] = []
     for tok in rest.split():
-        m = _QUALIFIER.match(tok)
+        m = is_qualifier(tok)
         if m:
             fields.append((m.group(1), m.group(2)))
         elif tok.startswith("-"):
-            if len(tok) > 1:
-                excludes.append(tok[1:])
+            rest_tok = tok[1:]
+            if is_qualifier(rest_tok):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "parse_query: negated field qualifier %r is not "
+                    "supported — dropping it (negation is per-term)",
+                    tok,
+                )
+            elif rest_tok:
+                excludes.append(rest_tok)
         else:
             terms.append(tok)
     return terms, excludes, phrases, fields
@@ -503,21 +530,20 @@ def search(
     4. ``key:value`` qualifiers -> ONE left-semi join against the
        ``meta`` table filtered by all qualifiers (same-key values OR,
        distinct keys AND; ``path`` by substring, other keys by equality).
-       Qualifiers without a ``meta`` table raise — never silently ignore
-       a user's filter;
+       Only keys that are actual ``meta`` columns parse as qualifiers —
+       with no ``meta`` table, or an unknown key, the token degrades to
+       plain term search (``std::vector``, ``http://x`` and friends must
+       never make the search box raise);
     5. deterministic top-k + rank.
 
     Every stage reuses an already-verified operator and the same pruned
     ``term IN (...)`` postings path; the only new code is the parser.
     """
-    terms, excludes, phrases, fields = parse_query(query)
+    allowed = frozenset(meta.columns) if meta is not None else frozenset()
+    terms, excludes, phrases, fields = parse_query(query, allowed)
     positives = terms + [w for p in phrases for w in p]
     spark = index.lexicon.sparkSession
     empty = spark.createDataFrame([], "rank int, doc_id long, score double")
-    if fields and meta is None:
-        raise ValueError(
-            f"query has field qualifiers {fields} but no meta table was given"
-        )
     if not positives:
         return empty
     scored = bm25_topk(index, positives, k=None, mode=mode)

@@ -834,11 +834,13 @@ def q_vocab_topn(spark, sf_dir):
 
 
 def q_encode_ids(spark, sf_dir):
-    """Token-id encoding: each doc's tokens as vocab ids in order, OOV ->
-    id 2000 (functions/vectorize.py:encode)."""
+    """Token-id encoding: (doc_id, pos, token_id) scalar rows, OOV -> id
+    2000 (functions/vectorize.py:encode_flat — the map-only exploded twin
+    of the array-shaped ``encode``; scalar columns keep the output
+    canonicalizable by any engine that sorts on columns)."""
     toks = _doc_tokens(spark, sf_dir)
     vocab = vectorize.vocab_build(toks, VOCAB_SIZE)
-    return vectorize.encode(toks, vocab, oov_id=OOV_ID)
+    return vectorize.encode_flat(toks, vocab, oov_id=OOV_ID)
 
 
 HASHED_TF_BUCKETS = 1024
@@ -1044,7 +1046,10 @@ def q_bm25_topk_metadata(spark, sf_dir):
     )
 
 
-_MERGE_CACHE: dict[tuple[str, str], IndexTables] = {}
+# bounded to ONE live entry: the two persisted plist frames per entry pin
+# executor storage memory, so switching (app, sf_dir) unpersists the old
+# entry's plists before building the new one (never grows across sf_dirs)
+_MERGE_CACHE: dict[tuple[str, str], tuple[IndexTables, list[DataFrame]]] = {}
 
 
 def _merged_index(spark, sf_dir) -> IndexTables:
@@ -1057,7 +1062,11 @@ def _merged_index(spark, sf_dir) -> IndexTables:
     what the oracle computes."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _MERGE_CACHE:
-        return _MERGE_CACHE[key]
+        return _MERGE_CACHE[key][0]
+    for old_key in list(_MERGE_CACHE):
+        _, old_plists = _MERGE_CACHE.pop(old_key)
+        for p in old_plists:
+            p.unpersist(blocking=False)
     from ..operators.merge import merge_index_tables
 
     docs = _t(spark, sf_dir, "documents")
@@ -1074,17 +1083,20 @@ def _merged_index(spark, sf_dir) -> IndexTables:
     deletes = docs.filter(F.col("doc_id") % 25 == 7).select("doc_id")
 
     udf = make_doc_postings_udf()
+    plists: list[DataFrame] = []
 
     def idx(d):
         plist = d.select(
             "doc_id", udf(F.col("text"), F.col("lang")).alias("plist")
         ).persist()
+        plists.append(plist)
         return build_index_from_plist(spark, plist)
 
-    _MERGE_CACHE[key] = merge_index_tables(
-        spark, idx(base_docs), idx(delta_docs), deletes=deletes
+    _MERGE_CACHE[key] = (
+        merge_index_tables(spark, idx(base_docs), idx(delta_docs), deletes=deletes),
+        plists,
     )
-    return _MERGE_CACHE[key]
+    return _MERGE_CACHE[key][0]
 
 
 def q_index_merge_postings(spark, sf_dir):
@@ -1102,57 +1114,24 @@ def q_index_merge_lexicon(spark, sf_dir):
     return m.lexicon.select("term", "df", F.round("idf", 9).alias("idf"))
 
 
+# Registry ORDER is part of the driver contract: the driver's correctness
+# gate covers the FIRST 50 entries, so each round rotates the least-
+# recently-driver-verified entries (plus anything new or fixed this round)
+# into the front window, keeping a handful of core index/BM25
+# representatives up top. Round 4 front window = core representatives +
+# the 27 entries CORRECTNESS_r03 did not reach + this round's new/fixed
+# entries; the round-3-verified remainder follows.
 QUERIES = {
-    "index_wordcount": q_index_wordcount,
-    "index_merge_postings": q_index_merge_postings,
-    "index_merge_lexicon": q_index_merge_lexicon,
+    # -- core representatives (always driver-visible) --
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
     "index_doclen": q_index_doclen,
     "index_stats": q_index_stats,
-    "term_semi_join": q_term_semi_join,
-    "bm25_matches_single": _bm25_matches(Q_SINGLE),
-    "bm25_matches_conj2": _bm25_matches(Q_CONJ2),
-    "bm25_matches_conj3": _bm25_matches(Q_CONJ3),
-    "bm25_absent_term_dropped": _bm25_matches(Q_ABSENT_MIX),
-    "bm25_all_absent_empty": _bm25_matches(Q_ALL_ABSENT),
+    "index_wordcount": q_index_wordcount,
     "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
-    "bm25_batch_topk": q_bm25_batch_topk,
-    "bm25_or_matches": _bm25_matches(Q_CONJ3, mode="any"),
-    "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
-    "bm25_prefix_top10": q_bm25_prefix_top10,
-    "bm25_not_top10": q_bm25_not_top10,
-    "search_string_top10": q_search_string,
-    "search_fielded_top10": q_search_fielded,
-    "facet_lang_counts": q_facet_lang_counts,
-    "trigram_lm": q_trigram_lm,
-    "trigram_lm_doc_score": q_trigram_lm_doc_score,
-    "more_like_this_top10": q_more_like_this,
-    "hybrid_rrf_top10": q_hybrid_rrf_top10,
-    "tfidf_reference": q_tfidf_reference,
-    "dedup_exact": q_dedup_exact,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_buckets": q_minhash_buckets,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "decontaminate": q_decontaminate,
-    "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
-    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "unigram_lm_score": q_unigram_lm_score,
-    "stratified_sample": q_stratified_sample,
-    "sequence_pack": q_sequence_pack,
-    "secret_scrub": q_secret_scrub,
-    "vocab_topn": q_vocab_topn,
+    # -- fixed this round (scalar output shape) --
     "encode_ids": q_encode_ids,
-    "media_meta": q_media_meta,
-    "media_frames": q_media_frames,
-    "hashed_tf": q_hashed_tf,
-    "doc_fingerprint": q_doc_fingerprint,
-    "quality_stats": q_quality_stats,
-    "repetition_stats": q_repetition_stats,
-    "langid_en": q_langid_en,
-    "token_counts": q_token_counts,
-    "cosine_topk": q_cosine_topk,
+    # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
     "embedding_quantize": q_embedding_quantize,
     "ann_quantized_topk": q_ann_quantized_topk,
     "kmeans_assign": q_kmeans_assign,
@@ -1180,6 +1159,50 @@ QUERIES = {
     "tag_score_indexed": q_tag_score_indexed,
     "search_weighted_code_topk": q_search_weighted_code_topk,
     "bm25_topk_metadata": q_bm25_topk_metadata,
+    # -- round-3-verified remainder (hash-green in CORRECTNESS_r03) --
+    "index_merge_postings": q_index_merge_postings,
+    "index_merge_lexicon": q_index_merge_lexicon,
+    "term_semi_join": q_term_semi_join,
+    "bm25_matches_single": _bm25_matches(Q_SINGLE),
+    "bm25_matches_conj2": _bm25_matches(Q_CONJ2),
+    "bm25_matches_conj3": _bm25_matches(Q_CONJ3),
+    "bm25_absent_term_dropped": _bm25_matches(Q_ABSENT_MIX),
+    "bm25_all_absent_empty": _bm25_matches(Q_ALL_ABSENT),
+    "bm25_batch_topk": q_bm25_batch_topk,
+    "bm25_or_matches": _bm25_matches(Q_CONJ3, mode="any"),
+    "bm25_or_top10": _bm25_top10(Q_CONJ3, mode="any"),
+    "bm25_prefix_top10": q_bm25_prefix_top10,
+    "bm25_not_top10": q_bm25_not_top10,
+    "search_string_top10": q_search_string,
+    "search_fielded_top10": q_search_fielded,
+    "facet_lang_counts": q_facet_lang_counts,
+    "trigram_lm": q_trigram_lm,
+    "trigram_lm_doc_score": q_trigram_lm_doc_score,
+    "more_like_this_top10": q_more_like_this,
+    "hybrid_rrf_top10": q_hybrid_rrf_top10,
+    "tfidf_reference": q_tfidf_reference,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_buckets": q_minhash_buckets,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "decontaminate": q_decontaminate,
+    "ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
+    "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "unigram_lm_score": q_unigram_lm_score,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
+    "secret_scrub": q_secret_scrub,
+    "vocab_topn": q_vocab_topn,
+    "media_meta": q_media_meta,
+    "media_frames": q_media_frames,
+    "hashed_tf": q_hashed_tf,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_stats": q_quality_stats,
+    "repetition_stats": q_repetition_stats,
+    "langid_en": q_langid_en,
+    "token_counts": q_token_counts,
+    "cosine_topk": q_cosine_topk,
 }
 
 # ------------------------------------------------------------- oracles ----
@@ -2160,15 +2183,11 @@ counts AS (SELECT term, count(*) AS cnt
 vocab AS (SELECT term,
   CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS token_id
   FROM counts ORDER BY cnt DESC, term LIMIT {VOCAB_SIZE}),
-pos AS (SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
-               unnest(tokens) AS term FROM toks),
-joined AS (SELECT p.doc_id, p.pos,
-                  coalesce(v.token_id, {OOV_ID}) AS tid
-           FROM pos p LEFT JOIN vocab v USING (term)),
-enc AS (SELECT doc_id, list(tid ORDER BY pos) AS ids
-        FROM joined GROUP BY doc_id)
-SELECT t.doc_id, coalesce(e.ids, CAST([] AS BIGINT[])) AS ids
-FROM toks t LEFT JOIN enc e USING (doc_id)""",
+pos AS (SELECT doc_id, generate_subscripts(tokens, 1) - 1 AS pos,
+               unnest(tokens) AS term FROM toks)
+SELECT p.doc_id, CAST(p.pos AS BIGINT) AS pos,
+       CAST(coalesce(v.token_id, {OOV_ID}) AS BIGINT) AS token_id
+FROM pos p LEFT JOIN vocab v USING (term)""",
     "hashed_tf": f"""{_SQL_TOKS},
 hits AS (SELECT doc_id, unnest(tokens) AS term FROM toks)
 SELECT doc_id,

@@ -166,3 +166,42 @@ def test_semantic_pairs_cell_cap_engages_and_logs(spark, caplog):
         df, k=2, n_iter=1, threshold=0.9, max_cell_size=None
     ).count()
     assert full == 30 * 29 // 2 + 3
+
+
+def test_zero_vector_does_not_crash_kmeans_or_semdedup(spark):
+    """Spark 4 default ANSI mode turns x/0 into a DIVIDE_BY_ZERO error —
+    one all-zero embedding (or an all-zero centroid) must not kill the
+    job. Convention: zero-norm cosine == 0.0 (matches the DuckDB oracles'
+    CASE WHEN den = 0 THEN 0.0)."""
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r.vec_id: r.cluster_id for r in
+           clustering.kmeans_assign(df, k=2, n_iter=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # zero vector: every cosine is 0.0 -> tie -> smallest cluster id
+    assert got[0] == 0
+
+    pairs = clustering.semantic_near_dup_pairs(
+        df, k=2, n_iter=1, threshold=0.9
+    ).collect()
+    # the zero vector pairs with nothing (cos == 0.0 < threshold)
+    assert all(0 not in (p.id_a, p.id_b) for p in pairs)
+
+    # matmul assignment path: same guard (numpy divide-by-zero -> 0.0)
+    got_mm = {r.vec_id: r.cluster_id for r in
+              clustering.kmeans_assign(df, k=2, n_iter=1,
+                                       method="matmul").collect()}
+    assert set(got_mm) == {0, 1, 2, 3}
+
+
+def test_zero_vector_similarity_ops(spark):
+    """cosine()'s zero-norm guard holds across the similarity surface."""
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.8, 0.6])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(df, 1, k=5).collect()
+    sims = {r.vec_id: r.cos_sim for r in top}
+    assert sims[0] == 0.0 and sims[2] == 0.8
+    dups = similarity.near_dup_pairs_cosine(df, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in dups} == {(1, 2)}

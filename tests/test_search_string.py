@@ -124,15 +124,54 @@ def test_path_qualifier_is_substring(spark_index):
     assert got == base & allowed
 
 
-def test_qualifier_errors(spark_index):
-    import pytest as _pytest
+def test_unknown_qualifiers_degrade_to_terms(spark_index):
+    """Colon tokens whose key is not a meta column (or with no meta at
+    all) are plain terms — the search box never raises on 'std::vector'-
+    style queries."""
+    # no meta: 'lang:en' tokenizes into positive terms 'lang', 'en' —
+    # same result as searching those words (conjunctive: en/lang are
+    # absent from this corpus' index, so this reduces to 'parse')
+    got = search(spark_index, "parse lang:en", k=None)
+    base = search(spark_index, "parse lang en", k=None)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    # meta present but key unknown: degrade, don't raise
+    got2 = search(
+        spark_index, "parse bogus:x", k=None, meta=spark_index.docs_dim
+    )
+    base2 = search(
+        spark_index, "parse bogus x", k=None, meta=spark_index.docs_dim
+    )
+    assert sorted(map(tuple, got2.collect())) == sorted(
+        map(tuple, base2.collect())
+    )
 
-    with _pytest.raises(ValueError, match="no meta table"):
-        search(spark_index, "parse lang:en", k=5)
-    with _pytest.raises(ValueError, match="unknown field"):
-        search(
-            spark_index, "parse bogus:x", k=5, meta=spark_index.docs_dim
-        ).collect()
+
+def test_negated_qualifier_dropped_with_warning(spark_index, caplog):
+    """'-lang:en' must NOT become term exclusions of 'lang'/'en' — it is
+    dropped (warned), leaving the rest of the query intact."""
+    import logging
+
+    meta = spark_index.docs_dim
+    with caplog.at_level(logging.WARNING):
+        got = search(spark_index, "parse -lang:en", k=None, meta=meta)
+        rows = sorted(map(tuple, got.collect()))
+    base = sorted(
+        map(tuple, search(spark_index, "parse", k=None, meta=meta).collect())
+    )
+    assert rows == base
+    assert any("negated field qualifier" in r.message for r in caplog.records)
+
+
+def test_parse_query_allowed_qualifiers():
+    from streamworks_search_engine_spark.operators.query import parse_query
+
+    # permissive (None): any lowercase key parses as a qualifier
+    assert parse_query("std::vector")[3] == [("std", ":vector")]
+    # restricted: unknown keys fall back to plain terms
+    t, ex, ph, f = parse_query("std::vector lang:en x", {"lang"})
+    assert (t, ex, ph, f) == (["std::vector", "x"], [], [], [("lang", "en")])
 
 
 def test_facet_counts_match_manual(spark_index):
