@@ -58,7 +58,10 @@ class IndexTables:
 
     postings: DataFrame  # (term, doc_id, tf, positions array<int>, doc_len[, tf_def])
     lexicon: DataFrame  # (term, df, idf)
-    doclen: DataFrame  # (doc_id, doc_len)
+    doclen: DataFrame  # (doc_id, doc_len, sumsq_tf) — sumsq_tf = Σ_term tf²,
+    # the per-doc L2 norm base MATERIALIZED AT BUILD TIME (the reference
+    # does the same: IndexMySQLStorage.java:426-436 updates ntf once per
+    # sync) so the tfidf scorer never re-aggregates the postings per query
     docs_dim: DataFrame | None  # (doc_id, repo, path, commit, lang, doc_len, content_sha256)
     n_docs: int
     avgdl: float
@@ -89,9 +92,11 @@ def build_index_from_tokens(
     """
     toks = toks.persist()
 
-    doclen = toks.select("doc_id", F.size("tokens").cast("long").alias("doc_len"))
+    base_len = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("doc_len")
+    )
 
-    stats_row = doclen.agg(
+    stats_row = base_len.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
@@ -107,6 +112,20 @@ def build_index_from_tokens(
         F.count("*").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
         F.first("doc_len").alias("doc_len"),
+    )
+
+    # Σ tf² per doc, materialized ONCE at build time (the reference's
+    # sync-time ntf update, IndexMySQLStorage.java:426-436) so the tfidf
+    # scorer never pays a full-postings aggregation per query. One extra
+    # map-side-combined agg over the already-built postings; token-free
+    # docs keep sumsq_tf = 0 via the left join.
+    sumsq = postings.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sumsq_tf")
+    )
+    doclen = base_len.join(sumsq, "doc_id", "left").select(
+        "doc_id",
+        "doc_len",
+        F.coalesce("sumsq_tf", F.lit(0).cast("long")).alias("sumsq_tf"),
     )
 
     lexicon = salted_lexicon(postings, n_docs)
@@ -164,7 +183,15 @@ def build_index_from_plist(
     doc_len = F.aggregate(
         "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
     )
-    doclen = docs_plist.select("doc_id", doc_len.alias("doc_len"))
+    # Σ tf² per doc is DOC-LOCAL here (plist already aggregates per term),
+    # so the L2-norm base costs zero shuffles — materialized once at build
+    # time (reference sync-time ntf, IndexMySQLStorage.java:426-436)
+    sumsq_tf = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"] * x["tf"]
+    )
+    doclen = docs_plist.select(
+        "doc_id", doc_len.alias("doc_len"), sumsq_tf.alias("sumsq_tf")
+    )
     stats_row = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
@@ -323,6 +350,11 @@ def build_and_write_index(
     doc_len = F.aggregate(
         "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
     )
+    # doc-local L2-norm base (Σ tf²) — computed BEFORE the explode, rides
+    # the staged rows like doc_len (dictionary-encoded to ~1 value/doc)
+    sumsq_tf = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"] * x["tf"]
+    )
     # doc-identity columns ride along in the staged rows (parquet
     # dictionary-encodes them to ~one value per doc) so docs_dim is a
     # column-pruned distinct over the checkpoint — no second full-content
@@ -334,11 +366,12 @@ def build_and_write_index(
         )
         .select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256",
-            doc_len.alias("doc_len"), F.explode_outer("plist").alias("p"),
+            doc_len.alias("doc_len"), sumsq_tf.alias("sumsq_tf"),
+            F.explode_outer("plist").alias("p"),
         )
         .select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256",
-            "doc_len",
+            "doc_len", "sumsq_tf",
             F.col("p.term").alias("term"),
             F.col("p.tf").alias("tf"),
             F.col("p.positions").alias("positions"),
@@ -359,11 +392,12 @@ def build_and_write_index(
     # ONE distinct serves the doc dimension, doclen and the corpus stats;
     # it is n_docs rows — persist it so the three consumers (stats collect,
     # doclen write, docs_dim write) don't re-scan the staged table
-    docs_dim = staged.select(
-        "doc_id", "repo", "path", "commit", "lang", "doc_len",
+    dd = staged.select(
+        "doc_id", "repo", "path", "commit", "lang", "doc_len", "sumsq_tf",
         "content_sha256",
     ).distinct().persist()
-    doclen = docs_dim.select("doc_id", "doc_len")
+    docs_dim = dd.drop("sumsq_tf")  # written docs_dim layout is unchanged
+    doclen = dd.select("doc_id", "doc_len", "sumsq_tf")
     stats_row = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
@@ -382,7 +416,7 @@ def build_and_write_index(
         index, out_dir, term_buckets=term_buckets, pack=pack, flat=flat,
         timings=t,
     )
-    docs_dim.unpersist()
+    dd.unpersist()
     if not flat:
         # the staged checkpoint is a build intermediate — in packed-only
         # mode nothing in the final layout references it, so keeping it

@@ -119,6 +119,36 @@ def merge_index_tables(
     )
 
 
+def _tombstone_df_correction(base: SearchIndex, tomb: DataFrame) -> DataFrame:
+    """(term, corr): how many of ``base``'s postings per term belong to a
+    tombstoned doc — the exact df patch the merged lexicon must subtract.
+
+    The tombstone set is delta-sized (broadcast). For a packed-only base
+    this does NOT decode the whole table: the same bucket-containment
+    equi-join as the query path's distributed skip pointers
+    (operators.query._blocks_containing) keeps only blocks whose doc-id
+    range can hold a tombstoned doc, so ~|tomb| blocks decode, not the
+    corpus. A flat base is one broadcast-semi-joined scan.
+    """
+    if base.packed_only and base.packed is not None:
+        from .postings import decode_blocks
+        from .query import _blocks_containing
+
+        cand = tomb.select(F.col("doc_id").alias("cand_id"))
+        blocks = _blocks_containing(
+            base.packed.drop("positions"), cand, base.n_docs
+        )
+        rows = decode_blocks(blocks)
+    else:
+        rows = base.postings
+    return (
+        rows.select("term", "doc_id")
+        .join(F.broadcast(tomb), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("corr"))
+    )
+
+
 def merge_search_segments(
     spark: SparkSession,
     base: SearchIndex,
@@ -128,14 +158,20 @@ def merge_search_segments(
     """Query-time multi-segment view — serve queries over base+delta with
     ZERO rewrite of the base layout (the between-compactions serving mode).
 
-    The returned SearchIndex's postings/doclen are union views; its lexicon
-    is the exact lazy aggregation over the unioned postings (a query's
-    ``term IN (...)`` semi-join filter pushes below the union AND below the
-    df aggregation into each segment's scan, so per-query cost is k pushed
-    term lookups per segment, not a corpus scan). n_docs/avgdl are patched
-    arithmetically from the base stats: subtract the tombstoned base docs'
-    (count, Σdoc_len) — one broadcast-semi-joined scan of base.doclen, n_docs
-    rows — then add the delta's.
+    The returned SearchIndex carries per-segment views in ``segments``
+    (base with the tombstone set attached, delta with the delete set), so
+    ``postings_for_terms`` recurses and the ``term IN (...)`` predicate
+    reaches EACH segment's own scan — a packed-only base decodes only the
+    query terms' blocks, then one broadcast tombstone anti-join. The
+    ``postings``/``doclen`` attributes remain whole-view unions for direct
+    consumers.
+
+    The lexicon is INCREMENTAL and exact — never a re-aggregation of the
+    unioned postings: merged df(term) = base.lexicon df − (base postings
+    of tombstoned docs per term: :func:`_tombstone_df_correction`, a
+    bounded ~|tomb|-block job) + delta df (delta-sized agg); idf is
+    recomputed against the merged n_docs; df==0 terms drop out.
+    n_docs/avgdl are patched arithmetically from the base stats.
     """
     tomb = tombstones(delta, deletes)
     del_only = (
@@ -173,7 +209,38 @@ def merge_search_segments(
             "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
         )
     doclen = _anti(base.doclen, tomb).unionByName(delta_doclen)
-    lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
+
+    # incremental exact lexicon: base df − tombstoned-doc correction +
+    # delta df, idf against merged n_docs (provably equal to re-deriving
+    # from the merged postings — tests/test_merge.py asserts it)
+    corr = _tombstone_df_correction(base, tomb)
+    delta_df = (
+        delta_postings.select("term", "doc_id")
+        .groupBy("term")
+        .agg(F.count("*").alias("ddf"))
+    )
+    lexicon = (
+        base.lexicon.select("term", F.col("df").alias("bdf"))
+        .join(corr, "term", "full_outer")
+        .join(delta_df, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce("bdf", F.lit(0))
+                - F.coalesce("corr", F.lit(0))
+                + F.coalesce("ddf", F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
 
     path_hits = None
     if base.path_hits is not None and delta.path_hits is not None:
@@ -193,6 +260,39 @@ def merge_search_segments(
         )
         docs_dim = _anti(base.docs_dim, tomb).unionByName(delta_dim)
 
+    # per-segment views: base keeps its own layout (flat/packed/nested
+    # segments) plus the tombstone set; the delta segment is the in-memory
+    # tables minus explicit deletes. postings_for_terms recurses into
+    # these, so packed bases keep block-level term pruning.
+    base_view = SearchIndex(
+        postings=base.postings,
+        lexicon=base.lexicon,
+        doclen=base.doclen,
+        docs_dim=base.docs_dim,
+        n_docs=base.n_docs,
+        avgdl=base.avgdl,
+        packed=base.packed,
+        packed_only=base.packed_only,
+        path_hits=base.path_hits,
+        segments=base.segments,
+        tombstones=(
+            tomb
+            if base.tombstones is None
+            else base.tombstones.select("doc_id")
+            .unionByName(tomb)
+            .distinct()
+        ),
+    )
+    delta_view = SearchIndex(
+        postings=delta.postings,
+        lexicon=delta.lexicon,
+        doclen=delta.doclen,
+        docs_dim=delta.docs_dim,
+        n_docs=delta.n_docs,
+        avgdl=delta.avgdl,
+        tombstones=del_only,
+    )
+
     return SearchIndex(
         postings=postings,
         lexicon=lexicon,
@@ -200,9 +300,10 @@ def merge_search_segments(
         docs_dim=docs_dim,
         n_docs=n_docs,
         avgdl=avgdl,
-        packed=None,  # union view serves the flat path; compaction re-packs
+        packed=None,  # whole-view block pruning needs a re-pack (compaction)
         packed_only=False,
         path_hits=path_hits,
+        segments=[base_view, delta_view],
     )
 
 

@@ -47,6 +47,12 @@ class SearchIndex:
     # access recurses into each segment so the filter reaches every segment's
     # own scan (packed-only segments decode ONLY the matching terms' blocks)
     segments: list["SearchIndex"] | None = None
+    # doc-level tombstones (operators.merge.merge_search_segments): docs
+    # superseded by a delta segment or deleted. Applied by
+    # postings_for_terms AFTER the term-pruned fetch (tombstoning commutes
+    # with term filtering), as one broadcast anti-join — so a packed-only
+    # base still decodes only the query terms' blocks
+    tombstones: DataFrame | None = None
 
 
 def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
@@ -88,6 +94,14 @@ def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
     )
 
 
+def _apply_tombstones(index: SearchIndex, rows: DataFrame) -> DataFrame:
+    """Drop superseded/deleted docs' rows: ONE broadcast anti-join on the
+    (delta-sized) tombstone set — map-side, the big side never shuffles."""
+    if index.tombstones is None:
+        return rows
+    return rows.join(F.broadcast(index.tombstones), "doc_id", "left_anti")
+
+
 def postings_for_terms(
     index: SearchIndex, terms: list[str], positions: bool = True
 ) -> DataFrame:
@@ -97,7 +111,9 @@ def postings_for_terms(
     matching terms' blocks are ever decoded (mapInPandas is a column/filter
     pushdown barrier; filtering after a decode of the whole table would
     read everything). ``positions=False`` additionally drops the heavy
-    position blobs before the decode (scoring never needs them)."""
+    position blobs before the decode (scoring never needs them).
+    Doc-level ``tombstones`` (supersede/delete views) apply after the
+    pruned fetch — term filtering and doc anti-joins commute."""
     if index.segments:
         parts = [
             postings_for_terms(s, terms, positions=positions)
@@ -110,18 +126,18 @@ def postings_for_terms(
             out = out.withColumn(
                 "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
             )
-        return out
+        return _apply_tombstones(index, out)
     if index.packed_only and index.packed is not None:
         from .postings import decode_blocks
 
         blocks = index.packed.filter(F.col("term").isin(terms))
         if not positions:
             blocks = blocks.drop("positions")
-        return decode_blocks(blocks)
+        return _apply_tombstones(index, decode_blocks(blocks))
     out = index.postings.filter(F.col("term").isin(terms))
     if not positions and "positions" in out.columns:
         out = out.drop("positions")
-    return out
+    return _apply_tombstones(index, out)
 
 
 def normalize_terms(raw_terms: list[str]) -> list[str]:
@@ -1254,6 +1270,14 @@ def tfidf_reference_topk(
     """Secondary scorer for capability parity: the reference's ntf·idf
     (IndexMySQLStorage.java:417-470; MatchHandler.java:358-362):
     ntf = sqrt(tf²/Σ_d tf²), idf = ln(N/df), score = Σ ntf·idf, conjunctive.
+
+    The per-doc L2-norm base Σ tf² is MATERIALIZED AT BUILD TIME (doclen's
+    ``sumsq_tf`` column — the reference likewise updates ntf once per sync,
+    IndexMySQLStorage.java:426-436), so the per-query plan is a pruned
+    ``term IN (...)`` postings read joined to the doclen table: NO
+    full-postings aggregation ever runs inside a query (asserted by
+    tests/test_ranker.py's plan check). Indexes written before the column
+    existed fall back to deriving it — once per query, the old behavior.
     """
     spark = index.postings.sparkSession
     terms = normalize_terms(raw_terms)
@@ -1267,10 +1291,14 @@ def tfidf_reference_topk(
     survivors = sorted([(r["term"], int(r["df"])) for r in lex])
     if not survivors:
         return spark.createDataFrame([], "rank int, doc_id long, score double")
-    # Σ tf² per doc over all its terms (the reference's GROUP BY docID update)
-    sumsq = index.postings.groupBy("doc_id").agg(
-        F.sum(F.col("tf").cast("double") * F.col("tf")).alias("sumsq")
-    )
+    if "sumsq_tf" in index.doclen.columns:
+        sumsq = index.doclen.select(
+            "doc_id", F.col("sumsq_tf").cast("double").alias("sumsq")
+        )
+    else:  # legacy layout: Σ tf² per doc (the reference's GROUP BY docID)
+        sumsq = index.postings.groupBy("doc_id").agg(
+            F.sum(F.col("tf").cast("double") * F.col("tf")).alias("sumsq")
+        )
     idf_map = F.create_map(
         *[
             x
@@ -1280,7 +1308,7 @@ def tfidf_reference_topk(
     )
     term_list = [t for t, _ in survivors]
     hits = (
-        index.postings.filter(F.col("term").isin(term_list))
+        postings_for_terms(index, term_list, positions=False)
         .join(sumsq, "doc_id")
         .select(
             "term",

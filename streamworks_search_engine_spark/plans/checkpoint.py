@@ -187,6 +187,9 @@ class CheckpointedIndexBuild:
         doc_len = F.aggregate(
             "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
         )
+        sumsq_tf = F.aggregate(
+            "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"] * x["tf"]
+        )
         dyn = "spark.sql.sources.partitionOverwriteMode"
         prev = self.spark.conf.get(dyn, None)  # None = never set explicitly
         self.spark.conf.set(dyn, "dynamic")
@@ -201,10 +204,11 @@ class CheckpointedIndexBuild:
             toks.select(
                 "part", "doc_id", "repo", "path", "commit", "lang",
                 "content_sha256", doc_len.alias("doc_len"),
+                sumsq_tf.alias("sumsq_tf"),
                 F.explode_outer("plist").alias("h"),
             ).select(
                 "part", "doc_id", "repo", "path", "commit", "lang",
-                "content_sha256", "doc_len",
+                "content_sha256", "doc_len", "sumsq_tf",
                 F.col("h.term").alias("term"),
                 F.col("h.tf").alias("tf"),
                 F.col("h.positions").alias("positions"),
@@ -298,11 +302,12 @@ class CheckpointedIndexBuild:
         # doc-level columns repeat per posting row; a column-pruned distinct
         # recovers the dimension exactly (token-free docs kept: their single
         # null-term row still carries the identity columns)
-        docs_dim = staged.select(
-            "doc_id", "repo", "path", "commit", "lang", "doc_len",
+        dd = staged.select(
+            "doc_id", "repo", "path", "commit", "lang", "doc_len", "sumsq_tf",
             "content_sha256",
         ).distinct()
-        doclen = docs_dim.select("doc_id", "doc_len")
+        docs_dim = dd.drop("sumsq_tf")
+        doclen = dd.select("doc_id", "doc_len", "sumsq_tf")
         stats = doclen.agg(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).collect()[0]

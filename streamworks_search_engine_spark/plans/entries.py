@@ -1687,8 +1687,13 @@ SELECT term, doc_id, tf FROM postings""",
 SELECT term, df, round(idf, 9) AS idf FROM lexicon""",
     "index_lexicon": f"""{_SQL_INDEX}
 SELECT term, df, round(idf, 9) AS idf FROM lexicon""",
-    "index_doclen": f"""{_SQL_TOKS}
-SELECT doc_id, len(tokens) AS doc_len FROM toks""",
+    "index_doclen": f"""{_SQL_TOKS},
+dlhits AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+dlp AS (SELECT doc_id, term, count(*) AS tf FROM dlhits GROUP BY 1, 2),
+dlss AS (SELECT doc_id, sum(tf * tf) AS s FROM dlp GROUP BY 1)
+SELECT t.doc_id, len(t.tokens) AS doc_len,
+       CAST(coalesce(dlss.s, 0) AS BIGINT) AS sumsq_tf
+FROM toks t LEFT JOIN dlss USING (doc_id)""",
     "index_stats": f"""{_SQL_TOKS}
 SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
     "term_semi_join": f"""{_SQL_INDEX}

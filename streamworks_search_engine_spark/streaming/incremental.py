@@ -116,7 +116,18 @@ def refresh_index(spark: SparkSession, work_dir: str) -> IndexTables:
         .filter(F.col("part") == F.col("keep_epoch"))
         .select("term", "doc_id", "tf", "positions", "doc_len")
     )
-    doclen = docs_dim.select("doc_id", "doc_len")
+    # L2-norm base folded here (once per refresh, not per query) — same
+    # (doc_id, doc_len, sumsq_tf) doclen contract as the batch builders
+    sumsq = postings.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sumsq_tf")
+    )
+    doclen = docs_dim.select("doc_id", "doc_len").join(
+        sumsq, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "doc_len",
+        F.coalesce("sumsq_tf", F.lit(0).cast("long")).alias("sumsq_tf"),
+    )
     stats = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]

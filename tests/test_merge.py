@@ -335,3 +335,64 @@ def test_segmented_index_rejects_overlap(spark, tmp_path):
     write_index(build_index(spark, _df(spark, rows[:40])), d2, term_buckets=4)
     with pytest.raises(ValueError, match="overlap"):
         load_segmented_index(spark, [d1, d2], validate_disjoint=True)
+
+
+def test_segment_view_packed_only_base(spark, merge_case, tmp_path):
+    """merge_search_segments over a PACKED-ONLY base layout: the per-
+    segment views keep block-level term pruning for the base (no whole-
+    table decode), and the incremental lexicon (base df − tombstone
+    correction + delta df) is exactly the rebuild's."""
+    from streamworks_search_engine_spark.operators.indexer import write_index
+
+    out = str(tmp_path / "packed_base")
+    write_index(merge_case["base"], out, term_buckets=4, pack=True, flat=False)
+    base = load_index(spark, out)
+    assert base.packed_only
+    view = merge_search_segments(
+        spark, base, merge_case["delta"], deletes=merge_case["deletes"]
+    )
+    assert view.segments and view.segments[0].tombstones is not None
+    rebuilt = _as_search(merge_case["rebuild"])
+    got = {r["term"]: (r["df"], r["idf"]) for r in view.lexicon.collect()}
+    exp = {r["term"]: (r["df"], r["idf"]) for r in rebuilt.lexicon.collect()}
+    assert got.keys() == exp.keys()
+    for t in got:
+        assert got[t][0] == exp[t][0], t
+        assert got[t][1] == pytest.approx(exp[t][1], rel=1e-12)
+    for terms, mode in [
+        (["scan", "merge"], "all"),
+        (["merged", "update"], "all"),
+        (["token", "zzqqnotaterm"], "any"),
+    ]:
+        g = _topk_rows(view, terms, mode=mode)
+        assert g, (terms, mode)
+        assert g == _topk_rows(rebuilt, terms, mode=mode), (terms, mode)
+
+
+def test_segment_view_prunes_packed_base_scan(spark, merge_case, tmp_path):
+    """The query path over the view must feed the base's PACKED block scan
+    with the term IN (...) predicate (pushed below the decode barrier via
+    the per-segment recursion) — not decode the whole base."""
+    from streamworks_search_engine_spark.operators.indexer import write_index
+    from streamworks_search_engine_spark.operators.query import (
+        postings_for_terms,
+    )
+
+    out = str(tmp_path / "packed_base2")
+    write_index(merge_case["base"], out, term_buckets=4, pack=True, flat=False)
+    base = load_index(spark, out)
+    view = merge_search_segments(
+        spark, base, merge_case["delta"], deletes=merge_case["deletes"]
+    )
+    df = postings_for_terms(view, ["scan", "merge"], positions=False)
+    jq = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    plan = jq.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    block = next(
+        b for b in plan.split("Location:") if "/postings_packed]" in b
+    )
+    import re
+
+    assert re.search(r"PushedFilters: \[.*In\(term", block), plan

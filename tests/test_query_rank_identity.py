@@ -136,3 +136,32 @@ def test_topk_with_metadata(spark_index, oracle_index):
         assert (r["repo"], r["path"], r["lang"]) == (
             dim["repo"], dim["path"], dim["lang"],
         )
+
+
+def test_tfidf_plan_reads_postings_once(spark_index):
+    """The L2-norm base (sumsq_tf) is an index-time doclen column: the
+    per-query tfidf plan must scan the postings table exactly ONCE
+    (term-pruned) and join doclen — never re-aggregate the full postings
+    per query (the reference materializes ntf once per sync,
+    IndexMySQLStorage.java:426-436)."""
+    from streamworks_search_engine_spark.operators.query import (
+        tfidf_reference_topk,
+    )
+
+    assert "sumsq_tf" in spark_index.doclen.columns
+    df = tfidf_reference_topk(spark_index, ["parse", "index"], k=10)
+    jq = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    plan = jq.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # flat postings dir scanned once; doclen scanned (the norm join);
+    # '/postings]' matches the flat dir's Location line, not postings_packed
+    assert plan.count("/postings]") == 1, plan
+    assert plan.count("/doclen]") >= 1, plan
+    # the term predicate reaches the postings scan (row-group pruning)
+    import re
+
+    scan_blocks = plan.split("Location:")
+    postings_block = next(b for b in scan_blocks if "/postings]" in b)
+    assert re.search(r"PushedFilters: \[.*In\(term", postings_block), plan
