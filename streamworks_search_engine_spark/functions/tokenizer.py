@@ -278,6 +278,36 @@ def make_doc_postings_tags_udf():
     return doc_postings_tags_udf
 
 
+def tokenize_column(col, lang: str = ""):
+    """JVM-expression twin of :func:`tokenize` for SHORT strings (module
+    names, paths, titles): the same camelCase passes, lowercase, split,
+    and length/digit/stopword filter as the Python tokenizer, but entirely
+    in Catalyst expressions — no Python round-trip, stays inside
+    whole-stage codegen. Returns an ``array<string>`` Column.
+
+    Parity with ``tokenize`` is asserted in tests (same regexes, same
+    filter); intended for metadata-sized strings where spinning an Arrow
+    batch per value would cost more than it saves. ``lang`` picks the
+    frozen stopword set (build-time constant, inlined as an array literal
+    — fine at ~30-80 words; the full content path keeps using the Arrow
+    UDF where the per-row data is large)."""
+    from pyspark.sql import functions as F
+
+    stops = sorted(_stopset(lang))
+    # NULL -> [] like the Python tokenizer (regexp_replace propagates NULLs)
+    s = F.coalesce(col, F.lit(""))
+    s = F.regexp_replace(s, _CAMEL_ACRONYM.pattern, "$1 $2")
+    s = F.regexp_replace(s, _CAMEL_LOWER_UPPER.pattern, "$1 $2")
+    toks = F.split(F.lower(s), "[^a-z0-9]+")
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) >= MIN_TOKEN_LEN)
+        & (F.length(t) <= MAX_TOKEN_LEN)
+        & ~t.rlike("^[0-9]+$")
+        & ~t.isin(*stops),
+    )
+
+
 def make_tokens_udf():
     """Returns a pandas UDF ``(content, lang) -> array<string>``.
 

@@ -68,6 +68,11 @@ class IndexTables:
     # 'h'-class hits from file paths (doc_id, term, h_cnt) — present iff the
     # index was built tag-aware (build_index_with_tags)
     path_hits: DataFrame | None = None
+    # 'a'-class CROSS-DOC reference hits (doc_id, term, a_cnt): import/include
+    # mentions of a module credited to the doc DEFINING it (the reference's
+    # anchor-text -> target-doc attribution, IndexFileSpout.java:205-218 +
+    # refineURL:347-378) — present iff built with anchors=True
+    anchor_hits: DataFrame | None = None
 
 
 def tokenized(docs_df: DataFrame) -> DataFrame:
@@ -257,7 +262,10 @@ def build_index(spark: SparkSession, docs_df: DataFrame) -> IndexTables:
 
 
 def build_index_with_tags(
-    spark: SparkSession, docs_df: DataFrame, docs_have_ids: bool = False
+    spark: SparkSession,
+    docs_df: DataFrame,
+    docs_have_ids: bool = False,
+    anchors: bool = False,
 ) -> IndexTables:
     """Tag-aware flat build: per-hit tag classes recorded AT INDEX TIME
     (the reference stores WordHit.tag per hit, ShortDocIndex.java:63-74,
@@ -301,7 +309,89 @@ def build_index_with_tags(
         docs_dim=docs_dim,
     )
     tables.path_hits = path_hits
+    if anchors:
+        # cross-doc attribution runs over the SOURCE frame (path + content),
+        # not the tokenized one — mention extraction is a JVM regex pass
+        tables.anchor_hits = anchor_hits_table(src)
     return tables
+
+
+# Frozen import-mention pattern (the code corpus's <a href> analog): a line
+# whose first word is an import-ish keyword, capturing the referenced module
+# path. One pattern across the corpus langs — python import/from, js/ts
+# require/import, go import, c/c++ include, rust use. Both the Spark build
+# and the DuckDB oracle run this exact regex ((?m) multiline, RE2-safe).
+MENTION_RE = (
+    r"(?m)^\s*#?\s*(?:import|from|require|include|use)\s+[\"'<(]?[\"']?"
+    r"([A-Za-z0-9_][A-Za-z0-9_./-]*)"
+)
+
+# extensions stripped when a mention (or a path) names a file rather than a
+# module — frozen, shared with the oracle SQL
+_MODULE_EXT_RE = r"\.(py|js|ts|go|c|h|cc|cpp|hpp|java|rs|rb)$"
+
+
+def module_key(col) -> "F.Column":
+    """Normalize a path or a mention to its module key: last ``/`` segment,
+    known code extension stripped, last ``.`` segment (dotted python module
+    paths resolve to their leaf), lowercased. ``a.b.c`` -> ``c``,
+    ``dir/z.h`` -> ``z``, ``Mod7.py`` -> ``mod7``."""
+    base = F.element_at(F.split(col, "/"), -1)
+    noext = F.regexp_replace(base, _MODULE_EXT_RE, "")
+    return F.lower(F.element_at(F.split(noext, r"\."), -1))
+
+
+def anchor_hits_table(
+    docs_df: DataFrame,
+    id_col: str = "doc_id",
+    path_col: str = "path",
+    content_col: str = "content",
+    mention_re: str = MENTION_RE,
+) -> DataFrame:
+    """(doc_id, term, a_cnt): cross-doc reference attribution — the J5
+    anchor-text analog for a code corpus. The reference credits the tokens
+    of ``<a>`` anchor text to the TARGET document of the link
+    (IndexFileSpout.java:205-218; refineURL:347-378 resolves the href to a
+    crawled doc and drops danglers). Here: every ``import x`` /
+    ``#include <x.h>`` / ``require('x')`` line in doc A that names the
+    module doc B defines (B's path basename) credits the module-name
+    tokens to B as 'a'-class hits, with mention multiplicity.
+
+    Plan shape (100-TB): mention extraction is one JVM ``regexp_extract_all``
+    map pass (no Python); resolution is ONE equi-join on the module key —
+    targets are one row per file, so both sides shuffle on module; a
+    Zipf-hot module ("utils") is an AQE skew-join case, and the final
+    (doc_id, term) count agg is map-side combined. Dangling mentions (no
+    defining file in the corpus) drop out of the inner join exactly like
+    the reference's unresolvable hrefs. Self-imports are excluded (a doc
+    re-exporting its own name is not a cross-doc signal).
+
+    Divergence note (documented): multiple files defining the same module
+    key ALL receive credit (code module names are not unique the way URLs
+    are); and anchor hits feed ranking via the tag feature ('a' class) —
+    they do not add candidate docs to the conjunctive BM25 match set.
+    """
+    from ..functions.tokenizer import tokenize_column
+
+    targets = docs_df.select(
+        module_key(F.col(path_col)).alias("module"),
+        F.col(id_col).alias("doc_id"),
+    )
+    mentions = docs_df.select(
+        F.col(id_col).alias("src_doc"),
+        F.explode(
+            F.regexp_extract_all(F.col(content_col), F.lit(mention_re), 1)
+        ).alias("raw"),
+    ).select("src_doc", module_key(F.col("raw")).alias("module"))
+    resolved = mentions.join(targets, "module").filter(
+        F.col("doc_id") != F.col("src_doc")
+    )
+    terms = resolved.select(
+        "doc_id", F.explode(tokenize_column(F.col("module"))).alias("term")
+    )
+    return terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("a_cnt")
+    )
 
 
 def build_and_write_index(
@@ -514,6 +604,10 @@ def write_index(
         index.docs_dim.write.mode("overwrite").parquet(f"{out_dir}/docs_dim")
     if index.path_hits is not None:
         index.path_hits.write.mode("overwrite").parquet(f"{out_dir}/path_hits")
+    if index.anchor_hits is not None:
+        index.anchor_hits.write.mode("overwrite").parquet(
+            f"{out_dir}/anchor_hits"
+        )
     spark = index.postings.sparkSession
     spark.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"

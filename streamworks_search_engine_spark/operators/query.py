@@ -43,6 +43,10 @@ class SearchIndex:
     packed_only: bool = False  # no flat table on disk; postings = lazy decode
     # (doc_id, term, h_cnt) 'h'-class path hits — present iff tag-aware build
     path_hits: DataFrame | None = None
+    # (doc_id, term, a_cnt) 'a'-class cross-doc reference hits (import
+    # mentions credited to the defining doc — the anchor-text analog,
+    # operators.indexer.anchor_hits_table) — present iff built anchors=True
+    anchor_hits: DataFrame | None = None
     # multi-segment view (operators.merge.load_segmented_index): term-filtered
     # access recurses into each segment so the filter reaches every segment's
     # own scan (packed-only segments decode ONLY the matching terms' blocks)
@@ -68,6 +72,9 @@ def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
     path_hits = None
     if os.path.isdir(f"{index_dir}/path_hits"):
         path_hits = spark.read.parquet(f"{index_dir}/path_hits")
+    anchor_hits = None
+    if os.path.isdir(f"{index_dir}/anchor_hits"):
+        anchor_hits = spark.read.parquet(f"{index_dir}/anchor_hits")
     packed_only = False
     if os.path.isdir(f"{index_dir}/postings"):
         postings = spark.read.parquet(f"{index_dir}/postings")
@@ -91,6 +98,7 @@ def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
         packed=packed,
         packed_only=packed_only,
         path_hits=path_hits,
+        anchor_hits=anchor_hits,
     )
 
 
@@ -524,12 +532,57 @@ def _field_filter(meta: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
     return out.select("doc_id")
 
 
+def correct_terms(
+    index: SearchIndex,
+    terms: list[str],
+    max_distance: int = 2,
+) -> tuple[list[str], dict[str, str]]:
+    """Spell-correct query tokens that miss the lexicon — the reference's
+    "did you mean" flow (engine/handlers/SpellcheckHandler.java:27-52 runs
+    the distance scan when a query draws no result; MatchHandler otherwise
+    drops unknown lemmas). Returns (corrected_terms, {original: replacement}).
+
+    Each MISSING token (≤ query length, usually 0) costs one
+    length-band-pruned lexicon scan (functions.snippets.spellcheck_suggestions,
+    k=1) — the band predicate pushes into the lexicon scan, and the lexicon
+    is vocabulary-sized, not corpus-sized. Tokens already in the lexicon
+    pass through untouched; a missing token with no candidate within
+    ``max_distance`` is kept as-is (it will drop at the semi-join like any
+    absent term). Deterministic: suggestions tie-break (distance, df desc,
+    term asc)."""
+    from ..functions.snippets import spellcheck_suggestions
+
+    norm = normalize_terms(terms)
+    if not norm:
+        return terms, {}
+    present = {
+        r["term"]
+        for r in index.lexicon.filter(F.col("term").isin(norm))
+        .select("term")
+        .collect()
+    }
+    replaced: dict[str, str] = {}
+    for t in norm:
+        if t in present:
+            continue
+        best = spellcheck_suggestions(
+            index.lexicon, t, max_distance=max_distance, k=1
+        ).collect()
+        if best:
+            replaced[t] = best[0]["term"]
+    if not replaced:
+        return terms, {}
+    out = [replaced.get(t, t) for t in norm]
+    return out, replaced
+
+
 def search(
     index: SearchIndex,
     query: str,
     k: int | None = 10,
     mode: str = "all",
     meta: DataFrame | None = None,
+    correct: bool = False,
 ) -> DataFrame:
     """String front door: ``search(idx, 'scan -window "table hash" lang:en')``.
 
@@ -552,11 +605,19 @@ def search(
        never make the search box raise);
     5. deterministic top-k + rank.
 
+    ``correct=True`` additionally spell-corrects plain positive terms that
+    miss the lexicon before matching (:func:`correct_terms` — the
+    reference's SpellcheckHandler "did you mean", applied automatically).
+    Phrase words and exclusions are never rewritten (correcting an
+    exclusion could silently exclude valid docs; documented sharp edge).
+
     Every stage reuses an already-verified operator and the same pruned
     ``term IN (...)`` postings path; the only new code is the parser.
     """
     allowed = frozenset(meta.columns) if meta is not None else frozenset()
     terms, excludes, phrases, fields = parse_query(query, allowed)
+    if correct and terms:
+        terms, _ = correct_terms(index, terms)
     positives = terms + [w for p in phrases for w in p]
     spark = index.lexicon.sparkSession
     empty = spark.createDataFrame([], "rank int, doc_id long, score double")

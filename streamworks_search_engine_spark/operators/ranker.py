@@ -229,7 +229,14 @@ def tag_feature_indexed(
     ``terms`` in content or path; h/a/p counts equal tag_feature_code's
     exactly (pytest parity).
 
-    Scale: both sides are term-IN-pruned scans + one groupBy(doc_id) each —
+    When the index carries ``anchor_hits`` (cross-doc import attribution,
+    operators.indexer.anchor_hits_table — the reference's anchor-text ->
+    target-doc join, IndexFileSpout.java:205-218), those counts ADD to the
+    'a' class: a doc heavily imported under a query term ranks above one
+    merely containing it, exactly the anchor-weight behavior of the
+    reference scorer (IndexScorer tag weights h/a/p = 1.3/1.2/1.0).
+
+    Scale: all sides are term-IN-pruned scans + one groupBy(doc_id) each —
     the same shape as the BM25 aggregation, nothing touches ``content``.
     """
     if index.path_hits is None or "tf_def" not in index.postings.columns:
@@ -256,9 +263,18 @@ def tag_feature_indexed(
         .groupBy("doc_id")
         .agg(F.sum("h_cnt").cast("double").alias("h"))
     )
-    agg = content.join(path, "doc_id", "full_outer").fillna(
-        {"h": 0.0, "a": 0.0, "p": 0.0}
-    )
+    agg = content.join(path, "doc_id", "full_outer")
+    if index.anchor_hits is not None:
+        anchor = (
+            index.anchor_hits.filter(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.sum("a_cnt").cast("double").alias("a_ref"))
+        )
+        agg = agg.join(anchor, "doc_id", "full_outer").withColumn(
+            "a",
+            F.coalesce("a", F.lit(0.0)) + F.coalesce("a_ref", F.lit(0.0)),
+        ).drop("a_ref")
+    agg = agg.fillna({"h": 0.0, "a": 0.0, "p": 0.0})
     total = F.col("h") + F.col("a") + F.col("p")
     score = F.when(
         total > 0,

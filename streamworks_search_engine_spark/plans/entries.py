@@ -249,6 +249,21 @@ def q_search_fielded(spark, sf_dir):
     )
 
 
+def q_search_corrected(spark, sf_dir):
+    """'Did you mean' end-to-end: 'scann merge' — the unknown token is
+    spell-corrected against the lexicon (distance, df desc, term asc
+    tie-break; SpellcheckHandler.java:27-77 flow) and the corrected
+    conjunctive query runs down the verified BM25 path."""
+    res = search_query(
+        _search_index(spark, sf_dir), "scann merge", k=10, correct=True
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_facet_lang_counts(spark, sf_dir):
     """Facet sidebar: per-lang doc counts over the full 'scan' match set."""
     from ..operators.query import facet_counts
@@ -1015,6 +1030,113 @@ def q_search_weighted_code_topk(spark, sf_dir):
     )
 
 
+def _anchor_docs(spark, sf_dir):
+    """documents -> a code corpus with CROSS-DOC references, derived
+    deterministically in both engines: every doc defines module
+    ``mod<doc_id>`` (path basename + a content header line), imports
+    ``mod<(doc_id*7+3) % 41>`` (always an existing doc — ids are dense),
+    docs with doc_id % 3 == 0 import ``mod<doc_id % 41>`` too (self-import
+    cases exercise the self-exclusion), and docs with doc_id % 5 == 0 add
+    a dotted-path mention ``from pkg.mod<doc_id % 13> import scan``
+    (exercises mention normalization). 'slow' tokens still become def
+    lines, so the 'a' class mixes def-line and anchor credit."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("source"), F.lit("/mod"), did, F.lit(".py")
+        ).alias("path"),
+        F.concat(
+            F.lit("module mod"), did, F.lit("\n"),
+            F.replace(F.col("text"), F.lit("slow"), F.lit("\ndef")),
+            F.lit("\nimport mod"), (did * 7 + 3) % 41,
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit("\nimport mod"), did % 41),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit("\nfrom pkg.mod"), did % 13, F.lit(" import scan")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("content"),
+        "lang",
+    )
+
+
+_ANCHOR_INDEX_CACHE: dict[tuple[str, str], SearchIndex] = {}
+
+# the anchor entries' query: one target module's name — docs CONTAINING it
+# (the target's own header + every importer's import line) are the BM25
+# candidates; the target additionally collects anchor 'a' credit from its
+# importers, which is what the entries verify
+Q_ANCHOR = ["mod7"]
+
+
+def _anchor_index(spark, sf_dir) -> SearchIndex:
+    """Tag+anchor-aware index (tf_def postings, path_hits, anchor_hits)
+    over the cross-referencing code corpus — built once per (app, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANCHOR_INDEX_CACHE:
+        from ..operators.indexer import build_index_with_tags
+
+        t = build_index_with_tags(
+            spark, _anchor_docs(spark, sf_dir), docs_have_ids=True,
+            anchors=True,
+        )
+        _ANCHOR_INDEX_CACHE[key] = SearchIndex(
+            postings=t.postings,
+            lexicon=t.lexicon,
+            doclen=t.doclen,
+            docs_dim=None,
+            n_docs=t.n_docs,
+            avgdl=t.avgdl,
+            path_hits=t.path_hits,
+            anchor_hits=t.anchor_hits,
+        )
+    return _ANCHOR_INDEX_CACHE[key]
+
+
+def q_anchor_hits(spark, sf_dir):
+    """J5 — cross-doc reference attribution (the reference's anchor-text ->
+    target-doc join, IndexFileSpout.java:205-218 + refineURL:347-378):
+    import mentions of a module credited to the doc DEFINING it, with
+    mention multiplicity; dangling mentions and self-imports drop."""
+    return _anchor_index(spark, sf_dir).anchor_hits.select(
+        "doc_id", "term", F.col("a_cnt").cast("long").alias("a_cnt")
+    )
+
+
+def q_tag_score_anchor(spark, sf_dir):
+    """Tag score where the 'a' class = def-line hits + CROSS-DOC anchor
+    credit (tag_feature_indexed over an anchors=True index): a doc heavily
+    imported under the query term outranks one merely containing it."""
+    from ..operators.ranker import tag_feature_indexed
+
+    res = tag_feature_indexed(_anchor_index(spark, sf_dir), Q_ANCHOR)
+    return res.select("doc_id", F.round("tag_score", 6).alias("tag_score"))
+
+
+def q_search_weighted_anchor_topk(spark, sf_dir):
+    """Weighted final scorer consuming the anchor-aware index: the tag
+    feature reads tf_def + path_hits + anchor_hits as pure index lookups
+    (the J6 weighted total with J5 attribution feeding the 'a' class)."""
+    from ..operators.ranker import weighted_search_topk
+
+    res = weighted_search_topk(_anchor_index(spark, sf_dir), Q_ANCHOR, k=10)
+    return res.select(
+        "rank",
+        "doc_id",
+        F.round("bm25_score", 6).alias("bm25_score"),
+        F.round("tag_score", 6).alias("tag_score"),
+        F.round("prox_score", 6).alias("prox_score"),
+        F.round("ranker_score", 9).alias("ranker_score"),
+        F.round("total", 6).alias("total"),
+    )
+
+
 def q_bm25_topk_metadata(spark, sf_dir):
     """J3: scored top-k ⋈ doc metadata (MatchHandler.joinDocInfo:466-474) —
     the tiny top-k side broadcasts into the docs_dim join."""
@@ -1129,6 +1251,12 @@ QUERIES = {
     "index_stats": q_index_stats,
     "index_wordcount": q_index_wordcount,
     "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
+    # -- new this round: J5 cross-doc anchor attribution --
+    "anchor_hits": q_anchor_hits,
+    "tag_score_anchor": q_tag_score_anchor,
+    "search_weighted_anchor_topk": q_search_weighted_anchor_topk,
+    # -- new this round: query-integrated spell correction --
+    "search_corrected_top10": q_search_corrected,
     # -- fixed this round (scalar output shape) --
     "encode_ids": q_encode_ids,
     # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
@@ -1668,12 +1796,141 @@ SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
 FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
 
 
+# ---- anchor (J5 cross-doc attribution) corpus + oracle CTEs ----
+# Derived corpus shared with _anchor_docs: module header + def-line breaks +
+# deterministic import mentions; the mention regex / module normalization /
+# token filter replicate the frozen Spark-side spec verbatim.
+
+_ANCHOR_SRC = """src AS (
+  SELECT doc_id,
+         source || '/mod' || doc_id || '.py' AS path,
+         'mod' || doc_id AS module,
+         'module mod' || doc_id || chr(10) ||
+         replace(text, 'slow', chr(10) || 'def') ||
+         chr(10) || 'import mod' || ((doc_id * 7 + 3) % 41) ||
+         (CASE WHEN doc_id % 3 = 0
+               THEN chr(10) || 'import mod' || (doc_id % 41) ELSE '' END) ||
+         (CASE WHEN doc_id % 5 = 0
+               THEN chr(10) || 'from pkg.mod' || (doc_id % 13)
+                    || ' import scan' ELSE '' END) AS content,
+         lang
+  FROM documents)"""
+
+# operators.indexer.MENTION_RE, SQL-quoted
+_MENTION_RE_SQL = (
+    r"'(?m)^\s*#?\s*(?:import|from|require|include|use)\s+"
+    r"[\"''<(]?[\"'']?([A-Za-z0-9_][A-Za-z0-9_./-]*)'"
+)
+_MODULE_EXT_SQL = r"'\.(py|js|ts|go|c|h|cc|cpp|hpp|java|rs|rb)$'"
+
+_ANCHOR_HITS_CTES = f"""mentions AS (
+  SELECT doc_id AS src_doc,
+         unnest(regexp_extract_all(content, {_MENTION_RE_SQL}, 1)) AS raw
+  FROM src),
+norm AS (
+  SELECT src_doc,
+         lower(list_extract(string_split(
+           regexp_replace(list_extract(string_split(raw, '/'), -1),
+                          {_MODULE_EXT_SQL}, ''),
+           '.'), -1)) AS module
+  FROM mentions),
+resolved AS (
+  SELECT t.doc_id, n.module
+  FROM norm n JOIN src t USING (module)
+  WHERE t.doc_id <> n.src_doc),
+aterms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(module), '[^a-z0-9]+'),
+                            {_TOK_FILTER})) AS term
+  FROM resolved),
+anchor AS (
+  SELECT doc_id, term, count(*) AS a_cnt FROM aterms GROUP BY 1, 2)"""
+
+_ANCHOR_TOKS = f"""toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(content), '[^a-z0-9]+'),
+    {_TOK_FILTER}) AS tokens
+  FROM src)"""
+
+_ANCHOR_INDEX_SQL = f"""WITH {_ANCHOR_SRC},
+{_ANCHOR_TOKS},
+{_SQL_INDEX_BODY}"""
+
+_ANCHOR_Q_ARR = _sql_terms_array(Q_ANCHOR)
+
+# tag classes for the anchor query: h from path tokens, a = def-line hits +
+# anchor credit, p = non-def content hits (tag_feature_indexed semantics)
+_ANCHOR_TAG_CTES = f"""lines AS (
+  SELECT doc_id, unnest(string_split(content, chr(10))) AS line FROM src),
+lhits AS (
+  SELECT doc_id, regexp_matches(line, {_DEF_RE_SQL}) AS is_def,
+         len(list_filter(
+           list_filter(string_split_regex(lower(line), '[^a-z0-9]+'),
+                       {_TOK_FILTER}),
+           t -> list_contains({_ANCHOR_Q_ARR}, t))) AS n
+  FROM lines),
+chits AS (
+  SELECT doc_id,
+         sum(CASE WHEN is_def THEN n ELSE 0 END)::DOUBLE AS a_def,
+         sum(CASE WHEN is_def THEN 0 ELSE n END)::DOUBLE AS p
+  FROM lhits GROUP BY doc_id HAVING sum(n) > 0),
+phits AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id,
+           len(list_filter(
+             list_filter(string_split_regex(lower(path), '[^a-z0-9]+'),
+                         {_TOK_FILTER}),
+             t -> list_contains({_ANCHOR_Q_ARR}, t)))::DOUBLE AS h
+    FROM src) WHERE h > 0),
+aq AS (
+  SELECT doc_id, sum(a_cnt)::DOUBLE AS a_ref FROM anchor
+  WHERE list_contains({_ANCHOR_Q_ARR}, term) GROUP BY doc_id),
+tagj AS (
+  SELECT doc_id, coalesce(h, 0) AS h,
+         coalesce(a_def, 0) + coalesce(a_ref, 0) AS a, coalesce(p, 0) AS p
+  FROM chits
+  FULL OUTER JOIN phits USING (doc_id)
+  FULL OUTER JOIN aq USING (doc_id)),
+tag AS (
+  SELECT doc_id,
+         CASE WHEN h + a + p > 0
+              THEN (1.3 * h + 1.2 * a + 1.0 * p) / (h + a + p)
+              ELSE 1.0 END AS tag_score
+  FROM tagj)"""
+
+
 _QUALITY_RAW = """raw AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                              t -> length(t) >= 1) AS raw
   FROM documents)"""
 
 ORACLE_SQL = {
+    "anchor_hits": f"""WITH {_ANCHOR_SRC},
+{_ANCHOR_HITS_CTES}
+SELECT doc_id, term, CAST(a_cnt AS BIGINT) AS a_cnt FROM anchor""",
+    "tag_score_anchor": f"""WITH {_ANCHOR_SRC},
+{_ANCHOR_HITS_CTES},
+{_ANCHOR_TAG_CTES}
+SELECT doc_id, round(tag_score, 6) AS tag_score FROM tag""",
+    "search_weighted_anchor_topk": f"""{_bm25_sql_base(Q_ANCHOR, index_sql=_ANCHOR_INDEX_SQL)},
+{_ANCHOR_HITS_CTES},
+{_ANCHOR_TAG_CTES},
+rk AS (SELECT doc_id,
+         len(tokens)::DOUBLE
+           / (SELECT sum(len(tokens))::DOUBLE FROM toks) AS ranker_score
+       FROM toks),
+feat AS (
+  SELECT m.doc_id, m.s AS bm25_score, tag.tag_score,
+         1.0::DOUBLE AS prox_score, rk.ranker_score,
+         1.0 * m.s + 0.5 * tag.tag_score + 0.3 * 1.0
+           + 0.2 * ln(greatest(rk.ranker_score, 1e-12)) AS total
+  FROM matched m
+  JOIN tag USING (doc_id) JOIN rk USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, round(bm25_score, 6) AS bm25_score,
+       round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
+       round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
+FROM feat ORDER BY total DESC, doc_id LIMIT 10""",
     "index_wordcount": f"""{_SQL_TOKS}
 SELECT term, count(*) AS n
 FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term""",
@@ -1729,6 +1986,26 @@ kept AS (SELECT m.doc_id, m.s FROM matched m
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(s, 6) AS score
 FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    "search_corrected_top10": f"""{_SQL_INDEX},
+sugg AS (SELECT term FROM lexicon
+         WHERE abs(length(term) - length('scann')) <= 2
+           AND levenshtein(term, 'scann') <= 2
+         ORDER BY levenshtein(term, 'scann'), df DESC, term LIMIT 1),
+qsurv AS (SELECT term, idf FROM lexicon
+          WHERE term IN (SELECT term FROM sugg) OR term = 'merge'),
+nq AS (SELECT count(*) AS n FROM qsurv),
+scored AS (
+  SELECT p.doc_id,
+         q.idf * p.tf * 2.2
+         / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / (SELECT avgdl FROM stats)))
+           AS contrib
+  FROM postings p JOIN qsurv q USING (term) JOIN doclen d USING (doc_id)),
+agg AS (SELECT doc_id, count(*) AS nm, sum(contrib) AS s
+        FROM scored GROUP BY doc_id),
+matched AS (SELECT doc_id, s FROM agg WHERE nm = (SELECT n FROM nq))
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM matched ORDER BY s DESC, doc_id LIMIT 10""",
     "trigram_lm": f"""{_SQL_TOKS},
 grams AS (
   SELECT doc_id, i - 1 AS pos,

@@ -1,0 +1,148 @@
+"""Cross-doc reference attribution (J5 anchor-text analog) + the JVM
+tokenizer twin.
+
+Reference behavior being restated: anchor text tokens are credited to the
+TARGET document of the link (IndexFileSpout.java:205-218; refineURL:347-378
+resolves hrefs and drops danglers). Code analog: import/include/require/use
+mentions of a module credit the module-name tokens to the doc defining it.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions.tokenizer import (
+    tokenize,
+    tokenize_column,
+)
+from streamworks_search_engine_spark.operators.indexer import (
+    anchor_hits_table,
+    build_index_with_tags,
+)
+
+
+def test_tokenize_column_matches_python_tokenizer(spark):
+    probes = [
+        "fast_parser", "Mod7", "HTMLParser", "a", "the", "12345",
+        "camelCaseX9", "x" * 70, "", "src/scan_merge_mod.py",
+        "UPPER lower_snake dotted.name 42 9lives", None,
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in probes], "s string")
+        .select("s", tokenize_column(F.col("s")).alias("toks"))
+        .collect()
+    )
+    for r in rows:
+        assert r["toks"] == tokenize(r["s"]), r["s"]
+
+
+def test_tokenize_column_lang_stopwords(spark):
+    # 'def' is a python keyword stopword but a plain token in lang=""
+    rows = (
+        spark.createDataFrame([("def scan",)], "s string")
+        .select(
+            tokenize_column(F.col("s"), lang="python").alias("py"),
+            tokenize_column(F.col("s")).alias("plain"),
+        )
+        .collect()[0]
+    )
+    assert rows["py"] == tokenize("def scan", "python") == ["scan"]
+    assert rows["plain"] == tokenize("def scan", "") == ["def", "scan"]
+
+
+@pytest.fixture(scope="module")
+def anchor_docs(spark):
+    return spark.createDataFrame(
+        [
+            # doc 1 defines fast_parser; mentioned twice by doc 2 and once
+            # (dotted path) by doc 3; doc 1's own `from pkg.fast_parser`
+            # self-mention must NOT count
+            (1, "src/fast_parser.py",
+             "from pkg.fast_parser import scan\nimport utils\nx = 1",
+             "python"),
+            (2, "src/utils.py",
+             "import fast_parser\nimport fast_parser\nimport missing_mod\n",
+             "python"),
+            (3, "lib/mod_two.h",
+             "#include <fast_parser.h>\nuse other\n", "c"),
+            # doc 4 imports doc 3's module via the include-with-extension form
+            (4, "app/main.c", "#include \"mod_two.h\"\n", "c"),
+        ],
+        "doc_id long, path string, content string, lang string",
+    )
+
+
+def test_anchor_hits_semantics(spark, anchor_docs):
+    got = {
+        (r["doc_id"], r["term"]): r["a_cnt"]
+        for r in anchor_hits_table(anchor_docs).collect()
+    }
+    # doc 1 credited for 'fast'/'parser' by doc 2 (x2) and doc 3's include
+    assert got[(1, "fast")] == 3 and got[(1, "parser")] == 3
+    # doc 2 credited once for 'utils' by doc 1
+    assert got[(2, "utils")] == 1
+    # doc 3 credited via basename normalization of "mod_two.h"
+    assert got[(3, "mod")] == 1 and got[(3, "two")] == 1
+    # dangling mentions ('missing_mod', 'other') resolve to nothing;
+    # self-mentions excluded — no doc 1 credit from its own line
+    terms_for = {}
+    for (d, t), _ in got.items():
+        terms_for.setdefault(d, set()).add(t)
+    assert "missing" not in terms_for.get(2, set())
+    assert terms_for.keys() == {1, 2, 3}
+
+
+def test_anchor_feeds_tag_feature(spark, anchor_docs):
+    from streamworks_search_engine_spark.operators.query import SearchIndex
+    from streamworks_search_engine_spark.operators.ranker import (
+        tag_feature_indexed,
+    )
+
+    t = build_index_with_tags(
+        spark, anchor_docs, docs_have_ids=True, anchors=True
+    )
+    idx = SearchIndex(
+        postings=t.postings, lexicon=t.lexicon, doclen=t.doclen,
+        docs_dim=None, n_docs=t.n_docs, avgdl=t.avgdl,
+        path_hits=t.path_hits, anchor_hits=t.anchor_hits,
+    )
+    scores = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_indexed(idx, ["parser"]).collect()
+    }
+    # doc 1: h=1 (path token), a=3 (anchor credit), p=1 (its own content
+    # mention of fast_parser) -> (1.3 + 1.2*3 + 1.0) / 5
+    assert scores[1] == pytest.approx((1.3 * 1 + 1.2 * 3 + 1.0 * 1) / 5)
+    # doc 2 mentions 'parser' in content only (import lines are content):
+    # p=2, no anchor credit for itself under this term
+    assert scores[2] == pytest.approx(1.0)
+    # anchor-aware score strictly exceeds the anchor-less one for doc 1
+    idx_plain = SearchIndex(
+        postings=t.postings, lexicon=t.lexicon, doclen=t.doclen,
+        docs_dim=None, n_docs=t.n_docs, avgdl=t.avgdl,
+        path_hits=t.path_hits,
+    )
+    plain = {
+        r["doc_id"]: r["tag_score"]
+        for r in tag_feature_indexed(idx_plain, ["parser"]).collect()
+    }
+    assert scores[1] > plain[1]
+
+
+def test_write_load_roundtrip_anchor_hits(spark, anchor_docs, tmp_path):
+    from streamworks_search_engine_spark.operators.indexer import write_index
+    from streamworks_search_engine_spark.operators.query import load_index
+
+    t = build_index_with_tags(
+        spark, anchor_docs, docs_have_ids=True, anchors=True
+    )
+    out = str(tmp_path / "anchor_idx")
+    write_index(t, out, term_buckets=2)
+    idx = load_index(spark, out)
+    assert idx.anchor_hits is not None
+    assert sorted(
+        (r["doc_id"], r["term"], r["a_cnt"])
+        for r in idx.anchor_hits.collect()
+    ) == sorted(
+        (r["doc_id"], r["term"], r["a_cnt"])
+        for r in t.anchor_hits.collect()
+    )

@@ -188,3 +188,37 @@ def test_facet_counts_match_manual(spark_index):
         if r.doc_id in matched:
             exp[r.lang] = exp.get(r.lang, 0) + 1
     assert got == exp and sum(got.values()) == len(matched)
+
+
+def test_correct_terms_fixes_missing_token(spark_index):
+    from streamworks_search_engine_spark.operators.query import (
+        correct_terms,
+        search,
+    )
+
+    # 'parsee' misses the lexicon; the best (distance, df desc, term asc)
+    # candidate is deterministic for this corpus
+    corrected, replaced = correct_terms(spark_index, ["parsee", "token"])
+    assert "token" in corrected and "parsee" not in corrected
+    assert list(replaced) == ["parsee"]
+    fixed = replaced["parsee"]
+    base = list(map(tuple, search(spark_index, f"{fixed} token").collect()))
+    got = list(
+        map(tuple, search(spark_index, "parsee token", correct=True).collect())
+    )
+    assert got == base and got
+
+    # without correction the unknown token just drops (absent-term rule)
+    drop = list(map(tuple, search(spark_index, "parsee token").collect()))
+    single = list(map(tuple, search(spark_index, "token").collect()))
+    assert drop == single
+
+
+def test_correct_terms_keeps_unfixable_and_present(spark_index):
+    from streamworks_search_engine_spark.operators.query import correct_terms
+
+    corrected, replaced = correct_terms(
+        spark_index, ["token", "zzzzqqqqxxxx"]
+    )
+    assert replaced == {}
+    assert sorted(corrected) == ["token", "zzzzqqqqxxxx"]
