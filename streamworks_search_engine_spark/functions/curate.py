@@ -1,0 +1,185 @@
+"""End-to-end training-data curation: the pipeline a 100-TB corpus user
+actually ships, composed entirely from this package's verified operators.
+
+    quality gate -> repetition gate -> benchmark decontamination ->
+    near-dup clustering (keep one doc per component) -> secret scrub ->
+    fixed-capacity sequence packing
+
+Every stage is one of the already-oracle-verified building blocks
+(textstats.quality_stats / repetition_stats, dedup.decontaminate_flags /
+jaccard_pairs / connected_components, scrub.redact_col,
+packing.sequence_pack); this module only sequences them and keeps the
+row accounting honest — the count of docs surviving each gate is a
+first-class output (``accounting``), so nothing is ever dropped silently.
+
+Scale shape: the gates are map-only column expressions; decontamination
+is the literal/broadcast plan (eval side is benchmark-sized); near-dup
+candidate generation is the shingle-bucket join (cap configurable); the
+only corpus-wide shuffles are the ones the underlying operators already
+own. Stage survivor frames are persisted id-lists (narrow), reused by the
+accounting counts and the next stage's semi-join, then unpersisted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, packing, scrub, textstats
+from .tokenizer import make_tokens_udf
+
+
+@dataclass
+class CuratedExport:
+    # (doc_id, n_tokens, shard, seq, offset, content_md5) — one row per
+    # exported doc; (shard, seq, offset) from sequence_pack over the
+    # SCRUBBED token stream, content_md5 over the scrubbed text
+    export: DataFrame
+    # (stage, n_docs) — docs in, survivors after each gate, sequences out
+    accounting: DataFrame
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+    min_tokens: int = 25,
+    min_distinct_ratio: float = 0.30,
+    max_bigram_frac: float = 0.10,
+    decon_n: int = 4,
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.35,
+    max_shingle_df: int | None = 1000,
+    capacity: int = 2048,
+    n_shards: int = 8,
+) -> CuratedExport:
+    """Run the full curation pipeline over ``docs`` (id, text[, lang]).
+
+    Gate semantics (all deterministic, benchmark-standard):
+      1. quality: raw-token count >= ``min_tokens`` AND distinct-token
+         ratio >= ``min_distinct_ratio`` (length/diversity floor);
+      2. repetition: most-frequent-bigram occurrence fraction <=
+         ``max_bigram_frac`` (Gopher-style repetition cut);
+      3. decontamination (iff ``eval_docs``): drop docs sharing ANY
+         ``decon_n``-gram with the eval set (n-gram collision rule);
+      4. near-dup: ``jaccard_n``-gram Jaccard pairs at
+         ``jaccard_threshold`` -> connected components -> keep only the
+         component representative (min doc_id);
+      5. scrub: secret patterns redacted (functions.scrub);
+      6. pack: scrubbed engine tokens laid into ``capacity``-token
+         sequences across ``n_shards`` shards.
+
+    Eval docs are never exported. The returned ``accounting`` frame has
+    one row per stage (stage label, surviving doc count) plus a final
+    ``06_sequences`` row counting packed sequences — ``docs in → dropped
+    per gate → sequences out``, with no silent drops.
+    """
+    spark = docs.sparkSession
+    lang = F.col(lang_col) if lang_col else F.lit("")
+
+    counts: list[tuple[str, int]] = [("00_input", docs.count())]
+    kept: list[DataFrame] = []
+
+    def gate(frame: DataFrame, keep_ids: DataFrame, label: str) -> DataFrame:
+        out = frame.join(keep_ids, id_col, "left_semi").persist()
+        kept.append(out)
+        counts.append((label, out.count()))
+        return out
+
+    q = textstats.quality_stats(docs, text_col=text_col, id_col=id_col)
+    d1 = gate(
+        docs,
+        q.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+        ).select(id_col),
+        "01_quality",
+    )
+
+    r = textstats.repetition_stats(d1, text_col=text_col, id_col=id_col)
+    d2 = gate(
+        d1,
+        r.filter(F.col("top_bigram_frac") <= max_bigram_frac).select(id_col),
+        "02_repetition",
+    )
+
+    udf = make_tokens_udf()
+
+    def toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            id_col, udf(F.col(text_col), lang).alias("tokens")
+        )
+
+    d3 = d2
+    if eval_docs is not None:
+        flags = dedup.decontaminate_flags(
+            toks(d2), toks(eval_docs), n=decon_n, id_col=id_col,
+            method="literal",
+        )
+        d3 = gate(
+            d2,
+            flags.filter(F.col("contaminated") == 0).select(id_col),
+            "03_decontaminated",
+        )
+
+    pairs = dedup.jaccard_pairs(
+        toks(d3), n=jaccard_n, threshold=jaccard_threshold, id_col=id_col,
+        max_shingle_df=max_shingle_df,
+    )
+    comp = dedup.connected_components(
+        d3.select(F.col(id_col).alias("id")), pairs
+    )
+    d4 = gate(
+        d3,
+        comp.filter(F.col("component") == F.col("id")).select(
+            F.col("id").alias(id_col)
+        ),
+        "04_near_dup",
+    )
+
+    scrub_cols = [F.col(id_col), scrub.redact_col(F.col(text_col)).alias(text_col)]
+    if lang_col:
+        scrub_cols.append(F.col(lang_col))
+    scrubbed = d4.select(*scrub_cols)
+    stoks = toks(scrubbed).persist()
+    dl = stoks.select(
+        id_col, F.size("tokens").cast("long").alias("n_tokens")
+    )
+    packed = packing.sequence_pack(
+        dl, capacity=capacity, n_shards=n_shards, id_col=id_col
+    )
+    export = packed.join(
+        scrubbed.select(
+            id_col, F.md5(F.col(text_col)).alias("content_md5")
+        ),
+        id_col,
+    )
+    counts.append(("05_export_docs", counts[-1][1]))
+
+    # sequences out: per shard, ceil(Σ n_tokens / capacity) — the number of
+    # fixed-capacity sequences a loader cuts from each shard's stream
+    seq_row = (
+        dl.select(
+            F.pmod(
+                packing._md5_uint32(F.col(id_col)), F.lit(n_shards)
+            ).alias("shard"),
+            "n_tokens",
+        )
+        .groupBy("shard")
+        .agg(F.ceil(F.sum("n_tokens") / F.lit(capacity)).alias("n_seq"))
+        .agg(F.coalesce(F.sum("n_seq"), F.lit(0)).cast("long"))
+        .collect()[0][0]
+    )
+    counts.append(("06_sequences", int(seq_row)))
+    stoks.unpersist()
+    for frame in kept:
+        frame.unpersist()
+
+    accounting = spark.createDataFrame(
+        [(s, int(n)) for s, n in counts], "stage string, n_docs long"
+    )
+    return CuratedExport(export=export, accounting=accounting)

@@ -1,0 +1,69 @@
+"""End-to-end curation pipeline (functions.curate): each gate fires, the
+accounting matches the export, eval docs never leak."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions.curate import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    good = "the quick brown fox jumps over the lazy dog near a big red barn "
+    rows = [
+        # 1..4: healthy docs (pass everything), 3/4 near-identical (dedup)
+        (1, good + "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (2, good + "iota kappa lam mu nu xi omicron pi rho sigma", "en"),
+        (3, good + "one two three four five six seven eight nine ten", "en"),
+        (4, good + "one two three four five six seven eight nine zz", "en"),
+        # 5: too short -> quality gate
+        (5, "tiny doc", "en"),
+        # 6: long but one token repeated -> distinct-ratio + repetition
+        (6, "spam " * 40, "en"),
+        # 7: contains the eval doc's text -> decontamination
+        (7, good + "secret eval passage tokens appear verbatim here okay", "en"),
+        # 8: healthy + a planted secret -> scrubbed, not dropped
+        (8, good + "contact user8@example.com for keys and other things", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ev = spark.createDataFrame(
+        [(100, "secret eval passage tokens appear verbatim here okay", "en")],
+        "doc_id long, text string, lang string",
+    )
+    return curate_corpus(
+        docs, eval_docs=ev, min_tokens=10, min_distinct_ratio=0.30,
+        max_bigram_frac=0.20, decon_n=4, jaccard_n=3, jaccard_threshold=0.5,
+        max_shingle_df=None, capacity=32, n_shards=2,
+    )
+
+
+def test_accounting_gates_fire(curated):
+    acc = {r["stage"]: r["n_docs"] for r in curated.accounting.collect()}
+    assert acc["00_input"] == 8
+    assert acc["01_quality"] == 6  # 5 (short) and 6 (distinct ratio) drop
+    assert acc["02_repetition"] == 6
+    assert acc["03_decontaminated"] == 5  # 7 shares eval 4-grams
+    assert acc["04_near_dup"] == 4  # 4 collapses into 3's component
+    assert acc["05_export_docs"] == acc["04_near_dup"]
+    assert acc["06_sequences"] >= 1
+
+
+def test_export_rows_and_scrub(curated, spark):
+    rows = {r["doc_id"]: r for r in curated.export.collect()}
+    assert set(rows) == {1, 2, 3, 8}
+    # doc 8's secret is redacted before hashing/packing
+    from streamworks_search_engine_spark.functions import scrub
+
+    exp_md5 = (
+        spark.createDataFrame(
+            [("the quick brown fox jumps over the lazy dog near a big red "
+              "barn contact user8@example.com for keys and other things",)],
+            "text string",
+        )
+        .select(F.md5(scrub.redact_col(F.col("text"))).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert rows[8]["content_md5"] == exp_md5
+    # pack invariants: offset < capacity, seq >= 0, n_tokens > 0
+    for r in rows.values():
+        assert 0 <= r["offset"] < 32 and r["seq"] >= 0 and r["n_tokens"] > 0

@@ -396,3 +396,47 @@ def test_segment_view_prunes_packed_base_scan(spark, merge_case, tmp_path):
     import re
 
     assert re.search(r"PushedFilters: \[.*In\(term", block), plan
+
+
+def test_search_string_over_packed_only_segments(spark, tmp_path):
+    """The FULL query language (phrase + NOT + scoring terms) served over
+    two packed-only segments must be rank-identical to the single-index
+    front door, and the phrase's positions must decode from blocks with
+    the term filter still pushed to both segment scans."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        load_segmented_index,
+    )
+    from streamworks_search_engine_spark.operators.query import (
+        postings_for_terms,
+        search,
+    )
+
+    rows = generate_corpus(180, seed=23)
+    dir_a = str(tmp_path / "pseg_a")
+    dir_b = str(tmp_path / "pseg_b")
+    build_and_write_index(
+        spark, _df(spark, rows[:120]), dir_a, term_buckets=4, pack=True,
+        flat=False,
+    )
+    build_and_write_index(
+        spark, _df(spark, rows[120:]), dir_b, term_buckets=4, pack=True,
+        flat=False,
+    )
+    view = load_segmented_index(spark, [dir_a, dir_b], validate_disjoint=True)
+    whole = _as_search(build_index(spark, _df(spark, rows)))
+
+    q = 'fetch -window "parse token"'
+    got = [tuple(r) for r in search(view, q, k=10).collect()]
+    exp = [tuple(r) for r in search(whole, q, k=10).collect()]
+    assert got == exp and got
+
+    plan = (
+        postings_for_terms(view, ["parse", "token"], positions=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("In(term") >= 2, plan
