@@ -404,6 +404,78 @@ def ann_ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb_df: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "expr",
+) -> None:
+    """Persist the IVF layout: ``leaders`` (tiny parquet) + ``vectors``
+    written PARTITIONED BY cell_id — one directory per cell, so a query's
+    nprobe-cell predicate becomes hive partition PRUNING: the scan never
+    opens the other cells' files (assert via explain(): PartitionFilters).
+
+    This is the build/query split the reference's persistent index embodies
+    (build once, serve many): the one-time cost is one shuffle to co-locate
+    each cell's vectors. At 100 TB n_cells ~ sqrt(n) keeps partitions
+    executor-sized; per-query I/O is nprobe/n_cells of the corpus."""
+    leaders, assign = build_ivf_index(
+        emb_df, n_cells, id_col, vec_col, method=method
+    )
+    leaders.write.mode("overwrite").parquet(f"{out_dir}/leaders")
+    (
+        emb_df.join(assign, id_col)
+        .repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{out_dir}/vectors")
+    )
+
+
+def ann_ivf_persisted_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query against a :func:`write_ivf_index` layout. The probe ranks
+    the ≤n_cells leaders against the literal query vector (tiny job, same
+    cosine fold as the inline path), collects the nprobe cell ids, and the
+    candidate scan filters ``cell_id IN (...)`` — a literal predicate on
+    the PARTITION column, so only the probed cells' files are read.
+    Rank-identical to :func:`ann_ivf_topk` with the same leaders (pytest
+    asserts it)."""
+    leaders = spark.read.parquet(f"{index_dir}/leaders")
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    qcol = _lit_vec(query_vec)
+    probe = [
+        int(r["cell_id"])
+        for r in leaders.select(
+            "cell_id", cosine(F.col("leader_vec"), qcol).alias("cos_l")
+        )
+        .orderBy(F.desc("cos_l"), F.asc("cell_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cand = vectors.filter(F.col("cell_id").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --------------------------------------------------- int8 quantization ------
 
 

@@ -990,6 +990,35 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+_IVF_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def q_ann_ivf_persisted_topk(spark, sf_dir):
+    """IVF with the build/query split made PHYSICAL: leaders + vectors
+    persisted partitioned by cell_id (one directory per cell), query-time
+    probe -> literal cell_id IN (...) -> hive partition pruning reads only
+    the nprobe cells' files. Same leaders/params as ann_ivf_topk, so the
+    same oracle must hash-match — the layout is invisible to results."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_DIR_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="sse_entry_ivf_")
+        similarity.write_ivf_index(
+            _t(spark, sf_dir, "embeddings"), d, n_cells=16
+        )
+        _IVF_DIR_CACHE[key] = d
+    qvec = list(
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    )
+    return similarity.ann_ivf_persisted_topk(
+        spark, _IVF_DIR_CACHE[key], qvec, k=20, nprobe=4, exclude_id=0
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (numpy pandas-UDF bucketer). The oracle
     inlines the deterministic hyperplane matrix (similarity._planes, part of
@@ -1360,6 +1389,8 @@ QUERIES = {
     # -- new this round: end-to-end curation pipeline --
     "curated_export": q_curated_export,
     "curated_accounting": q_curated_accounting,
+    # -- new this round: persisted cell-partitioned IVF --
+    "ann_ivf_persisted_topk": q_ann_ivf_persisted_topk,
     # -- fixed this round (scalar output shape) --
     "encode_ids": q_encode_ids,
     # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
@@ -2600,6 +2631,10 @@ for _name, _pat, _repl in scrub.SECRET_PATTERNS:
 # the segmented packed layout must be invisible to results: same oracle
 # as the single-index front-door entry
 ORACLE_SQL["search_string_segmented"] = ORACLE_SQL["search_string_top10"]
+
+# the persisted cell-partitioned IVF layout must be invisible to results:
+# same oracle as the inline IVF entry
+ORACLE_SQL["ann_ivf_persisted_topk"] = ORACLE_SQL["ann_ivf_topk"]
 
 _PLANTED_SQL = """planted AS (
   SELECT doc_id,

@@ -585,3 +585,34 @@ def test_quantized_topk_close_to_exact(emb_df, emb_rows):
         for r in similarity.ann_quantized_topk(emb_df, 0, k=k).collect()
     }
     assert len(brute & quant) / k >= 0.8, (brute, quant)
+
+
+def test_persisted_ivf_matches_inline_and_prunes(spark, emb_df, tmp_path):
+    """write_ivf_index + ann_ivf_persisted_topk: rank-identical to the
+    inline ann_ivf_topk, and the candidate scan's plan shows PARTITION
+    pruning to the nprobe probed cells (not a full-table read)."""
+    d = str(tmp_path / "ivf_idx")
+    similarity.write_ivf_index(emb_df, d, n_cells=16)
+    qvec = [
+        float(x)
+        for x in emb_df.filter("vec_id = 0").collect()[0]["embedding"]
+    ]
+    got = similarity.ann_ivf_persisted_topk(
+        spark, d, qvec, k=20, nprobe=4, exclude_id=0
+    )
+    inline = similarity.ann_ivf_topk(emb_df, 0, k=20, n_cells=16, nprobe=4)
+    rows = [tuple(r) for r in got.collect()]
+    assert rows == [
+        (r["vec_id"], round(r["cos_sim"], 6)) for r in inline.collect()
+    ]
+    assert len(rows) == 20
+
+    # partition pruning: the cell_id IN (...) predicate must land in the
+    # scan's PartitionFilters, and the executed scan must read 4 of the 16
+    # cell directories
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([^)]*)\)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == 4  # exactly the nprobe cells
