@@ -281,6 +281,68 @@ def main() -> None:
         statistics.median(clat), 3
     )
 
+    # --- hot-term skew design point (north_rule: hot-term salting) ---
+    # generate_skewed_corpus injects ONE term into 50% of the 40k files
+    # (x3 occurrences). Evidence that the skew-neutral build — (term,
+    # doc_id) in BOTH the tf-agg key and the range-partition key, plus the
+    # two-stage salted lexicon — does not collapse under a hot key: build
+    # throughput stays within noise of the uniform 40k build, the hot-term
+    # query p50 stays on par with corpus40k_bm25_packed_only_p50, and the
+    # written layout stays balanced (max partition rows / mean reported
+    # below; tests/test_skew.py asserts <= 2x on the adversarial corpus).
+    # No AQE skew-join intervention is needed anywhere in this plan: the
+    # only joins are broadcasts (idf, tombstones), so the hot key never
+    # meets a sort-merge join; skew is neutralized at the shuffle keys.
+    from streamworks_search_engine_spark.sources.corpus import (
+        generate_skewed_corpus,
+    )
+
+    skew_path = "/tmp/sse_bench_skew40k.parquet"
+    if not os.path.exists(skew_path + ".ok"):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pylist(generate_skewed_corpus(40000, seed=42)),
+            skew_path, compression="zstd", row_group_size=2000,
+        )
+        with open(skew_path + ".ok", "w") as fh:
+            fh.write("ok")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    skew_docs = spark.read.parquet(skew_path)
+    skew_out = tempfile.mkdtemp(prefix="sse_bench_skew_index_")
+    t0 = time.time()
+    build_and_write_index(
+        spark, skew_docs, skew_out, term_buckets=int(CPUS), pack=True,
+        flat=False,
+    )
+    skew_build_s = time.time() - t0
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    timings["skew_build_40k"] = round(skew_build_s, 3)
+    timings["skew_build_slowdown_vs_uniform"] = round(
+        skew_build_s / corpus_build_s, 2
+    )
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    part_rows = [
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(f"{skew_out}/postings_packed/*.parquet")
+    ]
+    part_rows = [c for c in part_rows if c > 0]
+    timings["skew_partition_max_over_mean"] = round(
+        max(part_rows) / (sum(part_rows) / len(part_rows)), 2
+    )
+    si = load_index(spark, skew_out)
+    bm25_search(si, ["warmup"], k=10).collect()
+    slat = []
+    for terms in (["hotterm"], ["hotterm", "parse"], ["hotterm", "merge", "index"]):
+        t0 = time.time()
+        bm25_search(si, terms, k=10).collect()
+        slat.append(time.time() - t0)
+    timings["skew_hot_query_p50"] = round(statistics.median(slat), 3)
+
     # --- packed design point: 'rare AND common' conjunctive query ---
     # The block path's earn-back case: a conjunctive query pairing a rare
     # term with a huge one. The flat plan must scan+score the huge term's

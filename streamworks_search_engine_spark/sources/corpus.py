@@ -120,6 +120,30 @@ def generate_corpus(n_files: int, seed: int = 42) -> list[dict]:
     return rows
 
 
+def generate_skewed_corpus(
+    n_files: int,
+    seed: int = 42,
+    hot_term: str = "hotterm",
+    hot_frac: float = 0.5,
+    hot_reps: int = 3,
+) -> list[dict]:
+    """Zipf-skew stress corpus: ``generate_corpus`` plus one synthetic hot
+    term injected into ``hot_frac`` of the docs (``hot_reps`` occurrences
+    each). With the defaults, one term lands in 50% of all documents —
+    the hot-key design point the north_rule's salting requirement targets
+    (real analog: ``return``/``def`` style keywords at repo scale).
+    Deterministic: the hot docs are every ``1/hot_frac``-th row, so df of
+    the hot term is exactly ``ceil(len(rows) * hot_frac)``-ish by stride.
+    """
+    rows = generate_corpus(n_files, seed)
+    stride = max(1, int(round(1.0 / hot_frac)))
+    hot_line = " ".join([hot_term] * hot_reps)
+    for i, row in enumerate(rows):
+        if i % stride == 0:
+            row["content"] = row["content"] + "\n" + hot_line
+    return rows
+
+
 def corpus_df(spark, n_files: int, seed: int = 42, partitions: int | None = None):
     """Corpus as a Spark DataFrame with the input_hint schema."""
     from pyspark.sql import types as T

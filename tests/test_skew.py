@@ -1,0 +1,121 @@
+"""Hot-term skew evidence (SURVEY.md §4.2, north_rule "explicit salting for
+hot terms"): with one term in 50% of documents, (a) the written postings
+layout stays balanced — no single range partition / task processes more
+than 2x the mean row count, because doc_id rides in both the aggregation
+key and the range-partitioning key, so a hot term's rows SPREAD instead of
+funnelling through one reducer; (b) df/idf for the hot term are exact via
+the salted two-stage lexicon aggregation; (c) hot-term queries still rank
+correctly (scoring aggregates by doc_id, which is uniform by construction).
+
+A term-only layout (hash or range on `term` alone) would put every hot-term
+row in ONE partition — the degenerate case these tests guard against.
+"""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def skew_index_dir(spark, tmp_path_factory):
+    """Adversarially skewed build: 3000 docs, each contributing exactly TWO
+    postings rows — the shared hot term (50% of all rows) and one unique
+    term. Any per-term placement would make one of 8 partitions hold ~50%
+    of rows (4x the mean)."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_index,
+        write_index,
+    )
+
+    rows = [
+        {
+            "repo": "org0/skew",
+            "path": f"src/f_{i}.py",
+            "commit": "c" * 40,
+            "lang": "python",
+            "content": f"hotterm uniq{i:05d}",
+        }
+        for i in range(3000)
+    ]
+    docs = spark.createDataFrame(rows).repartition(8)
+    idx = build_index(spark, docs)
+    out = str(tmp_path_factory.mktemp("skew") / "idx")
+    write_index(idx, out, term_buckets=8, pack=False, flat=True)
+    return out
+
+
+def test_no_partition_exceeds_2x_mean(skew_index_dir):
+    """The on-disk postings layout IS the task assignment for every
+    downstream scan: each range partition was produced by one task and is
+    read back as >=1 split. Assert max file rows <= 2x mean file rows."""
+    files = sorted(glob.glob(f"{skew_index_dir}/postings/*.parquet"))
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    counts = [c for c in counts if c > 0]
+    assert len(counts) >= 4, f"expected >=4 partitions, got {counts}"
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean, (
+        f"skewed layout: partition rows {counts}, max {max(counts)} > "
+        f"2x mean {mean:.0f}"
+    )
+
+
+def test_hot_term_spans_multiple_partitions(skew_index_dir):
+    """The hot term's 3000 rows must be SPLIT across range partitions (the
+    whole point of (term, doc_id) range keys vs term-only placement)."""
+    files = sorted(glob.glob(f"{skew_index_dir}/postings/*.parquet"))
+    n_with_hot = 0
+    for f in files:
+        t = pq.read_table(f, columns=["term"])
+        if "hotterm" in set(t.column("term").to_pylist()):
+            n_with_hot += 1
+    assert n_with_hot >= 2, "hot term funnelled into a single partition"
+
+
+def test_hot_term_df_idf_exact(spark, skew_index_dir):
+    from streamworks_search_engine_spark.operators.query import load_index
+
+    idx = load_index(spark, skew_index_dir)
+    row = idx.lexicon.filter(F.col("term") == "hotterm").collect()[0]
+    assert row["df"] == 3000
+    # every doc has the hot term -> idf = ln(1 + 0.5/3000.5), tiny not NaN
+    assert 0.0 < row["idf"] < 0.001
+
+
+def test_hot_term_query_ranks(spark, skew_index_dir):
+    """Conjunctive hot+rare query: exactly the rare doc matches, and a
+    hot-only query returns k rows without error."""
+    from streamworks_search_engine_spark.operators.query import (
+        bm25_topk,
+        load_index,
+    )
+
+    idx = load_index(spark, skew_index_dir)
+    got = bm25_topk(idx, ["hotterm", "uniq00042"], k=10).collect()
+    assert len(got) == 1
+    hot_only = bm25_topk(idx, ["hotterm"], k=10).collect()
+    assert len(hot_only) == 10
+
+
+def test_skewed_generator_build_balanced(spark, tmp_path_factory):
+    """The realistic variant — generate_skewed_corpus (hot term in 50% of
+    generated source files) through the scale-path builder; layout balance
+    holds there too."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.sources.corpus import (
+        generate_skewed_corpus,
+    )
+
+    rows = generate_skewed_corpus(600, seed=42)
+    docs = spark.createDataFrame(rows).repartition(8)
+    out = str(tmp_path_factory.mktemp("skewgen") / "idx")
+    build_and_write_index(spark, docs, out, term_buckets=8, pack=True, flat=True)
+    files = sorted(glob.glob(f"{out}/postings/*.parquet"))
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    counts = [c for c in counts if c > 0]
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean, f"partition rows {counts}"
