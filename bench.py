@@ -255,17 +255,31 @@ def main() -> None:
         load_segmented_index,
     )
 
+    from streamworks_search_engine_spark.operators.merge import append_segment
+
     seg_out = tempfile.mkdtemp(prefix="sse_bench_delta_seg_")
     t0 = time.time()
-    build_and_write_index(
-        spark, delta_df, seg_out, term_buckets=8, pack=True, flat=False
-    )
+    append_segment(spark, delta_df, seg_out, term_buckets=4)
     seg_view = load_segmented_index(spark, [corpus_out, seg_out])
+    searchable_s = time.time() - t0
+    t0 = time.time()
     seg_rows = bm25_topk(seg_view, ["parse", "merge"], k=10).collect()
-    append_s = time.time() - t0
+    q1_s = time.time() - t0
+    append_s = searchable_s + q1_s
     assert seg_view.n_docs == n_corpus + len(delta_rows) and seg_rows
     timings["append800_40k"] = round(append_s, 3)
+    # r3-basis ratio (build + open + first query; kept for continuity) ...
     timings["append_speedup_vs_rebuild"] = round(corpus_build_s / append_s, 2)
+    # ... and the apples-to-apples ratio: corpus_index_build_40k contains
+    # no query, so time-to-SEARCHABLE (segment build + view open) is the
+    # like-for-like comparison; the first-query latency is its own row
+    # (any query pays the base-decode cost whether or not an append
+    # happened — see corpus40k_bm25_packed_only_p50).
+    timings["append800_searchable"] = round(searchable_s, 3)
+    timings["append800_first_query"] = round(q1_s, 3)
+    timings["append_searchable_speedup_vs_rebuild"] = round(
+        corpus_build_s / searchable_s, 2
+    )
 
     # query latency against the packed-only 40k index: the block path is
     # the ONLY path here (no flat table) — positions-pruned block scan +

@@ -73,6 +73,12 @@ class IndexTables:
     # anchor-text -> target-doc attribution, IndexFileSpout.java:205-218 +
     # refineURL:347-378) — present iff built with anchors=True
     anchor_hits: DataFrame | None = None
+    # packed block table, when these tables were re-opened from a written
+    # layout (index_tables_from_dir) — lets segment-maintenance paths
+    # (tombstone df correction) prune the block scan instead of decoding
+    # the whole base; packed_only means `postings` is a lazy decode view
+    packed: DataFrame | None = None
+    packed_only: bool = False
 
 
 def tokenized(docs_df: DataFrame) -> DataFrame:
@@ -582,37 +588,61 @@ def write_index(
         .repartitionByRange(term_buckets, "term", "doc_id")
         .sortWithinPartitions("term", "doc_id")
     )
-    if flat:
-        arranged.drop("idf").write.mode("overwrite").parquet(
-            f"{out_dir}/postings"
-        )
-        t["write_flat_postings"] = round(_time.time() - t0, 2)
-        t0 = _time.time()
-    if pack:
-        from .postings import pack_arranged, write_packed
+    # The output tables are written as CONCURRENT Spark jobs (driver-side
+    # threads; Spark job submission is thread-safe and the scheduler
+    # interleaves their tasks). The postings chain (flat then packed —
+    # ordered, they share the range-shuffle lineage) overlaps with the
+    # independent small tables (lexicon from its own persisted agg, the
+    # rest from already-computed inputs). Sequential writes pay one
+    # job-submission + commit round trip PER table, which dominates small
+    # and delta builds (measured: 2.8 s of a 7 s 800-doc segment build was
+    # small-table writes alone); on a shared cluster the overlap also keeps
+    # executors busy across the commit barriers.
+    from concurrent.futures import ThreadPoolExecutor
 
-        pack_cols = ["term", "doc_id", "tf", "doc_len", "idf"] + (
-            ["positions"] if has_positions else []
-        ) + (["tf_def"] if "tf_def" in arranged.columns else [])
-        packed = pack_arranged(arranged.select(*pack_cols), index.avgdl)
-        write_packed(packed, out_dir)
-        t["write_packed_postings"] = round(_time.time() - t0, 2)
-    t0 = _time.time()
-    index.lexicon.write.mode("overwrite").parquet(f"{out_dir}/lexicon")
-    index.doclen.write.mode("overwrite").parquet(f"{out_dir}/doclen")
-    if index.docs_dim is not None:
-        index.docs_dim.write.mode("overwrite").parquet(f"{out_dir}/docs_dim")
-    if index.path_hits is not None:
-        index.path_hits.write.mode("overwrite").parquet(f"{out_dir}/path_hits")
-    if index.anchor_hits is not None:
-        index.anchor_hits.write.mode("overwrite").parquet(
-            f"{out_dir}/anchor_hits"
-        )
+    def _postings_chain() -> None:
+        t1 = _time.time()
+        if flat:
+            arranged.drop("idf").write.mode("overwrite").parquet(
+                f"{out_dir}/postings"
+            )
+            t["write_flat_postings"] = round(_time.time() - t1, 2)
+            t1 = _time.time()
+        if pack:
+            from .postings import pack_arranged, write_packed
+
+            pack_cols = ["term", "doc_id", "tf", "doc_len", "idf"] + (
+                ["positions"] if has_positions else []
+            ) + (["tf_def"] if "tf_def" in arranged.columns else [])
+            packed = pack_arranged(arranged.select(*pack_cols), index.avgdl)
+            write_packed(packed, out_dir)
+            t["write_packed_postings"] = round(_time.time() - t1, 2)
+
+    def _write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+
     spark = index.postings.sparkSession
-    spark.createDataFrame(
+    stats_df = spark.createDataFrame(
         [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
-    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
-    t["write_small_tables"] = round(_time.time() - t0, 2)
+    )
+    # lexicon FIRST and alone: it feeds the postings chain's broadcast, so
+    # writing it up front materializes the persisted aggregation exactly
+    # once (concurrent submission would race two computations of the same
+    # cached blocks). Everything after reads only computed state.
+    t_small = _time.time()
+    _write(index.lexicon, "lexicon")
+    small = [(index.doclen, "doclen"), (stats_df, "stats")]
+    for opt, name in ((index.docs_dim, "docs_dim"),
+                      (index.path_hits, "path_hits"),
+                      (index.anchor_hits, "anchor_hits")):
+        if opt is not None:
+            small.append((opt, name))
+    with ThreadPoolExecutor(max_workers=1 + len(small)) as pool:
+        futures = [pool.submit(_postings_chain)]
+        futures += [pool.submit(_write, df, name) for df, name in small]
+        for f in futures:
+            f.result()  # re-raise the first failure
+    t["write_small_tables"] = round(_time.time() - t_small, 2)
     index.lexicon.unpersist()
 
 

@@ -61,6 +61,32 @@ def _anti(df: DataFrame, tomb: DataFrame) -> DataFrame:
     return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
+def _df_correction_tables(base: IndexTables, tomb: DataFrame) -> DataFrame:
+    """(term, corr): per-term count of ``base`` postings rows belonging to
+    tombstoned docs — the exact df patch for incremental lexicon merge.
+    Packed-only bases decode only the blocks whose doc-id bucket can
+    contain a tombstoned doc (same containment equi-join as the query
+    path's skip pointers); flat bases are one broadcast-semi-joined narrow
+    scan (term, doc_id only — positions pruned at the parquet reader)."""
+    if base.packed_only and base.packed is not None:
+        from .postings import decode_blocks
+        from .query import _blocks_containing
+
+        cand = tomb.select(F.col("doc_id").alias("cand_id"))
+        blocks = _blocks_containing(
+            base.packed.drop("positions"), cand, base.n_docs
+        )
+        rows = decode_blocks(blocks)
+    else:
+        rows = base.postings
+    return (
+        rows.select("term", "doc_id")
+        .join(F.broadcast(tomb), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("corr"))
+    )
+
+
 def merge_index_tables(
     spark: SparkSession,
     base: IndexTables,
@@ -107,7 +133,49 @@ def merge_index_tables(
     ).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
 
-    lexicon = salted_lexicon(postings.select("term", "doc_id"), n_docs)
+    # Lexicon maintenance is INCREMENTAL: df_merged(term) = df_base(term)
+    # - (base rows belonging to tombstoned docs) + df_delta_kept(term) —
+    # vocab-sized joins plus a tombstone-bounded correction, NEVER a
+    # re-aggregation over the unioned postings (which would scan + shuffle
+    # the whole base per merge; at 100 TB that is the difference between a
+    # delta-proportional sync and a full-corpus job). For a packed-only
+    # base the correction decodes only the ~|tombstones| blocks whose
+    # doc-id range can contain a tombstoned doc (_tombstone_df_correction's
+    # bucket-containment prune). idf recomputed from the exact merged df
+    # with the same formula as salted_lexicon — bit-identical to a rebuild
+    # (asserted in tests/test_merge.py).
+    zero = F.lit(0).cast("long")
+    base_lex = base.lexicon.select("term", "df")
+    if tomb is not None:
+        corr = _df_correction_tables(base, tomb)
+        base_lex = base_lex.join(corr, "term", "left").select(
+            "term", (F.col("df") - F.coalesce("corr", zero)).alias("df")
+        )
+    delta_lex = delta.lexicon.select("term", "df")
+    if del_only is not None:
+        delta_corr = (
+            delta.postings.select("term", "doc_id")
+            .join(F.broadcast(del_only), "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").alias("corr"))
+        )
+        delta_lex = delta_lex.join(delta_corr, "term", "left").select(
+            "term", (F.col("df") - F.coalesce("corr", zero)).alias("df")
+        )
+    lexicon = (
+        base_lex.unionByName(delta_lex)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
     return IndexTables(
         postings=postings,
         lexicon=lexicon,
@@ -349,6 +417,8 @@ def index_tables_from_dir(spark: SparkSession, index_dir: str) -> IndexTables:
         n_docs=idx.n_docs,
         avgdl=idx.avgdl,
         path_hits=idx.path_hits,
+        packed=idx.packed,
+        packed_only=idx.packed_only,
     )
 
 
@@ -386,7 +456,13 @@ def load_segmented_index(
 
     if not seg_dirs:
         raise ValueError("load_segmented_index needs at least one segment")
-    segs = [load_index(spark, d) for d in seg_dirs]
+    # per-segment opens are independent (footer reads + a 1-row stats
+    # collect each) — overlap them; with many segments the sequential sum
+    # of open round-trips would dominate the zero-rewrite win
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(seg_dirs))) as pool:
+        segs = list(pool.map(lambda d: load_index(spark, d), seg_dirs))
 
     n_docs = sum(s.n_docs for s in segs)
     total_len = sum(s.n_docs * s.avgdl for s in segs)
@@ -450,6 +526,128 @@ def load_segmented_index(
         # matching terms' blocks, never the whole table
         segments=segs,
     )
+
+
+def append_segment(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    seg_dir: str,
+    term_buckets: int = 4,
+    timings: dict | None = None,
+) -> None:
+    """Small-delta segment build, tuned for the append-only ingest path
+    (the reference's per-crawl-batch sync, IndexUpdateBolt.java sync cycle
+    — each batch becomes its own searchable unit without touching the
+    base). Produces the same on-disk layout contract as
+    ``build_and_write_index(..., flat=False)`` (``load_index`` opens it,
+    ``load_segmented_index`` serves it), but with the fixed-cost floor cut
+    for delta-sized inputs. A cold 40k build is ~7 synchronous Spark jobs;
+    for an 800-doc delta nearly all of that is per-job latency, not work.
+    This path runs THREE barriers:
+
+      1. doclen write — materializes the persisted doc-local plists
+         (tokenize UDF) and yields n_docs/avgdl via ``Observation`` on the
+         SAME action (no separate stats collect job). A delta is never the
+         multi-GB cache that made the cold build checkpoint to parquet
+         instead of persist (see build_and_write_index), so persist is the
+         right call here.
+      2. lexicon write — salted df/idf agg over the cached plists.
+      3. a concurrent pool: packed postings (hash-repartitioned by term —
+         ``repartitionByRange``'s extra sampling job buys file-level range
+         pruning that a delta-sized segment can't benefit from; row-group
+         min/max pruning still applies via the within-partition sort),
+         docs_dim, and the stats row.
+
+    Compaction (``compact_segments``) later re-packs deltas into the
+    range-partitioned base layout with merged stats.
+    """
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    from ..functions.tokenizer import make_doc_postings_udf
+    from .indexer import salted_lexicon, with_doc_id
+    from .postings import pack_arranged, write_packed
+
+    t = timings if timings is not None else {}
+    t0 = _time.time()
+    udf = make_doc_postings_udf()
+    doc_len = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"]
+    )
+    sumsq_tf = F.aggregate(
+        "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"] * x["tf"]
+    )
+    staged = (
+        # a delta arrives as many tiny partitions (createDataFrame or a
+        # wide parquet read) — narrow it so only a handful of Python
+        # workers spin up for the tokenize UDF; term_buckets doubles as
+        # the delta parallelism knob
+        with_doc_id(delta_docs.coalesce(max(2, term_buckets)))
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            udf(F.col("content"), F.col("lang")).alias("plist"),
+        )
+        .select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            doc_len.alias("doc_len"), sumsq_tf.alias("sumsq_tf"), "plist",
+        )
+        .persist()
+    )
+    obs = Observation("append_stats")
+    (
+        staged.select("doc_id", "doc_len", "sumsq_tf")
+        .observe(obs, F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a"))
+        .write.mode("overwrite").parquet(f"{seg_dir}/doclen")
+    )
+    stats = obs.get
+    n_docs, avgdl = int(stats["n"]), float(stats["a"] or 0.0)
+    t["doclen_tokenize"] = round(_time.time() - t0, 2)
+
+    t0 = _time.time()
+    hits = staged.select(
+        "doc_id", "doc_len", F.explode("plist").alias("p")
+    ).select(
+        "doc_id", "doc_len",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
+    )
+    # persisted so the broadcast in the packed chain and the lexicon write
+    # share one aggregation; both read the ALREADY-materialized staged
+    # cache (barrier 1 computed it), so the worst concurrency case is a
+    # doubly-computed delta-sized agg, never a re-tokenize
+    lexicon = salted_lexicon(hits.select("term", "doc_id"), n_docs).persist()
+
+    def _packed() -> None:
+        arranged = (
+            hits.join(F.broadcast(lexicon.select("term", "idf")), "term")
+            .repartition(term_buckets, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .select("term", "doc_id", "tf", "doc_len", "idf", "positions")
+        )
+        write_packed(pack_arranged(arranged, avgdl), seg_dir)
+
+    def _write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(f"{seg_dir}/{name}")
+
+    docs_dim = staged.select(
+        "doc_id", "repo", "path", "commit", "lang", "doc_len",
+        "content_sha256",
+    )
+    stats_df = spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    )
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [pool.submit(_packed),
+                  pool.submit(_write, lexicon, "lexicon"),
+                  pool.submit(_write, docs_dim, "docs_dim"),
+                  pool.submit(_write, stats_df, "stats")]:
+            f.result()
+    t["packed_and_dims"] = round(_time.time() - t0, 2)
+    lexicon.unpersist()
+    staged.unpersist()
 
 
 def incremental_update(

@@ -440,3 +440,63 @@ def test_search_string_over_packed_only_segments(spark, tmp_path):
         .toString()
     )
     assert plan.count("In(term") >= 2, plan
+
+
+def test_append_segment_matches_full_build_path(spark, tmp_path):
+    """append_segment (the low-barrier delta path: persist + Observation
+    stats + hash term layout + pooled writes) must produce a layout that
+    (a) load_index opens with tables value-identical to
+    build_and_write_index's, and (b) serves rank-identically through
+    load_segmented_index next to a base segment."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        append_segment,
+        load_segmented_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+
+    rows_base = generate_corpus(150, seed=31)
+    rows_delta = generate_corpus(40, seed=32)
+    base_dir = str(tmp_path / "app_base")
+    fast_dir = str(tmp_path / "app_fast")
+    ref_dir = str(tmp_path / "app_ref")
+    build_and_write_index(
+        spark, _df(spark, rows_base), base_dir, term_buckets=4, pack=True,
+        flat=False,
+    )
+    append_segment(spark, _df(spark, rows_delta), fast_dir, term_buckets=2)
+    build_and_write_index(
+        spark, _df(spark, rows_delta), ref_dir, term_buckets=2, pack=True,
+        flat=False,
+    )
+
+    fast, ref = load_index(spark, fast_dir), load_index(spark, ref_dir)
+    assert fast.n_docs == ref.n_docs
+    assert fast.avgdl == pytest.approx(ref.avgdl, rel=1e-12)
+    fp = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+          for r in fast.postings.collect()}
+    rp = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+          for r in ref.postings.collect()}
+    assert fp == rp
+    fl = {r["term"]: (r["df"], r["idf"]) for r in fast.lexicon.collect()}
+    rl = {r["term"]: (r["df"], r["idf"]) for r in ref.lexicon.collect()}
+    assert fl.keys() == rl.keys()
+    for t in fl:
+        assert fl[t][0] == rl[t][0], t
+        assert fl[t][1] == pytest.approx(rl[t][1], rel=1e-12)
+    fd = {r["doc_id"]: (r["doc_len"], r["sumsq_tf"])
+          for r in fast.doclen.collect()}
+    rd = {r["doc_id"]: (r["doc_len"], r["sumsq_tf"])
+          for r in ref.doclen.collect()}
+    assert fd == rd
+    assert fast.docs_dim.count() == len(rows_delta)
+
+    view = load_segmented_index(spark, [base_dir, fast_dir],
+                                validate_disjoint=True)
+    rebuilt = build_index(spark, _df(spark, rows_base + rows_delta))
+    for terms, mode in [(["scan", "merge"], "all"), (["token"], "any")]:
+        got = _topk_rows(view, terms, mode=mode)
+        assert got, (terms, mode)
+        assert got == _topk_rows(_as_search(rebuilt), terms, mode=mode)
