@@ -579,12 +579,21 @@ def append_segment(
     sumsq_tf = F.aggregate(
         "plist", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"] * x["tf"]
     )
+    # Callers that already carry a stable doc_id (e.g. a keyed upstream
+    # table streamed through start_segment_stream) keep it; the crawl-batch
+    # shape (repo/path/commit/content) gets the deterministic sha-derived
+    # id, same as every batch builder.
+    keyed = delta_docs
+    if "doc_id" not in keyed.columns:
+        keyed = with_doc_id(keyed)
+    elif "content_sha256" not in keyed.columns:
+        keyed = keyed.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     staged = (
         # a delta arrives as many tiny partitions (createDataFrame or a
         # wide parquet read) — narrow it so only a handful of Python
         # workers spin up for the tokenize UDF; term_buckets doubles as
         # the delta parallelism knob
-        with_doc_id(delta_docs.coalesce(max(2, term_buckets)))
+        keyed.coalesce(max(2, term_buckets))
         .select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256",
             udf(F.col("content"), F.col("lang")).alias("plist"),

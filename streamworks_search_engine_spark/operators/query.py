@@ -59,24 +59,32 @@ class SearchIndex:
     tombstones: DataFrame | None = None
 
 
+def _layout_dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API so index layouts
+    open identically from local paths, file:/ URIs, HDFS, and object
+    stores — os.path only understands the first."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def load_index(spark: SparkSession, index_dir: str) -> SearchIndex:
     stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
-    import os
 
     packed = None
-    if os.path.isdir(f"{index_dir}/postings_packed"):
+    if _layout_dir_exists(spark, f"{index_dir}/postings_packed"):
         packed = spark.read.parquet(f"{index_dir}/postings_packed")
     docs_dim = None
-    if os.path.isdir(f"{index_dir}/docs_dim"):
+    if _layout_dir_exists(spark, f"{index_dir}/docs_dim"):
         docs_dim = spark.read.parquet(f"{index_dir}/docs_dim")
     path_hits = None
-    if os.path.isdir(f"{index_dir}/path_hits"):
+    if _layout_dir_exists(spark, f"{index_dir}/path_hits"):
         path_hits = spark.read.parquet(f"{index_dir}/path_hits")
     anchor_hits = None
-    if os.path.isdir(f"{index_dir}/anchor_hits"):
+    if _layout_dir_exists(spark, f"{index_dir}/anchor_hits"):
         anchor_hits = spark.read.parquet(f"{index_dir}/anchor_hits")
     packed_only = False
-    if os.path.isdir(f"{index_dir}/postings"):
+    if _layout_dir_exists(spark, f"{index_dir}/postings"):
         postings = spark.read.parquet(f"{index_dir}/postings")
     else:
         # packed-only index (write_index(flat=False)): serve the flat view —

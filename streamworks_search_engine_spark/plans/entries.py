@@ -317,6 +317,66 @@ def q_search_string_segmented(spark, sf_dir):
     )
 
 
+_STREAMED_INDEX_CACHE: dict[tuple[str, str], SearchIndex] = {}
+
+
+def _streamed_index(spark, sf_dir) -> SearchIndex:
+    """documents streamed through ``start_segment_stream`` — availableNow
+    with maxFilesPerTrigger=1 over a 3-file input, so THREE micro-batches
+    each run the 3-barrier append_segment fast path into their own
+    committed segment — then served zero-rewrite via
+    ``load_streamed_index``. Queries against it must be bit-identical to
+    the single-index plan (merged df/idf/avgdl are exact; micro-batch
+    boundaries must be invisible to results)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STREAMED_INDEX_CACHE:
+        import tempfile
+
+        from ..streaming.incremental import (
+            load_streamed_index,
+            start_segment_stream,
+        )
+
+        base = tempfile.mkdtemp(prefix="sse_entry_stream_")
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("head").alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+        docs.repartition(3).write.mode("overwrite").parquet(f"{base}/in")
+        q = start_segment_stream(
+            spark,
+            f"{base}/in",
+            f"{base}/wk",
+            max_files_per_trigger=1,
+            schema=docs.schema,
+        )
+        q.awaitTermination()
+        _STREAMED_INDEX_CACHE[key] = load_streamed_index(spark, f"{base}/wk")
+    return _STREAMED_INDEX_CACHE[key]
+
+
+def q_search_streamed(spark, sf_dir):
+    """The free-text front door (terms + phrase + NOT) served over segments
+    built LIVE by Structured Streaming micro-batches (foreachBatch →
+    append_segment → commit marker) — same oracle as search_string_top10,
+    so this proves streamed ingest produces a bit-identical queryable index
+    end-to-end."""
+    res = search_query(
+        _streamed_index(spark, sf_dir),
+        'scan -window "table hash"',
+        k=10,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_facet_lang_counts(spark, sf_dir):
     """Facet sidebar: per-lang doc counts over the full 'scan' match set."""
     from ..operators.query import facet_counts
@@ -1386,6 +1446,8 @@ QUERIES = {
     "search_corrected_top10": q_search_corrected,
     # -- new this round: full query language over packed-only segments --
     "search_string_segmented": q_search_string_segmented,
+    # -- new this round: streaming segment ingest (foreachBatch -> append) --
+    "search_streamed_top10": q_search_streamed,
     # -- new this round: end-to-end curation pipeline --
     "curated_export": q_curated_export,
     "curated_accounting": q_curated_accounting,
@@ -2631,6 +2693,10 @@ for _name, _pat, _repl in scrub.SECRET_PATTERNS:
 # the segmented packed layout must be invisible to results: same oracle
 # as the single-index front-door entry
 ORACLE_SQL["search_string_segmented"] = ORACLE_SQL["search_string_top10"]
+
+# streamed micro-batch segments must be invisible to results: same oracle
+# as the single-index front-door entry
+ORACLE_SQL["search_streamed_top10"] = ORACLE_SQL["search_string_top10"]
 
 # the persisted cell-partitioned IVF layout must be invisible to results:
 # same oracle as the inline IVF entry

@@ -156,6 +156,109 @@ def refresh_index(spark: SparkSession, work_dir: str) -> IndexTables:
     )
 
 
+COMMIT_MARKER = "_COMMITTED"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — works the
+    same on local FS, HDFS, and S3A, unlike os.path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def start_segment_stream(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    term_buckets: int = 4,
+    max_files_per_trigger: int = 16,
+    trigger_once: bool = True,
+    schema: T.StructType | None = None,
+):
+    """Stream docs into IMMEDIATELY-SEARCHABLE segments: each micro-batch
+    runs the 3-barrier ``append_segment`` fast path into its own
+    ``work_dir/segments/epoch=<id>`` directory, then drops a ``_COMMITTED``
+    marker as the LAST write. ``load_streamed_index`` serves only marked
+    segments, so a reader concurrent with ingest (or a crash mid-segment)
+    never sees a half-written layout — the marker is the visibility barrier
+    the reference's sync cycle provides with its IndexUpdateBolt commit
+    (backend/src/main/java/edu/upenn/cis/stormlite/bolt/IndexUpdateBolt.java,
+    sync-then-swap), re-expressed as an atomic-rename-free protocol that
+    also holds on object stores.
+
+    Exactly-once visibility under replay: foreachBatch may re-run an epoch
+    after a failure; the epoch id is in the segment path and every write
+    inside ``append_segment`` is mode("overwrite"), so a replay rewrites
+    the same segment and re-drops the same marker — idempotent, no
+    duplicate docs (micro-batches are doc-disjoint by the source contract,
+    same as crawl batches).
+
+    Input may carry its own stable ``doc_id`` (keyed upstream table — pass
+    a matching ``schema``) or the default crawl shape
+    (repo/path/commit/content) — ``append_segment`` handles both. Returns
+    the StreamingQuery.
+    """
+    from ..operators.merge import append_segment
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg_dir = f"{work_dir}/segments/epoch={epoch_id}"
+        append_segment(spark, batch_df, seg_dir, term_buckets=term_buckets)
+        fs, marker = _hadoop_fs(spark, f"{seg_dir}/{COMMIT_MARKER}")
+        fs.create(marker, True).close()
+
+    reader = (
+        spark.readStream.schema(schema or DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{work_dir}/segment_checkpoint")
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def committed_segment_dirs(spark: SparkSession, work_dir: str) -> list[str]:
+    """Segment dirs under ``work_dir/segments`` whose commit marker exists,
+    epoch order. One driver-side listing of the segments dir — O(#segments),
+    never touches data files."""
+    fs, root = _hadoop_fs(spark, f"{work_dir}/segments")
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        p = status.getPath()
+        name = p.getName()
+        if not name.startswith("epoch="):
+            continue
+        if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p, COMMIT_MARKER)):
+            out.append((int(name.split("=", 1)[1]), p.toString()))
+    return [d for _, d in sorted(out)]
+
+
+def load_streamed_index(spark: SparkSession, work_dir: str):
+    """Open every COMMITTED streamed segment as one zero-rewrite SearchIndex
+    (``load_segmented_index`` semantics: exact merged df/idf/avgdl,
+    per-segment packed term pushdown). Call again after more micro-batches
+    commit to pick them up — the open is segment-count-proportional, the
+    base is never rewritten."""
+    from ..operators.merge import load_segmented_index
+
+    dirs = committed_segment_dirs(spark, work_dir)
+    if not dirs:
+        raise ValueError(f"no committed segments under {work_dir}/segments")
+    return load_segmented_index(spark, dirs)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -200,3 +200,106 @@ def test_bloom_positions_deterministic():
     assert (a == b).all()
     assert a.shape == (50, 4)
     assert (a >= 0).all() and (a < (1 << 16)).all()
+
+
+def _bm25_rows(index, terms, k=10):
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+
+    return [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_topk(index, terms, k=k).collect()
+    ]
+
+
+def test_segment_stream_commits_searchable_segments(spark, tmp_path):
+    """Micro-batches become committed append_segment segments; the streamed
+    view's BM25 results are bit-identical to a one-shot batch build over
+    the same docs."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+    from streamworks_search_engine_spark.streaming.incremental import (
+        committed_segment_dirs,
+        load_streamed_index,
+        start_segment_stream,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    work = str(tmp_path / "work")
+    docs = corpus_df(spark, 120, seed=7)
+    # 3 input files -> with maxFilesPerTrigger=1, three micro-batches
+    docs.repartition(3).write.mode("overwrite").parquet(in_dir)
+
+    q = start_segment_stream(spark, in_dir, work, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    segs = committed_segment_dirs(spark, work)
+    assert len(segs) == 3
+    streamed = load_streamed_index(spark, work)
+
+    ref_dir = str(tmp_path / "batch_ref")
+    build_and_write_index(spark, docs, ref_dir, term_buckets=4)
+    ref = load_index(spark, ref_dir)
+
+    assert streamed.n_docs == ref.n_docs == 120
+    assert abs(streamed.avgdl - ref.avgdl) < 1e-9
+    terms = [r["term"] for r in ref.lexicon.orderBy("df", "term").limit(2).collect()]
+    assert _bm25_rows(streamed, terms[:1]) == _bm25_rows(ref, terms[:1])
+    hot = [r["term"] for r in ref.lexicon.orderBy(ref.lexicon.df.desc()).limit(1).collect()]
+    assert _bm25_rows(streamed, hot) == _bm25_rows(ref, hot)
+
+
+def test_uncommitted_segment_is_invisible(spark, tmp_path):
+    """A segment dir without the commit marker (crashed mid-write) is never
+    listed, so a concurrent reader cannot observe a half-written layout."""
+    import os
+
+    from streamworks_search_engine_spark.streaming.incremental import (
+        committed_segment_dirs,
+        load_streamed_index,
+        start_segment_stream,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    work = str(tmp_path / "work")
+    corpus_df(spark, 40, seed=9).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = start_segment_stream(spark, in_dir, work)
+    q.awaitTermination(180)
+
+    committed = committed_segment_dirs(spark, work)
+    assert len(committed) == 1
+    # simulate a crash: a later epoch dir exists with partial data, no marker
+    junk = os.path.join(work, "segments", "epoch=99", "doclen")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert committed_segment_dirs(spark, work) == committed
+    idx = load_streamed_index(spark, work)
+    assert idx.n_docs == 40
+
+
+def test_segment_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may re-run an epoch after failure: re-appending the same
+    batch into the same epoch dir (overwrite semantics) changes nothing."""
+    from streamworks_search_engine_spark.operators.merge import append_segment
+    from streamworks_search_engine_spark.streaming.incremental import (
+        COMMIT_MARKER,
+        _hadoop_fs,
+        committed_segment_dirs,
+        load_streamed_index,
+    )
+
+    work = str(tmp_path / "work")
+    docs = corpus_df(spark, 30, seed=13)
+    seg = f"{work}/segments/epoch=0"
+    for _ in range(2):  # first run + replay
+        append_segment(spark, docs, seg, term_buckets=2)
+        fs, marker = _hadoop_fs(spark, f"{seg}/{COMMIT_MARKER}")
+        fs.create(marker, True).close()
+
+    committed = committed_segment_dirs(spark, work)
+    assert [c.removeprefix("file:") for c in committed] == [seg]
+    idx = load_streamed_index(spark, work)
+    assert idx.n_docs == 30
+    assert idx.doclen.select("doc_id").distinct().count() == 30
