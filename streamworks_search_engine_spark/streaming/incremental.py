@@ -225,10 +225,65 @@ def start_segment_stream(
     return writer.start()
 
 
-def committed_segment_dirs(spark: SparkSession, work_dir: str) -> list[str]:
-    """Segment dirs under ``work_dir/segments`` whose commit marker exists,
-    epoch order. One driver-side listing of the segments dir — O(#segments),
-    never touches data files."""
+def _read_manifest(spark: SparkSession, work_dir: str) -> dict | None:
+    """Newest ``manifest-<gen>.json`` under segments/, or None. Manifests
+    are immutable, monotonically numbered files — a reader always sees a
+    complete manifest or none (single-file create+close is the visibility
+    unit on HDFS and object stores; there is never an in-place overwrite
+    to catch half-written)."""
+    import json
+
+    fs, root = _hadoop_fs(spark, f"{work_dir}/segments")
+    if not fs.exists(root):
+        return None
+    best = None
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("manifest-") and name.endswith(".json"):
+            gen = int(name[len("manifest-"):-len(".json")])
+            if best is None or gen > best[0]:
+                best = (gen, status.getPath())
+    if best is None:
+        return None
+    stream = fs.open(best[1])
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode())
+
+
+def _qualify(spark: SparkSession, path: str) -> str:
+    """Fully-qualified URI for ``path`` (adds the FS scheme/authority), so
+    manifest entries compare equal to FileSystem listing results no matter
+    how the caller spelled the path."""
+    fs, jpath = _hadoop_fs(spark, path)
+    return fs.makeQualified(jpath).toString()
+
+
+def _write_manifest(
+    spark: SparkSession, work_dir: str, gen: int, live: list[str], max_epoch: int
+) -> None:
+    import json
+
+    body = json.dumps(
+        {
+            "gen": gen,
+            "live": [_qualify(spark, d) for d in live],
+            "max_epoch": max_epoch,
+        }
+    ).encode()
+    fs, path = _hadoop_fs(
+        spark, f"{work_dir}/segments/manifest-{gen:08d}.json"
+    )
+    out = fs.create(path, True)
+    try:
+        out.write(body)
+    finally:
+        out.close()
+
+
+def _marked_epoch_dirs(spark: SparkSession, work_dir: str) -> list[tuple[int, str]]:
     fs, root = _hadoop_fs(spark, f"{work_dir}/segments")
     if not fs.exists(root):
         return []
@@ -242,7 +297,108 @@ def committed_segment_dirs(spark: SparkSession, work_dir: str) -> list[str]:
             continue
         if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p, COMMIT_MARKER)):
             out.append((int(name.split("=", 1)[1]), p.toString()))
-    return [d for _, d in sorted(out)]
+    return sorted(out)
+
+
+def committed_segment_dirs(spark: SparkSession, work_dir: str) -> list[str]:
+    """The currently-VISIBLE segment set, in serve order. One driver-side
+    listing of the segments dir — O(#segments), never touches data files.
+
+    Without a manifest: every epoch dir whose commit marker exists. With a
+    manifest (written by :func:`compact_streamed_segments`): the manifest's
+    ``live`` compacted segments plus any epoch committed AFTER the
+    compaction cut (``epoch > max_epoch``) — so streaming keeps appending
+    through and after a compaction, and a reader sees each doc exactly
+    once: either inside the compacted segment or in a newer epoch, never
+    both."""
+    manifest = _read_manifest(spark, work_dir)
+    epochs = _marked_epoch_dirs(spark, work_dir)
+    if manifest is None:
+        return [d for _, d in epochs]
+    cut = int(manifest["max_epoch"])
+    return list(manifest["live"]) + [d for e, d in epochs if e > cut]
+
+
+def compact_streamed_segments(
+    spark: SparkSession, work_dir: str, term_buckets: int = 8
+) -> str:
+    """Fold the entire visible segment set into ONE re-packed segment and
+    swap visibility atomically — the LSM-style tier merge that restores
+    block-max pruning (per-epoch segments carry pack-time idf/avgdl that
+    goes stale as n_docs grows; the compacted segment re-packs against the
+    merged stats) and caps the per-query open/union fan-out.
+
+    No tokenize runs: postings come from the segments' own tables (packed
+    segments decode once, here, instead of on every future query), the
+    merged lexicon/doclen/stats come from the exact segment-view merge
+    (``load_segmented_index``). The new segment lands in
+    ``segments/compacted=<gen>``; the swap is one immutable
+    ``manifest-<gen>.json`` naming it live and recording the highest epoch
+    it subsumes. Readers between the two writes see the OLD committed set;
+    after, the compacted segment plus only newer epochs. Subsumed dirs stay
+    on disk until :func:`gc_streamed_segments`."""
+    from ..operators.indexer import IndexTables, write_index
+    from ..operators.merge import load_segmented_index
+
+    manifest = _read_manifest(spark, work_dir)
+    gen = (int(manifest["gen"]) + 1) if manifest else 1
+    visible = committed_segment_dirs(spark, work_dir)
+    if not visible:
+        raise ValueError(f"nothing to compact under {work_dir}/segments")
+    epochs = _marked_epoch_dirs(spark, work_dir)
+    cut = int(manifest["max_epoch"]) if manifest else -1
+    subsumed_cut = max([e for e, _ in epochs if e > cut], default=cut)
+
+    view = load_segmented_index(spark, visible)
+    out_dir = f"{work_dir}/segments/compacted={gen}"
+    write_index(
+        IndexTables(
+            postings=view.postings,
+            lexicon=view.lexicon,
+            doclen=view.doclen,
+            docs_dim=view.docs_dim,
+            n_docs=view.n_docs,
+            avgdl=view.avgdl,
+            path_hits=view.path_hits,
+        ),
+        out_dir,
+        term_buckets=term_buckets,
+        pack=True,
+        flat=False,
+    )
+    fs, marker = _hadoop_fs(spark, f"{out_dir}/{COMMIT_MARKER}")
+    fs.create(marker, True).close()
+    _write_manifest(spark, work_dir, gen, [out_dir], subsumed_cut)
+    return out_dir
+
+
+def gc_streamed_segments(spark: SparkSession, work_dir: str) -> list[str]:
+    """Delete segment dirs no longer reachable from the newest manifest:
+    epoch dirs at or below the compaction cut and compacted dirs of older
+    generations. Returns the deleted paths. Safe to run any time AFTER
+    readers opened under the old manifest have finished (same contract as
+    any LSM store's file GC)."""
+    manifest = _read_manifest(spark, work_dir)
+    if manifest is None:
+        return []
+    cut = int(manifest["max_epoch"])
+    live = set(manifest["live"])
+    fs, root = _hadoop_fs(spark, f"{work_dir}/segments")
+    deleted = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        p = status.getPath()
+        name = p.getName()
+        dead = (
+            name.startswith("epoch=") and int(name.split("=", 1)[1]) <= cut
+        ) or (
+            name.startswith("compacted=") and p.toString() not in live
+        )
+        if dead:
+            fs.delete(p, True)
+            deleted.append(p.toString())
+    return deleted
 
 
 def load_streamed_index(spark: SparkSession, work_dir: str):

@@ -303,3 +303,64 @@ def test_segment_replay_is_idempotent(spark, tmp_path):
     idx = load_streamed_index(spark, work)
     assert idx.n_docs == 30
     assert idx.doclen.select("doc_id").distinct().count() == 30
+
+
+def test_compaction_swaps_visibility_and_preserves_results(spark, tmp_path):
+    """All committed epochs fold into one compacted segment behind a
+    manifest swap; results are identical before and after, streaming can
+    continue appending, and GC removes only subsumed dirs."""
+    from streamworks_search_engine_spark.streaming.incremental import (
+        committed_segment_dirs,
+        compact_streamed_segments,
+        gc_streamed_segments,
+        load_streamed_index,
+        start_segment_stream,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    work = str(tmp_path / "work")
+    docs = corpus_df(spark, 90, seed=21)
+    docs.repartition(3).write.mode("overwrite").parquet(in_dir)
+    q = start_segment_stream(spark, in_dir, work, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert len(committed_segment_dirs(spark, work)) == 3
+
+    pre = load_streamed_index(spark, work)
+    hot = [
+        r["term"]
+        for r in pre.lexicon.orderBy(pre.lexicon.df.desc()).limit(1).collect()
+    ]
+    before = _bm25_rows(pre, hot)
+
+    out = compact_streamed_segments(spark, work, term_buckets=4)
+    visible = committed_segment_dirs(spark, work)
+    assert [v.removeprefix("file:") for v in visible] == [out.removeprefix("file:")]
+    post = load_streamed_index(spark, work)
+    assert post.n_docs == 90
+    assert _bm25_rows(post, hot) == before
+
+    # streaming continues: new docs land as NEW epochs, visible alongside
+    # the compacted segment
+    from pyspark.sql import functions as F
+
+    more = corpus_df(spark, 30, seed=99).withColumn(
+        "repo", F.concat(F.lit("new/"), F.col("repo"))
+    )
+    more.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_segment_stream(spark, in_dir, work)
+    q2.awaitTermination(180)
+    visible2 = committed_segment_dirs(spark, work)
+    assert len(visible2) == 2 and visible2[0] == visible[0]
+    both = load_streamed_index(spark, work)
+    assert both.n_docs == 120
+    assert both.doclen.select("doc_id").distinct().count() == 120
+
+    # second-generation compaction folds compacted+new epoch into gen 2
+    out2 = compact_streamed_segments(spark, work, term_buckets=4)
+    assert load_streamed_index(spark, work).n_docs == 120
+    deleted = gc_streamed_segments(spark, work)
+    assert any("epoch=" in d for d in deleted)
+    assert any(out.split("/")[-1] in d for d in deleted)
+    final = committed_segment_dirs(spark, work)
+    assert [v.removeprefix("file:") for v in final] == [out2.removeprefix("file:")]
+    assert load_streamed_index(spark, work).n_docs == 120
