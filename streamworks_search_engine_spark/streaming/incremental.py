@@ -320,7 +320,10 @@ def committed_segment_dirs(spark: SparkSession, work_dir: str) -> list[str]:
 
 
 def compact_streamed_segments(
-    spark: SparkSession, work_dir: str, term_buckets: int = 8
+    spark: SparkSession,
+    work_dir: str,
+    term_buckets: int = 8,
+    upsert: bool = False,
 ) -> str:
     """Fold the entire visible segment set into ONE re-packed segment and
     swap visibility atomically — the LSM-style tier merge that restores
@@ -349,7 +352,12 @@ def compact_streamed_segments(
     cut = int(manifest["max_epoch"]) if manifest else -1
     subsumed_cut = max([e for e, _ in epochs if e > cut], default=cut)
 
-    view = load_segmented_index(spark, visible)
+    # upsert ingests must compact through the supersede fold, or the union
+    # would duplicate re-ingested doc_ids into the compacted segment
+    if upsert:
+        view = load_streamed_index(spark, work_dir, upsert=True)
+    else:
+        view = load_segmented_index(spark, visible)
     out_dir = f"{work_dir}/segments/compacted={gen}"
     write_index(
         IndexTables(
@@ -401,18 +409,35 @@ def gc_streamed_segments(spark: SparkSession, work_dir: str) -> list[str]:
     return deleted
 
 
-def load_streamed_index(spark: SparkSession, work_dir: str):
+def load_streamed_index(spark: SparkSession, work_dir: str, upsert: bool = False):
     """Open every COMMITTED streamed segment as one zero-rewrite SearchIndex
     (``load_segmented_index`` semantics: exact merged df/idf/avgdl,
     per-segment packed term pushdown). Call again after more micro-batches
     commit to pick them up — the open is segment-count-proportional, the
-    base is never rewritten."""
+    base is never rewritten.
+
+    ``upsert=True`` is the re-crawl mode: a doc_id re-ingested in a LATER
+    epoch supersedes its earlier version (SCD1, latest epoch wins) instead
+    of being rejected as an overlap. Implemented by folding the segments
+    oldest-to-newest through ``merge_search_segments`` — each fold
+    tombstones the superseded doc_ids and applies the exact incremental
+    lexicon/stats correction, so df/idf/avgdl reflect only live versions.
+    Cost is one bounded correction job per segment; compaction collapses
+    the chain back to a single segment."""
     from ..operators.merge import load_segmented_index
 
     dirs = committed_segment_dirs(spark, work_dir)
     if not dirs:
         raise ValueError(f"no committed segments under {work_dir}/segments")
-    return load_segmented_index(spark, dirs)
+    if not upsert:
+        return load_segmented_index(spark, dirs)
+    from ..operators.merge import index_tables_from_dir, merge_search_segments
+    from ..operators.query import load_index
+
+    view = load_index(spark, dirs[0])
+    for d in dirs[1:]:
+        view = merge_search_segments(spark, view, index_tables_from_dir(spark, d))
+    return view
 
 
 def windowed_event_counts(

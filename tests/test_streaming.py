@@ -364,3 +364,51 @@ def test_compaction_swaps_visibility_and_preserves_results(spark, tmp_path):
     final = committed_segment_dirs(spark, work)
     assert [v.removeprefix("file:") for v in final] == [out2.removeprefix("file:")]
     assert load_streamed_index(spark, work).n_docs == 120
+
+
+def test_streamed_upsert_latest_epoch_wins(spark, tmp_path):
+    """Re-ingesting a doc_id in a later epoch supersedes the old version:
+    upsert load reflects only the latest content, and upsert compaction
+    materializes exactly the live set."""
+    from streamworks_search_engine_spark.streaming.incremental import (
+        compact_streamed_segments,
+        load_streamed_index,
+        start_segment_stream,
+    )
+
+    in_dir = str(tmp_path / "incoming")
+    work = str(tmp_path / "work")
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    def doc(path, content):
+        return ("r0", path, "c0", "python", content)
+
+    v1 = spark.createDataFrame(
+        [doc("a.py", "oldword shared alpha"), doc("b.py", "shared beta")], schema
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    q = start_segment_stream(spark, in_dir, work, term_buckets=2)
+    q.awaitTermination(120)
+
+    # epoch 2: a.py re-crawled with NEW content, plus a brand-new doc
+    v2 = spark.createDataFrame(
+        [doc("a.py", "newword shared alpha"), doc("c.py", "shared gamma")], schema
+    )
+    v2.coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_segment_stream(spark, in_dir, work, term_buckets=2)
+    q2.awaitTermination(120)
+
+    idx = load_streamed_index(spark, work, upsert=True)
+    assert idx.n_docs == 3  # a.py counted once, latest version
+    assert _bm25_rows(idx, ["oldword"]) == []  # v1 content is gone
+    assert len(_bm25_rows(idx, ["newword"])) == 1
+    assert len(_bm25_rows(idx, ["shared"])) == 3
+    lex = {r["term"]: r["df"] for r in idx.lexicon.collect()}
+    assert lex.get("shared") == 3 and "oldword" not in lex
+
+    before = _bm25_rows(idx, ["shared"])
+    compact_streamed_segments(spark, work, term_buckets=2, upsert=True)
+    post = load_streamed_index(spark, work)
+    assert post.n_docs == 3
+    assert _bm25_rows(post, ["shared"]) == before
+    assert _bm25_rows(post, ["oldword"]) == []
