@@ -281,6 +281,37 @@ def main() -> None:
         corpus_build_s / searchable_s, 2
     )
 
+    # --- streaming ingest overhead: the SAME 800-doc delta through
+    # Structured Streaming (2 micro-batches -> 2 committed segments with
+    # visibility markers) vs the direct single append above. The gap is
+    # pure protocol cost: one extra append barrier set + foreachBatch /
+    # checkpoint bookkeeping — the price of crash-safe, replay-idempotent,
+    # immediately-visible ingest.
+    from streamworks_search_engine_spark.streaming.incremental import (
+        committed_segment_dirs,
+        start_segment_stream,
+    )
+
+    stream_base = tempfile.mkdtemp(prefix="sse_bench_stream_")
+    delta_df.repartition(2).write.mode("overwrite").parquet(
+        f"{stream_base}/in"
+    )
+    t0 = time.time()
+    sq = start_segment_stream(
+        spark, f"{stream_base}/in", f"{stream_base}/wk",
+        term_buckets=4, max_files_per_trigger=1,
+    )
+    sq.awaitTermination()
+    stream_view = load_segmented_index(
+        spark, [corpus_out] + committed_segment_dirs(spark, f"{stream_base}/wk")
+    )
+    stream_searchable_s = time.time() - t0
+    assert stream_view.n_docs == n_corpus + len(delta_rows)
+    timings["stream800_searchable"] = round(stream_searchable_s, 3)
+    timings["stream_overhead_vs_append"] = round(
+        stream_searchable_s / searchable_s, 2
+    )
+
     # query latency against the packed-only 40k index: the block path is
     # the ONLY path here (no flat table) — positions-pruned block scan +
     # decode (bm25_search routes to it automatically)
