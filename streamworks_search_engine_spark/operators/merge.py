@@ -439,13 +439,17 @@ def load_segmented_index(
     n_docs, so it never scans postings at all. n_docs/avgdl combine
     arithmetically from the segments' stats tables.
 
-    The view serves through the FLAT scoring path. Packed block pruning is
-    deliberately not offered across segments: ``block_max_score`` is an
-    upper bound computed with the segment's own pack-time idf/avgdl, and a
-    merge that grows n_docs raises idf — real scores could then exceed the
-    stale bounds and lossless pruning would silently become lossy.
-    Compaction (``compact_segments``) re-packs with merged stats and
-    restores the pruned path.
+    Packed block pruning across segments: pack-time ``block_max_score`` is
+    an upper bound computed with each segment's OWN idf/avgdl, and a merge
+    that grows n_docs raises idf — real merged-stats scores could exceed
+    the stale bounds and lossless pruning would silently become lossy. So
+    when every segment's blocks carry ``block_min_doclen``, the view's
+    ``packed`` is the per-segment union with bounds RECOMPUTED against the
+    merged idf/avgdl (``rebound_blocks`` — sound for any stats), and the
+    block-max machinery serves across segments unchanged; segments packed
+    before that column existed fall back to the FLAT scoring path.
+    Compaction still re-packs with merged stats, restoring exact (tighter)
+    bounds.
 
     ``validate_disjoint=True`` asserts no doc_id appears in two segments
     (one distinct-count over the unioned doclen — n_docs rows per segment,
@@ -511,6 +515,17 @@ def load_segmented_index(
     if all(s.path_hits is not None for s in segs):
         path_hits = union_all([s.path_hits for s in segs])
 
+    packed = None
+    if all(
+        s.packed is not None and "block_min_doclen" in s.packed.columns
+        for s in segs
+    ):
+        from .postings import rebound_blocks
+
+        packed = rebound_blocks(
+            union_all([s.packed for s in segs]), lexicon, avgdl
+        )
+
     return SearchIndex(
         postings=postings,
         lexicon=lexicon,
@@ -518,8 +533,8 @@ def load_segmented_index(
         docs_dim=docs_dim,
         n_docs=n_docs,
         avgdl=avgdl,
-        packed=None,
-        packed_only=False,
+        packed=packed,
+        packed_only=packed is not None and all(s.packed_only for s in segs),
         path_hits=path_hits,
         # term-filtered access recurses per segment so the IN filter reaches
         # each segment's own scan — a packed-only segment decodes only the

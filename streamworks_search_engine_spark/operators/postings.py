@@ -40,7 +40,13 @@ BLOCK_SIZE = 128
 PACKED_SCHEMA = (
     "term string, first_doc_id long, last_doc_id long, n long, "
     "doc_ids binary, tfs binary, doclens binary, positions binary, "
-    "tf_defs binary, block_max_tf long, block_max_score double"
+    "tf_defs binary, block_max_tf long, block_max_score double, "
+    # (max_tf, min_doclen) let a reader RECOMPUTE a sound upper bound under
+    # DIFFERENT corpus stats (rebound_blocks): BM25 is monotone increasing
+    # in tf and decreasing in doc_len, so score(max_tf, min_dl) bounds every
+    # doc in the block for ANY (idf, avgdl) — pack-time block_max_score is
+    # only valid for the stats it was packed with
+    "block_min_doclen long"
 )
 
 DECODED_SCHEMA = "term string, doc_id long, tf long, doc_len long"
@@ -102,6 +108,7 @@ def _pack_run(
                 btd,
                 int(bt.max()),
                 float(score.max()),
+                int(bd.min()),
             )
         )
     return rows
@@ -126,7 +133,7 @@ def pack_arranged(
         cols = [
             "term", "first_doc_id", "last_doc_id", "n",
             "doc_ids", "tfs", "doclens", "positions", "tf_defs",
-            "block_max_tf", "block_max_score",
+            "block_max_tf", "block_max_score", "block_min_doclen",
         ]
 
         def flush(pdf: pd.DataFrame, final: bool) -> tuple[list[tuple], pd.DataFrame | None]:
@@ -185,6 +192,44 @@ def pack_arranged(
                 yield pd.DataFrame(rows, columns=cols)
 
     return arranged.mapInPandas(pack, schema=PACKED_SCHEMA)
+
+
+def rebound_blocks(
+    packed: DataFrame, lexicon: DataFrame, avgdl: float
+) -> DataFrame:
+    """Replace ``block_max_score`` with a bound that is SOUND under new
+    corpus stats — the piece that lets zero-rewrite segment views keep
+    lossless block-max pruning. A merge grows n_docs, so every term's idf
+    rises and avgdl drifts; the pack-time bound can fall BELOW a doc's true
+    merged-stats score and pruning against it would silently drop results.
+
+    bound = idf_new·(k1+1)·max_tf / (max_tf + k1·(1−b + b·min_dl/avgdl_new))
+    ≥ the merged-stats score of every doc in the block (BM25 is monotone
+    increasing in tf, decreasing in doc_len), slightly looser than an exact
+    re-pack — compaction restores tightness. Requires ``block_min_doclen``
+    (layouts packed before it existed cannot rebound: caller must fall back
+    to the flat path). The idf join is an equi-join on term, so a query's
+    ``term IN (...)`` pushes through it to both scans — rebound costs
+    nothing until blocks are actually read."""
+    if "block_min_doclen" not in packed.columns:
+        raise ValueError(
+            "packed layout has no block_min_doclen (written by an older "
+            "packer) — re-pack or serve flat"
+        )
+    mt = F.col("block_max_tf").cast("double")
+    dl = F.col("block_min_doclen").cast("double")
+    bound = (
+        F.col("idf")
+        * mt
+        * F.lit(K1 + 1.0)
+        / (mt + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.lit(avgdl)))
+    )
+    return (
+        packed.drop("block_max_score")
+        .join(lexicon.select("term", "idf"), "term")
+        .withColumn("block_max_score", bound)
+        .drop("idf")
+    )
 
 
 def _decode_block_positions(blob: bytes, tfs: np.ndarray) -> list:

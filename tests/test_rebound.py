@@ -1,0 +1,192 @@
+"""Re-boundable blocks: zero-rewrite segment views keep LOSSLESS block-max
+pruning by recomputing per-block upper bounds against merged stats
+(operators/postings.py:rebound_blocks). Pack-time bounds are only valid for
+the idf/avgdl they were packed with — these tests prove (a) the stale bound
+genuinely goes lossy after a merge, (b) the rebound bound is sound, and
+(c) the pruned packed path over a multi-segment view is rank-identical to
+the flat path."""
+
+import pytest
+
+from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+K1, B = 1.2, 0.75
+
+
+def _contrib(idf, tf, dl, avgdl):
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def two_segments(spark, tmp_path_factory):
+    """The 160-doc corpus split into two doc-disjoint PACKED-ONLY segments
+    plus the merged view."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        load_segmented_index,
+    )
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("rebound_segs")
+    docs = corpus_df(spark, 160, seed=31)
+    dirs = []
+    for m in (0, 1):
+        part = docs.filter(F.abs(F.hash("path")) % 2 == m)
+        d = str(base / f"seg{m}")
+        build_and_write_index(spark, part, d, term_buckets=4, flat=False)
+        dirs.append(d)
+    return load_segmented_index(spark, dirs, validate_disjoint=True)
+
+
+def test_segment_view_offers_rebound_packed(two_segments):
+    view = two_segments
+    assert view.packed is not None and view.packed_only
+    assert "block_min_doclen" in view.packed.columns
+
+
+def test_rebound_bound_is_sound_under_merged_stats(two_segments):
+    """Every posting's TRUE merged-stats contribution is <= the rebound
+    bound of the block that HOLDS it. Pruning drops a doc only if its own
+    block's bound falls under theta, so soundness is a per-own-block
+    property — checked per segment, where block doc-id ranges are unique
+    (segments' ranges may interleave in the unioned view)."""
+    from streamworks_search_engine_spark.operators.postings import (
+        rebound_blocks,
+    )
+
+    view = two_segments
+    idf = {r["term"]: r["idf"] for r in view.lexicon.collect()}
+    total = 0
+    for seg in view.segments:
+        blocks = rebound_blocks(
+            seg.packed, view.lexicon, view.avgdl
+        ).drop("positions").collect()
+        by_term = {}
+        for b in blocks:
+            by_term.setdefault(b["term"], []).append(b)
+        decoded = seg.postings.select(
+            "term", "doc_id", "tf", "doc_len"
+        ).collect()
+        for r in decoded:
+            own = [
+                b
+                for b in by_term[r["term"]]
+                if b["first_doc_id"] <= r["doc_id"] <= b["last_doc_id"]
+            ]
+            assert len(own) == 1  # within a segment, ranges are unique
+            true = _contrib(idf[r["term"]], r["tf"], r["doc_len"], view.avgdl)
+            assert true <= own[0]["block_max_score"] + 1e-12, (
+                r["term"], r["doc_id"], true, own[0]["block_max_score"],
+            )
+            total += 1
+    assert total > 0
+
+
+def test_stale_pack_time_bound_goes_lossy_rebound_does_not(spark, tmp_path):
+    """The reason rebound exists: merge in a segment of SHORT docs (avgdl
+    drops, idf rises) and some doc's true merged-stats score EXCEEDS the
+    pack-time bound — pruning against the stale bound would drop it. The
+    rebound bound covers it."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        load_segmented_index,
+    )
+    from streamworks_search_engine_spark.operators.query import load_index
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    filler = " ".join(f"filler{i}" for i in range(60))
+    seg_a = spark.createDataFrame(
+        [("r", f"a{i}.py", "c", "python", f"needle {filler}") for i in range(4)],
+        schema,
+    )
+    # short docs WITHOUT the needle term: merged avgdl drops, needle idf rises
+    seg_b = spark.createDataFrame(
+        [("r", f"b{i}.py", "c", "python", "tiny doc") for i in range(20)],
+        schema,
+    )
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_and_write_index(spark, seg_a, da, term_buckets=2, flat=False)
+    build_and_write_index(spark, seg_b, db, term_buckets=2, flat=False)
+
+    stale = {
+        r["term"]: r["block_max_score"]
+        for r in load_index(spark, da).packed.collect()
+    }
+    view = load_segmented_index(spark, [da, db], validate_disjoint=True)
+    idf = {r["term"]: r["idf"] for r in view.lexicon.collect()}
+    needle_rows = view.postings.filter("term = 'needle'").collect()
+    true_max = max(
+        _contrib(idf["needle"], r["tf"], r["doc_len"], view.avgdl)
+        for r in needle_rows
+    )
+    rebound = {
+        r["term"]: r["block_max_score"]
+        for r in view.packed.filter("term = 'needle'").collect()
+    }
+    assert true_max > stale["needle"] + 1e-9  # stale bound IS lossy here
+    assert true_max <= rebound["needle"] + 1e-12  # rebound covers it
+
+
+def test_pruned_packed_path_rank_identical_over_segments(two_segments):
+    """bm25 over the segment view: pruned packed == unpruned packed == flat,
+    for single-term, conjunctive, and OR queries."""
+    from streamworks_search_engine_spark.operators.query import (
+        bm25_topk,
+        bm25_topk_packed,
+    )
+
+    view = two_segments
+    lex = view.lexicon.orderBy(view.lexicon.df.desc()).limit(3).collect()
+    hot = [r["term"] for r in lex]
+    cases = [
+        (hot[:1], "all"),
+        (hot[:2], "all"),
+        (hot[:3], "any"),
+    ]
+    for terms, mode in cases:
+        flat = _rows(bm25_topk(view, terms, k=10, mode=mode))
+        packed_on = _rows(
+            bm25_topk_packed(view, terms, k=10, prune=True, mode=mode)
+        )
+        packed_off = _rows(
+            bm25_topk_packed(view, terms, k=10, prune=False, mode=mode)
+        )
+        assert flat == packed_on == packed_off, (terms, mode)
+
+
+def test_streamed_view_serves_packed_search(spark, tmp_path):
+    """End to end: segments built LIVE by the stream expose a rebound
+    packed view, and the front door's packed route matches the flat path."""
+    from streamworks_search_engine_spark.operators.query import (
+        bm25_topk,
+        bm25_topk_packed,
+    )
+    from streamworks_search_engine_spark.streaming.incremental import (
+        load_streamed_index,
+        start_segment_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    work = str(tmp_path / "wk")
+    corpus_df(spark, 100, seed=17).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    q = start_segment_stream(spark, in_dir, work, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    view = load_streamed_index(spark, work)
+    assert view.packed is not None and view.packed_only
+    hot = [
+        r["term"]
+        for r in view.lexicon.orderBy(view.lexicon.df.desc()).limit(2).collect()
+    ]
+    assert _rows(bm25_topk_packed(view, hot, k=10, prune=True)) == _rows(
+        bm25_topk(view, hot, k=10)
+    )
