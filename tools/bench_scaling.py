@@ -239,6 +239,11 @@ Same job, same input, fresh JVM per run, launched with real
 Job: {s['job']}
 Input: {s['input_files']} synthetic source files (input_hint schema, seed=42).
 
+Per-phase timings can sum past wall: since round 4 the output tables are
+written as concurrent Spark jobs (`write_index`'s driver-side thread pool),
+so `write_small_tables` overlaps `write_packed_postings` instead of paying
+a serial job-submission + commit round trip per table.
+
 {_pair_md('Primary (hardware-fair N vs 4N)', s['primary_pair'], s['primary'], s['repeats'])}
 """
     if "secondary" in s:
