@@ -448,6 +448,174 @@ def bm25_topk_excluding(
     )
 
 
+def bm25_topk_after(
+    index: SearchIndex,
+    raw_terms: list[str],
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+    mode: str = "all",
+) -> DataFrame:
+    """Keyset pagination ("search_after"): the next ``k`` results strictly
+    after the cursor ``after=(score, doc_id)`` in the canonical result
+    order (score DESC, doc_id ASC). Returns (rank, doc_id, score) with
+    rank 1..k WITHIN the page.
+
+    Beyond-reference capability (the reference always returns one page,
+    `engine/handlers/MatchHandler.java:317-335`); the standard deep-paging
+    design from search engines (Elasticsearch search_after, ES docs) —
+    OFFSET-style paging must materialize and rank offset+k rows on one
+    node, a cost that grows per page, while a keyset cursor is a cheap
+    row-level predicate.
+
+    Scale shape: scoring reuses the verified ``bm25_topk`` plan (k=None —
+    full match set, no rank). The cursor is ONE filter on the scored frame
+    — it reaches the aggregation output before the top-k sort, so the
+    global sort ranks only the still-eligible docs, constant work per page
+    (vs OFFSET's linearly growing TakeOrdered). Cursor floats compare
+    exactly: the per-doc score is a plan-pinned summation
+    (``_score_and_topk`` sorts the term parts), so the same doc reproduces
+    the same float64 bit pattern across pages.
+    """
+    scored = bm25_topk(index, raw_terms, k=None, mode=mode)
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < F.lit(s0))
+            | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
+        )
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "score"
+    )
+
+
+def bm25_synonym_topk(
+    index: SearchIndex,
+    groups: list[list[str]],
+    k: int | None = 10,
+) -> DataFrame:
+    """Synonym-aware BM25: each ``groups[i]`` is a set of interchangeable
+    terms scored as ONE concept — per doc the group's tf is the SUM of its
+    members' tfs, the group's df counts docs containing ANY member, and
+    idf is recomputed at that group df. Conjunctive across groups (a doc
+    must match every group that has postings at all, mirroring
+    ``bm25_topk``'s absent-term drop). Returns (rank, doc_id, score).
+
+    Beyond-reference capability (the reference expands case variants only,
+    `engine/handlers/MatchHandler.java:144-166` — the same shape: several
+    surface forms scored as one term); code search wants ``fn/func/
+    function`` or ``str/string`` treated as one identifier stem.
+
+    Scale shape: ONE term-pushed postings scan covers every member
+    (``postings_for_terms`` — flat/packed/segmented pushdown alike); the
+    member->group map is a query-sized broadcast; the group-tf roll-up is
+    a (gid, doc_id) hash agg over only the members' postings (bounded by
+    the expansion's df, map-side combined); group df/idf derive from that
+    same rolled-up frame (no second scan) and re-broadcast as a
+    groups-sized side. Per-doc float summation order is pinned by sorted
+    (gid, contrib) parts exactly like ``_score_and_topk``.
+    """
+    spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+    members: list[tuple[str, int]] = []
+    for gid, g in enumerate(groups):
+        seen: set[str] = set()
+        for raw in g:
+            seen.update(tokenize(raw, ""))
+        members.extend((t, gid) for t in sorted(seen))
+    if not members:
+        return empty
+    terms = sorted({t for t, _ in members})
+    map_df = spark.createDataFrame(members, "term string, gid int")
+    rows = postings_for_terms(index, terms, positions=False)
+    grouped = (
+        rows.join(F.broadcast(map_df), "term")
+        .groupBy("gid", "doc_id")
+        .agg(F.sum("tf").alias("tfg"), F.max("doc_len").alias("doc_len"))
+    )
+    n = float(index.n_docs)
+    gdf = grouped.groupBy("gid").agg(F.count("*").alias("df"))
+    # same expression as the lexicon build (salted_lexicon) — a singleton
+    # group must reproduce bm25_topk bit-for-bit
+    gidf = gdf.select(
+        "gid",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    ng = gidf.agg(F.count("*").alias("ng_n"))
+    hits = grouped.join(F.broadcast(gidf), "gid").select(
+        "gid",
+        "doc_id",
+        _bm25_contrib(
+            F.col("idf"), F.col("tfg"), F.col("doc_len"), index.avgdl
+        ).alias("contrib"),
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_matched"),
+        F.sort_array(F.collect_list(F.struct("gid", "contrib"))).alias("parts"),
+    )
+    scored = (
+        agg.join(F.broadcast(ng), F.col("n_matched") == F.col("ng_n"))
+        .withColumn(
+            "score",
+            F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
+        )
+        .select("doc_id", "score")
+    )
+    if k is None:
+        return scored
+    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "score"
+    )
+
+
+def bm25_topk_diversified(
+    index: SearchIndex,
+    raw_terms: list[str],
+    meta: DataFrame,
+    group_col: str,
+    max_per_group: int = 2,
+    k: int = 10,
+    mode: str = "all",
+) -> DataFrame:
+    """Result diversification: BM25 top-k with at most ``max_per_group``
+    results from any one ``group_col`` value (repo, source, domain...).
+    Returns (rank, doc_id, score, <group_col>).
+
+    Beyond-reference capability; the GitHub-code-search / web-search
+    "host crowding" rule — without it one repo's vendored copies fill the
+    whole first page.
+
+    Scale shape: scoring reuses the verified ``bm25_topk`` plan (k=None).
+    The group cap is ONE window PARTITIONED BY the group (distributed —
+    one partition per group value, never a global WindowExec; skew is
+    bounded by the match set's largest group, and the window needs only
+    row_number, no buffering past the frame row). The meta join runs on
+    doc_id over the match set only — AQE broadcasts whichever side is
+    small. The final top-k sorts only the capped survivors.
+    """
+    from pyspark.sql import Window
+
+    scored = bm25_topk(index, raw_terms, k=None, mode=mode)
+    joined = scored.join(meta.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    capped = (
+        joined.withColumn("_gr", F.row_number().over(w))
+        .filter(F.col("_gr") <= max_per_group)
+        .drop("_gr")
+    )
+    ordered = capped.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
+        "rank", "doc_id", "score", group_col
+    )
+
+
 _QUOTED = __import__("re").compile(r'"([^"]*)"')
 _QUALIFIER = __import__("re").compile(r"^([a-z_][a-z0-9_]*):(.+)$")
 

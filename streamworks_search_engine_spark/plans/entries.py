@@ -39,6 +39,9 @@ from ..operators.query import (
     bm25_topk,
     bm25_topk_batch,
     bm25_topk_excluding,
+    bm25_topk_after,
+    bm25_synonym_topk,
+    bm25_topk_diversified,
     hybrid_rrf_topk,
     tfidf_reference_topk,
 )
@@ -217,6 +220,61 @@ def q_bm25_not_top10(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("score"),
+    )
+
+
+SYN_GROUPS = [["merge", "scan"], ["window"]]
+
+
+def q_bm25_page2(spark, sf_dir):
+    """Keyset pagination ('search_after'): page 2 of the 'scan' query —
+    page 1's last (score, doc_id) becomes the cursor, and the next page is
+    ONE row-level filter on the scored frame (constant cost per page; the
+    10-row page-1 collect is the cursor handoff a real client does)."""
+    idx = _search_index(spark, sf_dir)
+    last = (
+        bm25_topk(idx, Q_SINGLE, k=10)
+        .orderBy(F.desc("rank"))
+        .limit(1)
+        .collect()[0]
+    )
+    res = bm25_topk_after(
+        idx, Q_SINGLE, k=10, after=(last["score"], last["doc_id"])
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_synonym_top10(spark, sf_dir):
+    """Synonym-group BM25: {merge, scan} scored as one concept (summed tf,
+    group df/idf), conjunctive with the 'window' group."""
+    res = bm25_synonym_topk(_search_index(spark, sf_dir), SYN_GROUPS, k=10)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_bm25_diversified_top10(spark, sf_dir):
+    """Host-crowding cap: BM25 top-10 for 'scan' with at most 2 results per
+    'source' value (the documents table's 20 sources)."""
+    res = bm25_topk_diversified(
+        _search_index(spark, sf_dir),
+        Q_SINGLE,
+        _t(spark, sf_dir, "documents"),
+        "source",
+        max_per_group=2,
+        k=10,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "source",
     )
 
 
@@ -1453,6 +1511,10 @@ QUERIES = {
     "curated_accounting": q_curated_accounting,
     # -- new this round: persisted cell-partitioned IVF --
     "ann_ivf_persisted_topk": q_ann_ivf_persisted_topk,
+    # -- new this round: paging / synonyms / diversification --
+    "bm25_page2": q_bm25_page2,
+    "bm25_synonym_top10": q_bm25_synonym_top10,
+    "bm25_diversified_top10": q_bm25_diversified_top10,
     # -- fixed this round (scalar output shape) --
     "encode_ids": q_encode_ids,
     # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
@@ -2169,6 +2231,49 @@ kept AS (SELECT m.doc_id, m.s FROM matched m
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(s, 6) AS score
 FROM kept ORDER BY s DESC, doc_id LIMIT 10""",
+    # Keyset page 2 == rows 11..20 of the total order (score DESC, doc_id):
+    # the cursor predicate and OFFSET coincide because the order is total
+    # (doc_id is unique).
+    "bm25_page2": f"""{_bm25_sql_base(Q_SINGLE)},
+ranked AS (SELECT doc_id, s,
+                  row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+           FROM matched)
+SELECT CAST(rn - 10 AS BIGINT) AS rank, doc_id, round(s, 6) AS score
+FROM ranked WHERE rn > 10 AND rn <= 20 ORDER BY rn""",
+    "bm25_synonym_top10": f"""{_SQL_INDEX},
+gmap AS (SELECT * FROM (VALUES ('merge', 0), ('scan', 0), ('window', 1))
+         v(term, gid)),
+grouped AS (SELECT g.gid, p.doc_id, sum(p.tf) AS tfg,
+                   max(d.doc_len) AS doc_len
+            FROM postings p JOIN gmap g USING (term)
+            JOIN doclen d USING (doc_id)
+            GROUP BY g.gid, p.doc_id),
+gidf AS (SELECT gid,
+                ln(1 + ((SELECT n_docs FROM stats) - count(*) + 0.5)
+                       / (count(*) + 0.5)) AS idf
+         FROM grouped GROUP BY gid),
+ng AS (SELECT count(*) AS n FROM gidf),
+scored AS (SELECT gr.doc_id,
+                  gi.idf * gr.tfg * 2.2
+                  / (gr.tfg + 1.2 * (1 - 0.75 + 0.75 * gr.doc_len
+                                     / (SELECT avgdl FROM stats))) AS contrib
+           FROM grouped gr JOIN gidf gi USING (gid)),
+agg AS (SELECT doc_id, count(*) AS nm, sum(contrib) AS s
+        FROM scored GROUP BY doc_id),
+matched AS (SELECT doc_id, s FROM agg WHERE nm = (SELECT n FROM ng))
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM matched ORDER BY s DESC, doc_id LIMIT 10""",
+    "bm25_diversified_top10": f"""{_bm25_sql_base(Q_SINGLE)},
+jm AS (SELECT m.doc_id, m.s, d.source FROM matched m
+       JOIN documents d USING (doc_id)),
+capped AS (SELECT doc_id, s, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY s DESC, doc_id) AS gr
+           FROM jm)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score, source
+FROM capped WHERE gr <= 2 ORDER BY s DESC, doc_id LIMIT 10""",
     "search_string_top10": f"""{_bm25_sql_base(sorted(["scan", "table", "hash"]))},
 ph AS (SELECT doc_id FROM toks
        WHERE len(tokens) >= 2 AND len(list_filter(

@@ -1,0 +1,198 @@
+"""Keyset pagination, synonym-group scoring, and result diversification
+(operators/query.py: bm25_topk_after / bm25_synonym_topk /
+bm25_topk_diversified). Each is checked against a brute-force recomputation
+from the flat postings — pagination must tile the global order, a singleton
+synonym group must reproduce plain BM25 bit-for-bit, and the group cap must
+keep exactly the per-group best rows."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.query import (
+    B,
+    K1,
+    bm25_synonym_topk,
+    bm25_topk,
+    bm25_topk_after,
+    bm25_topk_diversified,
+)
+
+
+def _rows(df):
+    return [
+        (r.rank, r.doc_id, round(r.score, 9))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def _full_order(index, terms):
+    rows = bm25_topk(index, terms, k=None).collect()
+    return sorted(rows, key=lambda r: (-r.score, r.doc_id))
+
+
+# ---------------------------------------------------------------- paging ----
+
+
+def test_no_cursor_equals_plain_top10(spark_index):
+    a = _rows(bm25_topk_after(spark_index, ["parse"], k=10, after=None))
+    b = _rows(bm25_topk(spark_index, ["parse"], k=10))
+    assert a == b
+
+
+def test_page2_is_rows_11_to_20(spark_index):
+    full = _full_order(spark_index, ["parse"])
+    assert len(full) >= 20, "test premise: 'parse' must match >= 20 docs"
+    cursor = (full[9].score, full[9].doc_id)
+    got = _rows(bm25_topk_after(spark_index, ["parse"], k=10, after=cursor))
+    exp = [
+        (i + 1, r.doc_id, round(r.score, 9)) for i, r in enumerate(full[10:20])
+    ]
+    assert got == exp
+
+
+def test_pages_tile_the_global_order(spark_index):
+    """Three consecutive 5-row pages == top-15, no gaps, no overlaps."""
+    full = _full_order(spark_index, ["parse", "merge"])
+    assert len(full) >= 15
+    pages, cursor = [], None
+    for _ in range(3):
+        page = bm25_topk_after(
+            spark_index, ["parse", "merge"], k=5, after=cursor
+        ).collect()
+        page = sorted(page, key=lambda r: r.rank)
+        assert [r.rank for r in page] == [1, 2, 3, 4, 5]
+        pages.extend(page)
+        cursor = (page[-1].score, page[-1].doc_id)
+    assert [r.doc_id for r in pages] == [r.doc_id for r in full[:15]]
+
+
+def test_cursor_past_end_is_empty(spark_index):
+    full = _full_order(spark_index, ["parse"])
+    last = full[-1]
+    got = bm25_topk_after(
+        spark_index, ["parse"], k=10, after=(last.score, last.doc_id)
+    )
+    assert got.count() == 0
+
+
+# -------------------------------------------------------------- synonyms ----
+
+
+def test_singleton_groups_equal_plain_bm25(spark_index):
+    """Every group a single term -> group tf/df collapse to term tf/df, so
+    the result must equal bm25_topk on the same terms (same idf expression,
+    same pinned summation order)."""
+    a = _rows(bm25_synonym_topk(spark_index, [["parse"], ["merge"]], k=10))
+    b = _rows(bm25_topk(spark_index, ["parse", "merge"], k=10))
+    assert a == b
+
+
+def test_synonym_group_matches_bruteforce(spark_index):
+    """{parse, merge} as one concept + {index}: recompute group tf sums,
+    group df/idf, and the conjunctive BM25 sum in plain Python."""
+    groups = [["merge", "parse"], ["index"]]
+    post = {
+        t: {
+            r.doc_id: (r.tf, r.doc_len)
+            for r in spark_index.postings.filter(F.col("term") == t).collect()
+        }
+        for t in ["merge", "parse", "index"]
+    }
+    n, avgdl = spark_index.n_docs, spark_index.avgdl
+
+    def contrib(idf, tf, dl):
+        return idf * tf * (K1 + 1.0) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+    exp_scores = {}
+    gdocs = []
+    for g in [["merge", "parse"], ["index"]]:
+        docs = {}
+        for t in g:
+            for d, (tf, dl) in post[t].items():
+                tf0, _ = docs.get(d, (0, dl))
+                docs[d] = (tf0 + tf, dl)
+        gdocs.append(docs)
+    for gi, docs in enumerate(gdocs):
+        df = len(docs)
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, (tf, dl) in docs.items():
+            exp_scores.setdefault(d, []).append((gi, contrib(idf, tf, dl)))
+    matched = {
+        d: sum(c for _, c in sorted(parts))
+        for d, parts in exp_scores.items()
+        if len(parts) == len(gdocs)
+    }
+    exp = sorted(matched.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    exp = [(i + 1, d, round(s, 9)) for i, (d, s) in enumerate(exp)]
+    got = _rows(bm25_synonym_topk(spark_index, groups, k=10))
+    assert got == exp
+
+
+def test_synonym_absent_group_is_dropped(spark_index):
+    """A group with no postings at all drops from the conjunction (the
+    absent-term-drop semantics of bm25_topk)."""
+    a = _rows(
+        bm25_synonym_topk(spark_index, [["parse"], ["zzqqxxnotaterm"]], k=10)
+    )
+    b = _rows(bm25_synonym_topk(spark_index, [["parse"]], k=10))
+    assert a == b
+
+
+def test_synonym_empty_groups_empty_result(spark_index):
+    assert bm25_synonym_topk(spark_index, [], k=10).count() == 0
+
+
+# --------------------------------------------------------- diversification --
+
+
+def _meta_mod(spark_index, m=3):
+    return spark_index.doclen.select(
+        "doc_id", (F.col("doc_id") % m).cast("string").alias("grp")
+    )
+
+
+def test_diversified_matches_bruteforce(spark_index):
+    meta = _meta_mod(spark_index, 3)
+    full = _full_order(spark_index, ["parse"])
+    cap, per_group, exp = 2, {}, []
+    for r in full:
+        g = str(r.doc_id % 3)
+        c = per_group.get(g, 0)
+        if c < cap:
+            per_group[g] = c + 1
+            exp.append((r.doc_id, round(r.score, 9), g))
+        if len(exp) == 6:
+            break
+    got = bm25_topk_diversified(
+        spark_index, ["parse"], meta, "grp", max_per_group=cap, k=10
+    )
+    got_rows = [
+        (r.doc_id, round(r.score, 9), r.grp)
+        for r in got.orderBy("rank").collect()
+    ]
+    assert got_rows == exp
+    assert [r.rank for r in got.orderBy("rank").collect()] == list(
+        range(1, len(exp) + 1)
+    )
+
+
+def test_diversified_cap_respected(spark_index):
+    got = bm25_topk_diversified(
+        spark_index, ["parse"], _meta_mod(spark_index, 2), "grp",
+        max_per_group=3, k=10,
+    ).collect()
+    counts = {}
+    for r in got:
+        counts[r.grp] = counts.get(r.grp, 0) + 1
+    assert counts and max(counts.values()) <= 3
+
+
+def test_diversified_large_cap_equals_plain(spark_index):
+    got = _rows(
+        bm25_topk_diversified(
+            spark_index, ["parse"], _meta_mod(spark_index, 3), "grp",
+            max_per_group=10**6, k=10,
+        ).drop("grp")
+    )
+    assert got == _rows(bm25_topk(spark_index, ["parse"], k=10))
