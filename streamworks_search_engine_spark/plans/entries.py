@@ -236,11 +236,11 @@ def q_bm25_page2(spark, sf_dir):
         bm25_topk(idx, Q_SINGLE, k=10)
         .orderBy(F.desc("rank"))
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    res = bm25_topk_after(
-        idx, Q_SINGLE, k=10, after=(last["score"], last["doc_id"])
-    )
+    # tiny-SF guard: no page 1 -> no cursor -> page 2 is page 1 (empty)
+    after = (last[0]["score"], last[0]["doc_id"]) if last else None
+    res = bm25_topk_after(idx, Q_SINGLE, k=10, after=after)
     return res.select(
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
