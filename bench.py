@@ -397,7 +397,9 @@ def main() -> None:
     # work bounded by the RARE df, so the gap grows with corpus size.
     # 8M docs / rare df 1000: the smallest size where the win is visible
     # above local-mode fixed overheads (see BENCH.md round-3 notes).
-    dp_dir = "/tmp/sse_bench_rareconj_8m_v2"
+    # v3: cache key tracks the packed-layout version (block_min_doclen added
+    # in round 4) so a stale pre-upgrade index never masks a packer change
+    dp_dir = "/tmp/sse_bench_rareconj_8m_v3"
     dp_n = 8_000_000
     if not os.path.exists(dp_dir + "/.ok"):
         from streamworks_search_engine_spark.operators.indexer import (
