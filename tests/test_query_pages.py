@@ -188,6 +188,38 @@ def test_diversified_cap_respected(spark_index):
     assert counts and max(counts.values()) <= 3
 
 
+def test_page_plan_filters_below_topk(spark_index):
+    """PLANS.md §15: the cursor predicate must sit BELOW the top-k operator
+    (TakeOrderedAndProject ranks only still-eligible docs), and there must
+    be no global Sort beyond the k-row one — constant cost per page."""
+    df = bm25_topk_after(spark_index, ["parse"], k=10, after=(0.5, 123))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    topk_at = plan.find("TakeOrderedAndProject")
+    assert topk_at >= 0, plan
+    cursor_at = plan.find("doc_id", plan.find("Filter ", topk_at))
+    filt_at = plan.find("> 123)", topk_at)
+    assert filt_at > topk_at, f"cursor filter not below top-k:\n{plan}"
+    assert cursor_at > topk_at
+    assert "Window" not in plan
+
+
+def test_diversified_plan_window_is_partitioned(spark_index):
+    """PLANS.md §15: the cap compiles to a Window PARTITIONED BY the group
+    column (never a global WindowExec) and Spark 4's rank-limit pushdown
+    (WindowGroupLimit Partial) caps each group map-side BEFORE the
+    shuffle."""
+    df = bm25_topk_diversified(
+        spark_index, ["parse"], _meta_mod(spark_index, 3), "grp",
+        max_per_group=2, k=10,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = __import__("re").search(r"windowspecdefinition\(grp#\d+,", plan)
+    assert m, f"window not partitioned by grp:\n{plan}"
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or \
+        plan.count("WindowGroupLimit") >= 2
+
+
 def test_diversified_large_cap_equals_plain(spark_index):
     got = _rows(
         bm25_topk_diversified(
