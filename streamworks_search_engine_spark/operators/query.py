@@ -889,6 +889,87 @@ def more_like_this(
     )
 
 
+def related_terms(
+    index: SearchIndex,
+    raw_term: str,
+    k: int = 10,
+    min_co: int = 2,
+    min_df: int = 2,
+    max_target_df: int = 1_000_000,
+) -> DataFrame:
+    """'Related searches': the ``k`` terms most associated with
+    ``raw_term`` by pointwise mutual information over document
+    co-occurrence — PMI = ln(co·N / (df_t·df')), where ``co`` counts docs
+    containing both terms. Returns (rank, term, co, pmi), ordered PMI
+    DESC then term ASC; requires ``co >= min_co`` and ``df' >= min_df``
+    (a 1-doc co-occurrence is noise, and PMI is maximal for hapaxes).
+
+    Beyond-reference capability (the reference's query-assist surface is
+    spellcheck only, `engine/handlers/SpellcheckHandler.java`); the
+    standard query-expansion / "related searches" feature next to
+    MoreLikeThis (same tf·idf family, corpus-level instead of per-doc).
+
+    Scale shape: the target's doc set comes through the verified
+    term-pushed path (``postings_for_terms`` — flat row-group pruning or
+    packed block decode of ONE term), is bounded by the target's df
+    (guarded by ``max_target_df`` — precompute offline for hotter terms),
+    and broadcasts into ONE map-side hash semi-join over a single
+    postings pass; co-counts are a map-side-combined (term) agg whose
+    output is vocabulary-sized, and the PMI join runs against the
+    (vocabulary-sized) lexicon. No shuffle touches the postings rows —
+    the one wide table moves zero bytes.
+    """
+    spark = index.lexicon.sparkSession
+    empty = spark.createDataFrame(
+        [], "rank int, term string, co long, pmi double"
+    )
+    terms = normalize_terms([raw_term])
+    if len(terms) != 1:
+        raise ValueError(f"related_terms wants one term, got {terms!r}")
+    t = terms[0]
+    lex = index.lexicon.filter(F.col("term") == t).select("df").collect()
+    if not lex:
+        return empty
+    df_t = int(lex[0]["df"])
+    if df_t > max_target_df:
+        raise ValueError(
+            f"target df {df_t} > max_target_df {max_target_df}: the doc-set "
+            "broadcast would not be bounded — precompute co-occurrence "
+            "offline for terms this hot"
+        )
+    target_docs = (
+        postings_for_terms(index, [t], positions=False)
+        .select("doc_id")
+        .distinct()
+    )
+    rows = _apply_tombstones(index, index.postings)
+    co = (
+        rows.join(F.broadcast(target_docs), "doc_id", "left_semi")
+        .filter(F.col("term") != t)
+        .groupBy("term")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    n = float(index.n_docs)
+    scored = (
+        co.join(index.lexicon.select("term", "df"), "term")
+        .filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            "co",
+            F.log(
+                F.col("co").cast("double")
+                * F.lit(n)
+                / (F.lit(float(df_t)) * F.col("df").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+    ordered = scored.orderBy(F.desc("pmi"), F.asc("term")).limit(k)
+    return attach_rank(ordered, [F.desc("pmi"), F.asc("term")]).select(
+        "rank", "term", "co", "pmi"
+    )
+
+
 def facet_counts(
     index: SearchIndex,
     query: str,

@@ -42,6 +42,7 @@ from ..operators.query import (
     bm25_topk_after,
     bm25_synonym_topk,
     bm25_topk_diversified,
+    related_terms,
     hybrid_rrf_topk,
     tfidf_reference_topk,
 )
@@ -275,6 +276,18 @@ def q_bm25_diversified_top10(spark, sf_dir):
         "doc_id",
         F.round("score", 6).alias("score"),
         "source",
+    )
+
+
+def q_related_terms(spark, sf_dir):
+    """'Related searches' for 'scan': top-10 co-occurring terms by PMI
+    over document co-occurrence (one broadcast semi-join postings pass)."""
+    res = related_terms(_search_index(spark, sf_dir), "scan", k=10)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "co",
+        F.round("pmi", 6).alias("pmi"),
     )
 
 
@@ -1511,10 +1524,11 @@ QUERIES = {
     "curated_accounting": q_curated_accounting,
     # -- new this round: persisted cell-partitioned IVF --
     "ann_ivf_persisted_topk": q_ann_ivf_persisted_topk,
-    # -- new this round: paging / synonyms / diversification --
+    # -- new this round: paging / synonyms / diversification / expansion --
     "bm25_page2": q_bm25_page2,
     "bm25_synonym_top10": q_bm25_synonym_top10,
     "bm25_diversified_top10": q_bm25_diversified_top10,
+    "related_terms_top10": q_related_terms,
     # -- fixed this round (scalar output shape) --
     "encode_ids": q_encode_ids,
     # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
@@ -2274,6 +2288,18 @@ capped AS (SELECT doc_id, s, source,
 SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(s, 6) AS score, source
 FROM capped WHERE gr <= 2 ORDER BY s DESC, doc_id LIMIT 10""",
+    "related_terms_top10": f"""{_SQL_INDEX},
+tdocs AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'scan'),
+tdf AS (SELECT count(*) AS df FROM tdocs),
+co AS (SELECT p.term, count(*) AS co FROM postings p JOIN tdocs USING (doc_id)
+       WHERE p.term <> 'scan' GROUP BY p.term HAVING count(*) >= 2),
+scored AS (SELECT c.term, c.co,
+                  ln(c.co * (SELECT n_docs FROM stats) * 1.0
+                     / ((SELECT df FROM tdf) * l.df)) AS pmi
+           FROM co c JOIN lexicon l USING (term) WHERE l.df >= 2)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term) AS BIGINT) AS rank,
+       term, co, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, term LIMIT 10""",
     "search_string_top10": f"""{_bm25_sql_base(sorted(["scan", "table", "hash"]))},
 ph AS (SELECT doc_id FROM toks
        WHERE len(tokens) >= 2 AND len(list_filter(

@@ -228,3 +228,60 @@ def test_diversified_large_cap_equals_plain(spark_index):
         ).drop("grp")
     )
     assert got == _rows(bm25_topk(spark_index, ["parse"], k=10))
+
+
+# ---------------------------------------------------------- related terms ---
+
+
+def test_related_terms_matches_bruteforce(spark_index):
+    """PMI top-k recomputed in plain Python from the postings."""
+    from streamworks_search_engine_spark.operators.query import related_terms
+
+    post = spark_index.postings.select("term", "doc_id").collect()
+    docs_by_term = {}
+    for r in post:
+        docs_by_term.setdefault(r.term, set()).add(r.doc_id)
+    target = "parse"
+    tdocs = docs_by_term[target]
+    n = spark_index.n_docs
+    exp = []
+    for t, docs in docs_by_term.items():
+        if t == target:
+            continue
+        co, df = len(docs & tdocs), len(docs)
+        if co >= 2 and df >= 2:
+            exp.append((t, co, math.log(co * n / (len(tdocs) * df))))
+    exp.sort(key=lambda x: (-x[2], x[0]))
+    exp = [
+        (i + 1, t, co, round(p, 9)) for i, (t, co, p) in enumerate(exp[:10])
+    ]
+    got = [
+        (r.rank, r.term, r.co, round(r.pmi, 9))
+        for r in related_terms(spark_index, "parse", k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exp
+
+
+def test_related_terms_absent_and_hot(spark_index):
+    from streamworks_search_engine_spark.operators.query import related_terms
+
+    assert related_terms(spark_index, "zzqqxxnotaterm", k=5).count() == 0
+    try:
+        related_terms(spark_index, "parse", k=5, max_target_df=1)
+        raise AssertionError("expected ValueError for hot target")
+    except ValueError:
+        pass
+
+
+def test_related_terms_plan_postings_never_shuffle(spark_index):
+    """The postings side must reach the co-count agg through a broadcast
+    semi-join (map-side); the only Exchange below the count agg carries
+    the vocabulary-sized partial counts, never postings rows."""
+    from streamworks_search_engine_spark.operators.query import related_terms
+
+    df = related_terms(spark_index, "parse", k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
