@@ -1,0 +1,125 @@
+"""Corpus-level term co-occurrence — the offline "related searches" build.
+
+``related_terms`` (operators/query.py) serves one term online with a
+df-bounded broadcast and refuses targets hotter than its cap; this module
+is the scale path it points to: ONE offline self-join build over a
+df-windowed vocabulary, producing a (term_a, term_b, co, pmi) association
+table that serves any term with a plain pushed filter.
+
+Beyond-reference capability (the reference's query-assist surface is
+spellcheck only, `engine/handlers/SpellcheckHandler.java`); the shape is
+the standard word-association precompute of search/recommendation stacks.
+
+Scale shape (the quadratic is bounded twice, both caps logged):
+- the vocabulary df window drops hapaxes (no signal, vocabulary bloat)
+  and ultra-hot terms (terms in >10% of docs blanket every doc: their
+  pairs quadratically dominate the join AND their PMI is ~0 by
+  construction) — the same safe-by-default lever as
+  ``dedup.jaccard_pairs``'s ``max_shingle_df``;
+- docs whose ELIGIBLE term count exceeds ``max_terms_per_doc`` are
+  excluded from pair generation (a doc contributes |d|² pairs), logged,
+  never silently truncated.
+The pair join shuffles on doc_id once; counts and PMI are
+map-side-combined aggs + vocabulary-sized broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    n_docs: int,
+    min_df: int = 2,
+    max_df: int | None = None,
+    min_co: int = 2,
+    max_terms_per_doc: int = 2_000,
+) -> DataFrame:
+    """Build the association table: (term_a, term_b, co, pmi) with
+    term_a < term_b, co = docs containing both, co >= ``min_co``, both
+    terms inside the df window, PMI = ln(co·N / (df_a·df_b)).
+
+    ``max_df=None`` defaults to ``n_docs // 10`` — the cap is ON by
+    default so the exported API is safe at corpus scale out of the box.
+    """
+    if max_df is None:
+        max_df = max(min_df, n_docs // 10)
+    elig = lexicon.filter(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    ).select("term", "df")
+    rows = postings.select("term", "doc_id").join(
+        F.broadcast(elig.select("term")), "term"
+    )
+    big = (
+        rows.groupBy("doc_id")
+        .agg(F.count("*").alias("nt"))
+        .filter(F.col("nt") > max_terms_per_doc)
+    )
+    n_big = big.count()
+    if n_big:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cooccurrence_pairs: excluding %d docs with > %d eligible terms "
+            "from pair generation (each contributes |d|^2 pairs; counts for "
+            "surviving pairs stay exact)",
+            n_big,
+            max_terms_per_doc,
+        )
+        rows = rows.join(F.broadcast(big.select("doc_id")), "doc_id", "left_anti")
+    a = rows.select(F.col("term").alias("term_a"), "doc_id")
+    b = rows.select(F.col("term").alias("term_b"), "doc_id")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    ea = F.broadcast(elig.select(F.col("term").alias("term_a"), F.col("df").alias("df_a")))
+    eb = F.broadcast(elig.select(F.col("term").alias("term_b"), F.col("df").alias("df_b")))
+    return (
+        pairs.join(ea, "term_a")
+        .join(eb, "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            "co",
+            F.log(
+                F.col("co").cast("double")
+                * F.lit(float(n_docs))
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def related_from_pairs(pairs: DataFrame, raw_term: str, k: int = 10) -> DataFrame:
+    """Serve 'related searches' for ``raw_term`` from the precomputed
+    association table: two pushed equality filters (term_a = t OR
+    term_b = t reaches the scan as one IN-ish predicate per side), union,
+    deterministic top-k. Returns (rank, term, co, pmi)."""
+    from ..functions.tokenizer import tokenize
+    from ..operators.query import attach_rank
+
+    terms = sorted(set(tokenize(raw_term, "")))
+    if len(terms) != 1:
+        raise ValueError(f"related_from_pairs wants one term, got {terms!r}")
+    t = terms[0]
+    left = pairs.filter(F.col("term_a") == t).select(
+        F.col("term_b").alias("term"), "co", "pmi"
+    )
+    right = pairs.filter(F.col("term_b") == t).select(
+        F.col("term_a").alias("term"), "co", "pmi"
+    )
+    ordered = (
+        left.unionByName(right)
+        .orderBy(F.desc("pmi"), F.asc("term"))
+        .limit(k)
+    )
+    return attach_rank(ordered, [F.desc("pmi"), F.asc("term")]).select(
+        "rank", "term", "co", "pmi"
+    )

@@ -291,6 +291,32 @@ def q_related_terms(spark, sf_dir):
     )
 
 
+def q_cooccur_pairs(spark, sf_dir):
+    """Offline co-occurrence association table (the related-terms scale
+    path): df-windowed vocabulary, one doc_id self-join, PMI — top-50
+    pairs. The window is explicit because this corpus's synthetic
+    vocabulary is small and hot (29 terms, most in >10% of docs)."""
+    from ..functions.cooccur import cooccurrence_pairs
+
+    t = _index(spark, sf_dir)
+    res = cooccurrence_pairs(
+        t.postings, t.lexicon, t.n_docs, min_df=5, max_df=450, min_co=3
+    )
+    ordered = res.orderBy(F.desc("pmi"), "term_a", "term_b").limit(50)
+    from ..operators.query import attach_rank
+
+    ranked = attach_rank(
+        ordered, [F.desc("pmi"), F.asc("term_a"), F.asc("term_b")]
+    )
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "term_a",
+        "term_b",
+        "co",
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
 def q_search_string(spark, sf_dir):
     """Free-text search box: positive terms + exact phrase + boolean NOT
     composed from verified operators ('scan -window \"table hash\"')."""
@@ -1529,6 +1555,7 @@ QUERIES = {
     "bm25_synonym_top10": q_bm25_synonym_top10,
     "bm25_diversified_top10": q_bm25_diversified_top10,
     "related_terms_top10": q_related_terms,
+    "cooccur_pairs_top50": q_cooccur_pairs,
     # -- fixed this round (scalar output shape) --
     "encode_ids": q_encode_ids,
     # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
@@ -2300,6 +2327,26 @@ scored AS (SELECT c.term, c.co,
 SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term) AS BIGINT) AS rank,
        term, co, round(pmi, 6) AS pmi
 FROM scored ORDER BY pmi DESC, term LIMIT 10""",
+    "cooccur_pairs_top50": f"""{_SQL_INDEX},
+elig AS (SELECT term, df FROM lexicon WHERE df BETWEEN 5 AND 450),
+rows_e AS (SELECT p.term, p.doc_id FROM postings p JOIN elig USING (term)),
+docs_ok AS (SELECT doc_id FROM rows_e GROUP BY doc_id
+            HAVING count(*) <= 2000),
+rows_c AS (SELECT r.term, r.doc_id FROM rows_e r JOIN docs_ok USING (doc_id)),
+pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS co
+          FROM rows_c a JOIN rows_c b
+            ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term HAVING count(*) >= 3),
+scored AS (SELECT term_a, term_b, co,
+                  ln(co * (SELECT n_docs FROM stats) * 1.0
+                     / (ea.df * eb.df)) AS pmi
+           FROM pairs
+           JOIN elig ea ON term_a = ea.term
+           JOIN elig eb ON term_b = eb.term)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS BIGINT)
+         AS rank,
+       term_a, term_b, co, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, term_a, term_b LIMIT 50""",
     "search_string_top10": f"""{_bm25_sql_base(sorted(["scan", "table", "hash"]))},
 ph AS (SELECT doc_id FROM toks
        WHERE len(tokens) >= 2 AND len(list_filter(

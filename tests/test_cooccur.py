@@ -1,0 +1,123 @@
+"""Offline co-occurrence build + serving (functions/cooccur.py): pair
+counts and PMI against a plain-Python recomputation, window/cap semantics,
+and the precomputed-serving path."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.functions.cooccur import (
+    cooccurrence_pairs,
+    related_from_pairs,
+)
+
+
+def _brute_pairs(spark_index, min_df, max_df, min_co):
+    post = spark_index.postings.select("term", "doc_id").collect()
+    docs_by_term = {}
+    for r in post:
+        docs_by_term.setdefault(r.term, set()).add(r.doc_id)
+    elig = {
+        t: d for t, d in docs_by_term.items() if min_df <= len(d) <= max_df
+    }
+    n = spark_index.n_docs
+    out = {}
+    terms = sorted(elig)
+    for i, a in enumerate(terms):
+        for b in terms[i + 1 :]:
+            co = len(elig[a] & elig[b])
+            if co >= min_co:
+                pmi = math.log(co * n / (len(elig[a]) * len(elig[b])))
+                out[(a, b)] = (co, round(pmi, 9))
+    return out
+
+
+def test_pairs_match_bruteforce(spark_index):
+    got = {
+        (r.term_a, r.term_b): (r.co, round(r.pmi, 9))
+        for r in cooccurrence_pairs(
+            spark_index.postings,
+            spark_index.lexicon,
+            spark_index.n_docs,
+            min_df=5,
+            max_df=150,
+            min_co=3,
+        ).collect()
+    }
+    exp = _brute_pairs(spark_index, 5, 150, 3)
+    assert got == exp
+    assert exp, "test premise: the window must produce pairs"
+
+
+def test_default_max_df_is_tenth_of_corpus(spark_index):
+    """max_df=None -> n_docs // 10: no pair may involve a term hotter than
+    that."""
+    res = cooccurrence_pairs(
+        spark_index.postings,
+        spark_index.lexicon,
+        spark_index.n_docs,
+        min_df=2,
+    ).collect()
+    cap = spark_index.n_docs // 10
+    dfs = {
+        r.term: r.df
+        for r in spark_index.lexicon.select("term", "df").collect()
+    }
+    for r in res:
+        assert dfs[r.term_a] <= cap and dfs[r.term_b] <= cap
+
+
+def test_doc_cap_excludes_every_doc(spark_index):
+    """max_terms_per_doc=0 excludes all docs -> empty table (logged, not
+    silently wrong)."""
+    res = cooccurrence_pairs(
+        spark_index.postings,
+        spark_index.lexicon,
+        spark_index.n_docs,
+        min_df=2,
+        max_df=150,
+        max_terms_per_doc=0,
+    )
+    assert res.count() == 0
+
+
+def test_serving_matches_table(spark_index):
+    pairs = cooccurrence_pairs(
+        spark_index.postings,
+        spark_index.lexicon,
+        spark_index.n_docs,
+        min_df=5,
+        max_df=150,
+        min_co=3,
+    ).persist()
+    try:
+        rows = pairs.collect()
+        # pick the in-window term that appears in the most pairs
+        freq = {}
+        for r in rows:
+            freq[r.term_a] = freq.get(r.term_a, 0) + 1
+            freq[r.term_b] = freq.get(r.term_b, 0) + 1
+        assert freq, "test premise: pairs exist"
+        t = max(sorted(freq), key=lambda x: freq[x])
+        exp = sorted(
+            (
+                (
+                    r.term_b if r.term_a == t else r.term_a,
+                    r.co,
+                    round(r.pmi, 9),
+                )
+                for r in rows
+                if t in (r.term_a, r.term_b)
+            ),
+            key=lambda x: (-x[2], x[0]),
+        )[:10]
+        exp = [(i + 1, a, co, p) for i, (a, co, p) in enumerate(exp)]
+        got = [
+            (r.rank, r.term, r.co, round(r.pmi, 9))
+            for r in related_from_pairs(pairs, t, k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == exp
+    finally:
+        pairs.unpersist()
