@@ -18,9 +18,15 @@ Scale shape (the quadratic is bounded twice, both caps logged):
   ``dedup.jaccard_pairs``'s ``max_shingle_df``;
 - docs whose ELIGIBLE term count exceeds ``max_terms_per_doc`` are
   excluded from pair generation (a doc contributes |d|² pairs), logged,
-  never silently truncated.
-The pair join shuffles on doc_id once; counts and PMI are
-map-side-combined aggs + vocabulary-sized broadcast joins.
+  never silently truncated. NOTE the disclosed bias: a surviving pair
+  loses the excluded docs' contributions, so its ``co`` (and therefore
+  PMI) is a lower bound when the pair also co-occurs in excluded docs —
+  df/N stay full-corpus.
+One shuffle groups eligible postings per doc; pairs are generated
+JVM-side from the per-doc sorted term array (higher-order functions, no
+self-join — the postings-side intermediate is computed once, not once
+per join branch); counts and PMI are map-side-combined aggs +
+vocabulary-sized broadcast joins.
 """
 
 from __future__ import annotations
@@ -53,28 +59,43 @@ def cooccurrence_pairs(
     rows = postings.select("term", "doc_id").join(
         F.broadcast(elig.select("term")), "term"
     )
-    big = (
+    # ONE shuffle: per-doc sorted eligible-term array. The agg buffer per
+    # doc is bounded by the eligible VOCABULARY (the df window's whole
+    # point), and the cap filter right below drops any doc that exceeds
+    # max_terms_per_doc before the quadratic step.
+    doc_terms = (
         rows.groupBy("doc_id")
-        .agg(F.count("*").alias("nt"))
-        .filter(F.col("nt") > max_terms_per_doc)
+        .agg(F.sort_array(F.collect_list("term")).alias("ts"))
+        .withColumn("nt", F.size("ts"))
     )
-    n_big = big.count()
+    # one extra small-agg pass purely for the exclusion log (the same
+    # eager-count-for-logging trade dedup.jaccard_pairs makes)
+    n_big = doc_terms.filter(F.col("nt") > max_terms_per_doc).count()
     if n_big:
         import logging
 
         logging.getLogger(__name__).warning(
             "cooccurrence_pairs: excluding %d docs with > %d eligible terms "
-            "from pair generation (each contributes |d|^2 pairs; counts for "
-            "surviving pairs stay exact)",
+            "from pair generation (each contributes |d|^2 pairs). Surviving "
+            "pairs LOSE these docs' contributions: their co / pmi are lower "
+            "bounds when the pair also co-occurs in an excluded doc",
             n_big,
             max_terms_per_doc,
         )
-        rows = rows.join(F.broadcast(big.select("doc_id")), "doc_id", "left_anti")
-    a = rows.select(F.col("term").alias("term_a"), "doc_id")
-    b = rows.select(F.col("term").alias("term_b"), "doc_id")
+    kept = doc_terms.filter(F.col("nt") <= max_terms_per_doc)
+    # pairwise combinations JVM-side: ts is sorted+distinct (postings are
+    # unique per (term, doc)), so x < y holds by construction
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("term_a") < F.col("term_b"))
+        kept.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts) - i - 1), "
+                    "y -> struct(x AS term_a, y AS term_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.term_a", "p.term_b")
         .groupBy("term_a", "term_b")
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= min_co)
@@ -102,10 +123,9 @@ def related_from_pairs(pairs: DataFrame, raw_term: str, k: int = 10) -> DataFram
     association table: two pushed equality filters (term_a = t OR
     term_b = t reaches the scan as one IN-ish predicate per side), union,
     deterministic top-k. Returns (rank, term, co, pmi)."""
-    from ..functions.tokenizer import tokenize
-    from ..operators.query import attach_rank
+    from ..operators.query import attach_rank, normalize_terms
 
-    terms = sorted(set(tokenize(raw_term, "")))
+    terms = normalize_terms([raw_term])
     if len(terms) != 1:
         raise ValueError(f"related_from_pairs wants one term, got {terms!r}")
     t = terms[0]

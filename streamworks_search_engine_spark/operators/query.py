@@ -942,7 +942,18 @@ def related_terms(
         .select("doc_id")
         .distinct()
     )
-    rows = _apply_tombstones(index, index.postings)
+    # full-corpus side: only (term, doc_id) are needed — drop the heavy
+    # position blobs BEFORE the packed decode barrier (mapInPandas prunes
+    # nothing pushed from above; same hazard postings_for_terms documents)
+    if index.packed_only and index.packed is not None:
+        from .postings import decode_blocks
+
+        rows = decode_blocks(index.packed.drop("positions"))
+    else:
+        rows = index.postings
+        if "positions" in rows.columns:
+            rows = rows.drop("positions")
+    rows = _apply_tombstones(index, rows)
     co = (
         rows.join(F.broadcast(target_docs), "doc_id", "left_semi")
         .filter(F.col("term") != t)

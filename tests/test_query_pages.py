@@ -196,10 +196,19 @@ def test_page_plan_filters_below_topk(spark_index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     topk_at = plan.find("TakeOrderedAndProject")
     assert topk_at >= 0, plan
-    cursor_at = plan.find("doc_id", plan.find("Filter ", topk_at))
-    filt_at = plan.find("> 123)", topk_at)
-    assert filt_at > topk_at, f"cursor filter not below top-k:\n{plan}"
-    assert cursor_at > topk_at
+    # the line holding the cursor constant must be a Filter on doc_id,
+    # and it must appear BELOW (after, in tree order) the top-k operator
+    filt_lines = [
+        (i, ln) for i, ln in enumerate(plan.splitlines()) if "> 123)" in ln
+    ]
+    assert filt_lines, f"cursor predicate missing from plan:\n{plan}"
+    i, ln = filt_lines[0]
+    assert "Filter" in ln and "doc_id" in ln, f"not a doc_id Filter: {ln}"
+    topk_line = next(
+        j for j, l in enumerate(plan.splitlines())
+        if "TakeOrderedAndProject" in l
+    )
+    assert i > topk_line, f"cursor filter not below top-k:\n{plan}"
     assert "Window" not in plan
 
 
