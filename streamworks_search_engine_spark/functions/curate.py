@@ -160,16 +160,12 @@ def curate_corpus(
     )
     counts.append(("05_export_docs", counts[-1][1]))
 
-    # sequences out: per shard, ceil(Σ n_tokens / capacity) — the number of
-    # fixed-capacity sequences a loader cuts from each shard's stream
+    # sequences out: per shard, ceil(Σ n_tokens / capacity) — computed from
+    # the PACKED frame's own shard/n_tokens columns (NOT by re-hashing
+    # id->shard here), so the accounting tracks sequence_pack's actual
+    # assignment even if its shard hash changes
     seq_row = (
-        dl.select(
-            F.pmod(
-                packing._md5_uint32(F.col(id_col)), F.lit(n_shards)
-            ).alias("shard"),
-            "n_tokens",
-        )
-        .groupBy("shard")
+        packed.groupBy("shard")
         .agg(F.ceil(F.sum("n_tokens") / F.lit(capacity)).alias("n_seq"))
         .agg(F.coalesce(F.sum("n_seq"), F.lit(0)).cast("long"))
         .collect()[0][0]

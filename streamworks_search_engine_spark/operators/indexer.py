@@ -638,11 +638,15 @@ def write_index(
         if opt is not None:
             small.append((opt, name))
     with ThreadPoolExecutor(max_workers=1 + len(small)) as pool:
-        futures = [pool.submit(_postings_chain)]
-        futures += [pool.submit(_write, df, name) for df, name in small]
-        for f in futures:
+        postings_future = pool.submit(_postings_chain)
+        small_futures = [pool.submit(_write, df, name) for df, name in small]
+        for f in small_futures:
             f.result()  # re-raise the first failure
-    t["write_small_tables"] = round(_time.time() - t_small, 2)
+        # small-table timing stops when the SMALL tables land — the
+        # postings chain records its own phase; waiting on it inside this
+        # window would double-count the postings cost under this label
+        t["write_small_tables"] = round(_time.time() - t_small, 2)
+        postings_future.result()
     index.lexicon.unpersist()
 
 

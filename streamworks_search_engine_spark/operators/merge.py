@@ -61,30 +61,23 @@ def _anti(df: DataFrame, tomb: DataFrame) -> DataFrame:
     return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
-def _df_correction_tables(base: IndexTables, tomb: DataFrame) -> DataFrame:
-    """(term, corr): per-term count of ``base`` postings rows belonging to
-    tombstoned docs — the exact df patch for incremental lexicon merge.
-    Packed-only bases decode only the blocks whose doc-id bucket can
-    contain a tombstoned doc (same containment equi-join as the query
-    path's skip pointers); flat bases are one broadcast-semi-joined narrow
-    scan (term, doc_id only — positions pruned at the parquet reader)."""
-    if base.packed_only and base.packed is not None:
-        from .postings import decode_blocks
-        from .query import _blocks_containing
-
-        cand = tomb.select(F.col("doc_id").alias("cand_id"))
-        blocks = _blocks_containing(
-            base.packed.drop("positions"), cand, base.n_docs
-        )
-        rows = decode_blocks(blocks)
-    else:
-        rows = base.postings
-    return (
-        rows.select("term", "doc_id")
-        .join(F.broadcast(tomb), "doc_id", "left_semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("corr"))
-    )
+def _union_doclen(parts: list[DataFrame]) -> DataFrame:
+    """Doclen union across schema generations. ``sumsq_tf`` (the tf² L2-norm
+    base materialized at build time, added round 4) survives ONLY when every
+    part carries it: unioning with allowMissingColumns would fill NULLs,
+    which ``tfidf_reference_topk`` would fold into NULL scores — silent
+    ranking corruption. Dropping the column instead makes the scorer take
+    its exact legacy per-query aggregation path (slower, correct), and the
+    next compaction of an all-new-layout set restores the fast path."""
+    if not all("sumsq_tf" in p.columns for p in parts):
+        parts = [
+            p.drop("sumsq_tf") if "sumsq_tf" in p.columns else p
+            for p in parts
+        ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_index_tables(
@@ -125,8 +118,11 @@ def merge_index_tables(
         return out
 
     postings = merged(base.postings, delta.postings)
-    doclen = merged(base.doclen, delta.doclen)
-    assert postings is not None and doclen is not None
+    kept_delta_doclen = (
+        _anti(delta.doclen, del_only) if del_only is not None else delta.doclen
+    )
+    doclen = _union_doclen([_anti(base.doclen, tomb), kept_delta_doclen])
+    assert postings is not None
 
     stats_row = doclen.agg(
         F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
@@ -147,7 +143,7 @@ def merge_index_tables(
     zero = F.lit(0).cast("long")
     base_lex = base.lexicon.select("term", "df")
     if tomb is not None:
-        corr = _df_correction_tables(base, tomb)
+        corr = _tombstone_df_correction(base, tomb)
         base_lex = base_lex.join(corr, "term", "left").select(
             "term", (F.col("df") - F.coalesce("corr", zero)).alias("df")
         )
@@ -184,12 +180,15 @@ def merge_index_tables(
         n_docs=n_docs,
         avgdl=avgdl,
         path_hits=merged(base.path_hits, delta.path_hits),
+        anchor_hits=merged(base.anchor_hits, delta.anchor_hits),
     )
 
 
-def _tombstone_df_correction(base: SearchIndex, tomb: DataFrame) -> DataFrame:
+def _tombstone_df_correction(base, tomb: DataFrame) -> DataFrame:
     """(term, corr): how many of ``base``'s postings per term belong to a
     tombstoned doc — the exact df patch the merged lexicon must subtract.
+    Duck-typed over IndexTables AND SearchIndex (the one implementation —
+    both merge paths call it).
 
     The tombstone set is delta-sized (broadcast). For a packed-only base
     this does NOT decode the whole table: the same bucket-containment
@@ -276,7 +275,7 @@ def merge_search_segments(
         postings = postings.withColumn(
             "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
         )
-    doclen = _anti(base.doclen, tomb).unionByName(delta_doclen)
+    doclen = _union_doclen([_anti(base.doclen, tomb), delta_doclen])
 
     # incremental exact lexicon: base df − tombstoned-doc correction +
     # delta df, idf against merged n_docs (provably equal to re-deriving
@@ -310,14 +309,14 @@ def merge_search_segments(
         )
     )
 
-    path_hits = None
-    if base.path_hits is not None and delta.path_hits is not None:
-        delta_ph = (
-            _anti(delta.path_hits, del_only)
-            if del_only is not None
-            else delta.path_hits
-        )
-        path_hits = _anti(base.path_hits, tomb).unionByName(delta_ph)
+    def _merged_hits(base_df, delta_df):
+        if base_df is None or delta_df is None:
+            return None
+        d = _anti(delta_df, del_only) if del_only is not None else delta_df
+        return _anti(base_df, tomb).unionByName(d)
+
+    path_hits = _merged_hits(base.path_hits, delta.path_hits)
+    anchor_hits = _merged_hits(base.anchor_hits, delta.anchor_hits)
 
     docs_dim = None
     if base.docs_dim is not None and delta.docs_dim is not None:
@@ -342,6 +341,7 @@ def merge_search_segments(
         packed=base.packed,
         packed_only=base.packed_only,
         path_hits=base.path_hits,
+        anchor_hits=base.anchor_hits,
         segments=base.segments,
         tombstones=(
             tomb
@@ -358,6 +358,14 @@ def merge_search_segments(
         docs_dim=delta.docs_dim,
         n_docs=delta.n_docs,
         avgdl=delta.avgdl,
+        # a packed-only delta segment (append_segment always writes
+        # flat=False) must keep its layout flags, or postings_for_terms
+        # falls back to filtering ABOVE the decode barrier and every query
+        # decodes the whole delta
+        packed=delta.packed,
+        packed_only=delta.packed_only,
+        path_hits=delta.path_hits,
+        anchor_hits=delta.anchor_hits,
         tombstones=del_only,
     )
 
@@ -371,6 +379,7 @@ def merge_search_segments(
         packed=None,  # whole-view block pruning needs a re-pack (compaction)
         packed_only=False,
         path_hits=path_hits,
+        anchor_hits=anchor_hits,
         segments=[base_view, delta_view],
     )
 
@@ -417,6 +426,7 @@ def index_tables_from_dir(spark: SparkSession, index_dir: str) -> IndexTables:
         n_docs=idx.n_docs,
         avgdl=idx.avgdl,
         path_hits=idx.path_hits,
+        anchor_hits=idx.anchor_hits,
         packed=idx.packed,
         packed_only=idx.packed_only,
     )
@@ -483,7 +493,7 @@ def load_segmented_index(
         postings = postings.withColumn(
             "tf_def", F.coalesce(F.col("tf_def"), F.lit(0).cast("long"))
         )
-    doclen = union_all([s.doclen for s in segs])
+    doclen = _union_doclen([s.doclen for s in segs])
 
     if validate_disjoint:
         distinct = doclen.select("doc_id").distinct().count()
@@ -514,6 +524,9 @@ def load_segmented_index(
     path_hits = None
     if all(s.path_hits is not None for s in segs):
         path_hits = union_all([s.path_hits for s in segs])
+    anchor_hits = None
+    if all(s.anchor_hits is not None for s in segs):
+        anchor_hits = union_all([s.anchor_hits for s in segs])
 
     packed = None
     if all(
@@ -536,6 +549,7 @@ def load_segmented_index(
         packed=packed,
         packed_only=packed is not None and all(s.packed_only for s in segs),
         path_hits=path_hits,
+        anchor_hits=anchor_hits,
         # term-filtered access recurses per segment so the IN filter reaches
         # each segment's own scan — a packed-only segment decodes only the
         # matching terms' blocks, never the whole table

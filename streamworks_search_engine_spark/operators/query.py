@@ -584,7 +584,9 @@ def bm25_topk_diversified(
 ) -> DataFrame:
     """Result diversification: BM25 top-k with at most ``max_per_group``
     results from any one ``group_col`` value (repo, source, domain...).
-    Returns (rank, doc_id, score, <group_col>).
+    Returns (rank, doc_id, score, <group_col>) — the group column is
+    served as STRING; matching docs absent from ``meta`` are never
+    dropped: they form one capped "(unknown)" group.
 
     Beyond-reference capability; the GitHub-code-search / web-search
     "host crowding" rule — without it one repo's vendored copies fill the
@@ -601,7 +603,15 @@ def bm25_topk_diversified(
     from pyspark.sql import Window
 
     scored = bm25_topk(index, raw_terms, k=None, mode=mode)
-    joined = scored.join(meta.select("doc_id", group_col), "doc_id")
+    # LEFT join: a matching doc with no metadata row must not silently
+    # vanish from results — docs with unknown group collectively form one
+    # capped "(unknown)" group (visible in the output, never dropped)
+    joined = scored.join(
+        meta.select("doc_id", group_col), "doc_id", "left"
+    ).withColumn(
+        group_col,
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(unknown)")),
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.desc("score"), F.asc("doc_id")
     )

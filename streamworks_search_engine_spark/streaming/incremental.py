@@ -341,23 +341,28 @@ def compact_streamed_segments(
     after, the compacted segment plus only newer epochs. Subsumed dirs stay
     on disk until :func:`gc_streamed_segments`."""
     from ..operators.indexer import IndexTables, write_index
-    from ..operators.merge import load_segmented_index
 
     manifest = _read_manifest(spark, work_dir)
     gen = (int(manifest["gen"]) + 1) if manifest else 1
-    visible = committed_segment_dirs(spark, work_dir)
-    if not visible:
-        raise ValueError(f"nothing to compact under {work_dir}/segments")
+    # ONE directory listing pins the epoch snapshot: the compaction INPUT
+    # and the subsumption CUT both derive from it. Listing twice races
+    # concurrent ingest — an epoch committed between the listings would be
+    # recorded as subsumed without its docs being compacted (silent data
+    # loss), or (via a later re-listing inside the open) compacted AND
+    # still visible as a newer epoch (duplication).
     epochs = _marked_epoch_dirs(spark, work_dir)
     cut = int(manifest["max_epoch"]) if manifest else -1
-    subsumed_cut = max([e for e, _ in epochs if e > cut], default=cut)
+    newer = sorted((e, d) for e, d in epochs if e > cut)
+    visible = (list(manifest["live"]) if manifest else []) + [
+        d for _, d in newer
+    ]
+    if not visible:
+        raise ValueError(f"nothing to compact under {work_dir}/segments")
+    subsumed_cut = max([e for e, _ in newer], default=cut)
 
     # upsert ingests must compact through the supersede fold, or the union
     # would duplicate re-ingested doc_ids into the compacted segment
-    if upsert:
-        view = load_streamed_index(spark, work_dir, upsert=True)
-    else:
-        view = load_segmented_index(spark, visible)
+    view = _open_segment_dirs(spark, visible, upsert)
     out_dir = f"{work_dir}/segments/compacted={gen}"
     write_index(
         IndexTables(
@@ -368,6 +373,7 @@ def compact_streamed_segments(
             n_docs=view.n_docs,
             avgdl=view.avgdl,
             path_hits=view.path_hits,
+            anchor_hits=view.anchor_hits,
         ),
         out_dir,
         term_buckets=term_buckets,
@@ -424,11 +430,19 @@ def load_streamed_index(spark: SparkSession, work_dir: str, upsert: bool = False
     lexicon/stats correction, so df/idf/avgdl reflect only live versions.
     Cost is one bounded correction job per segment; compaction collapses
     the chain back to a single segment."""
-    from ..operators.merge import load_segmented_index
-
     dirs = committed_segment_dirs(spark, work_dir)
     if not dirs:
         raise ValueError(f"no committed segments under {work_dir}/segments")
+    return _open_segment_dirs(spark, dirs, upsert)
+
+
+def _open_segment_dirs(spark: SparkSession, dirs: list[str], upsert: bool):
+    """Open an EXPLICIT, already-pinned segment dir list — shared by the
+    reader (which pins via one committed_segment_dirs listing) and the
+    compactor (which pins via its own single listing so input and
+    subsumption cut cannot diverge)."""
+    from ..operators.merge import load_segmented_index
+
     if not upsert:
         return load_segmented_index(spark, dirs)
     from ..operators.merge import index_tables_from_dir, merge_search_segments

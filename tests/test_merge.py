@@ -150,6 +150,8 @@ def _as_search(idx):
         docs_dim=None,
         n_docs=idx.n_docs,
         avgdl=idx.avgdl,
+        path_hits=idx.path_hits,
+        anchor_hits=idx.anchor_hits,
     )
 
 
@@ -500,3 +502,77 @@ def test_append_segment_matches_full_build_path(spark, tmp_path):
         got = _topk_rows(view, terms, mode=mode)
         assert got, (terms, mode)
         assert got == _topk_rows(_as_search(rebuilt), terms, mode=mode)
+
+
+# --- round-4 close regressions: schema evolution + signal propagation ---
+
+
+def test_legacy_doclen_merges_without_null_poison(spark, merge_case):
+    """A base written before the sumsq_tf column existed must merge without
+    an AnalysisException AND without NULL-filling the column (NULL sumsq_tf
+    would silently null tfidf scores): the merged doclen DROPS the column,
+    sending the scorer down its exact per-query fallback path."""
+    import dataclasses
+
+    from streamworks_search_engine_spark.operators.query import (
+        tfidf_reference_topk,
+    )
+
+    base = merge_case["base"]
+    legacy = dataclasses.replace(base, doclen=base.doclen.drop("sumsq_tf"))
+    merged = merge_index_tables(spark, legacy, merge_case["delta"])
+    assert "sumsq_tf" not in merged.doclen.columns
+
+    view = merge_search_segments(
+        spark, _as_search(legacy), merge_case["delta"]
+    )
+    assert "sumsq_tf" not in view.doclen.columns
+    res = tfidf_reference_topk(view, ["parse"], k=5).collect()
+    assert res and all(r.score is not None for r in res)
+
+
+def test_anchor_hits_survive_merge_paths(spark, merge_case):
+    """The 'a'-class cross-doc signal must not silently disappear after a
+    merge: both merge_index_tables and merge_search_segments carry it."""
+    import dataclasses
+
+    a_base = spark.createDataFrame(
+        [(1, "modx", 3)], "doc_id long, term string, a_cnt long"
+    )
+    a_delta = spark.createDataFrame(
+        [(2, "mody", 1)], "doc_id long, term string, a_cnt long"
+    )
+    b2 = dataclasses.replace(merge_case["base"], anchor_hits=a_base)
+    d2 = dataclasses.replace(merge_case["delta"], anchor_hits=a_delta)
+    merged = merge_index_tables(spark, b2, d2)
+    assert merged.anchor_hits is not None
+    got = {(r.doc_id, r.term) for r in merged.anchor_hits.collect()}
+    assert got == {(1, "modx"), (2, "mody")}
+
+    view = merge_search_segments(spark, _as_search(b2), d2)
+    assert view.anchor_hits is not None
+    assert {(r.doc_id, r.term) for r in view.anchor_hits.collect()} == got
+
+
+def test_delta_view_keeps_packed_layout(spark, merge_case, tmp_path):
+    """A packed-only DELTA segment must keep its layout flags in the view,
+    so postings_for_terms decodes only the query terms' blocks instead of
+    the whole delta (term filter below the mapInPandas barrier)."""
+    from streamworks_search_engine_spark.operators.indexer import (
+        build_and_write_index,
+    )
+    from streamworks_search_engine_spark.operators.merge import (
+        index_tables_from_dir,
+    )
+    from streamworks_search_engine_spark.sources.corpus import generate_corpus
+
+    rows = generate_corpus(280, seed=7)[260:]
+    d = str(tmp_path / "packed_delta")
+    build_and_write_index(
+        spark, _df(spark, rows), d, term_buckets=4, flat=False
+    )
+    delta = index_tables_from_dir(spark, d)
+    assert delta.packed_only
+    view = merge_search_segments(spark, _as_search(merge_case["base"]), delta)
+    dv = view.segments[1]
+    assert dv.packed_only and dv.packed is not None

@@ -294,3 +294,23 @@ def test_related_terms_plan_postings_never_shuffle(spark_index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_diversified_missing_meta_not_dropped(spark_index):
+    """A matching doc absent from the meta table must surface in the
+    "(unknown)" group instead of silently vanishing from the page."""
+    meta = spark_index.doclen.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.lit("g").alias("grp")
+    )
+    got = bm25_topk_diversified(
+        spark_index, ["parse"], meta, "grp", max_per_group=2, k=10
+    ).collect()
+    grps = [r.grp for r in got]
+    assert "(unknown)" in grps and "g" in grps
+    counts = {}
+    for g in grps:
+        counts[g] = counts.get(g, 0) + 1
+    assert max(counts.values()) <= 2
+    # the overall best match must appear regardless of meta coverage
+    best = _full_order(spark_index, ["parse"])[0]
+    assert best.doc_id in {r.doc_id for r in got}
