@@ -412,3 +412,48 @@ def test_streamed_upsert_latest_epoch_wins(spark, tmp_path):
     assert post.n_docs == 3
     assert _bm25_rows(post, ["shared"]) == before
     assert _bm25_rows(post, ["oldword"]) == []
+
+
+def test_compaction_pins_one_listing_no_lost_epoch(spark, tmp_path, monkeypatch):
+    """Regression for the compaction visibility race: an epoch committed
+    immediately AFTER compaction's directory listing must stay visible
+    (its id lies above the subsumption cut). The old double-listing code
+    could record such an epoch as subsumed without compacting its docs —
+    silent data loss. Also asserts the compactor lists the directory
+    exactly ONCE (input and cut derive from the same snapshot)."""
+    import streamworks_search_engine_spark.streaming.incremental as inc
+    from streamworks_search_engine_spark.operators.merge import append_segment
+
+    in_dir = str(tmp_path / "incoming")
+    work = str(tmp_path / "work")
+    docs = corpus_df(spark, 60, seed=23)
+    docs.repartition(2).write.mode("overwrite").parquet(in_dir)
+    q = inc.start_segment_stream(spark, in_dir, work, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert len(inc.committed_segment_dirs(spark, work)) == 2
+
+    late_docs = corpus_df(spark, 10, seed=99)
+    calls = {"n": 0}
+    real = inc._marked_epoch_dirs
+
+    def listing_spy(s, wd):
+        out = real(s, wd)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # "concurrent ingest": a new epoch commits right after the
+            # compactor's snapshot listing
+            d = f"{wd}/segments/epoch=99"
+            append_segment(spark, late_docs, d, term_buckets=2)
+            fs, marker = inc._hadoop_fs(spark, f"{d}/{inc.COMMIT_MARKER}")
+            fs.create(marker, True).close()
+        return out
+
+    monkeypatch.setattr(inc, "_marked_epoch_dirs", listing_spy)
+    inc.compact_streamed_segments(spark, work, term_buckets=4)
+    assert calls["n"] == 1, "compaction must derive input AND cut from ONE listing"
+    monkeypatch.undo()
+
+    visible = inc.committed_segment_dirs(spark, work)
+    assert any("epoch=99" in v for v in visible), visible
+    view = inc.load_streamed_index(spark, work)
+    assert view.n_docs == 70  # 60 compacted + 10 late — nothing lost
