@@ -67,9 +67,14 @@ def cooccurrence_pairs(
         rows.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("term")).alias("ts"))
         .withColumn("nt", F.size("ts"))
+        # persisted across the exclusion count and the pair aggregation:
+        # without it the postings scan + the collect_list shuffle (the
+        # single heaviest stage) runs TWICE — once for the log count, once
+        # for the pairs. No explicit unpersist: the returned plan still
+        # references the cache; the ContextCleaner frees the blocks when
+        # the caller drops the result frame
+        .persist()
     )
-    # one extra small-agg pass purely for the exclusion log (the same
-    # eager-count-for-logging trade dedup.jaccard_pairs makes)
     n_big = doc_terms.filter(F.col("nt") > max_terms_per_doc).count()
     if n_big:
         import logging

@@ -102,3 +102,71 @@ def pagerank(
 def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
     """O5 analog (PageRank.java:196-234): top-N by rank, doc_id tiebreak."""
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(k)
+
+
+def pagerank_pinned(
+    spark: SparkSession,
+    edges: DataFrame,  # (src long, dst long), distinct pairs
+    n_iter: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power iteration with PINNED float64 summation order, for
+    oracle-checkable runs (same math as ``pagerank`` with
+    ``redistribute_dangling=False``, i.e. the reference's mode —
+    PageRank.java:335-343 — dangling mass drops out).
+
+    The per-destination contribution sum is the ONLY cross-row float
+    reduction in the iteration; ``groupBy().sum()`` leaves its order to
+    the shuffle, so instead each destination folds its contributions
+    sequentially in src order: ``F.aggregate(sort_array(collect_list(
+    struct(src, c))), 0.0, acc + c)``. DuckDB's
+    ``list_sum(list(c ORDER BY src))`` is the identical left fold
+    (verified empirically), so a CTE-unrolled SQL twin lands on
+    bit-identical doubles — this is what lets the driver hash-check the
+    iteration math itself rather than rows-only. Keep ``n_iter`` small
+    (2–3): each iteration is one shuffle and the unrolled oracle grows a
+    CTE pair per iteration. For converged ranks use ``pagerank``.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, rank double")
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    edges_deg = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n  # same IEEE ops as the SQL twin's literal
+
+    for _ in range(n_iter):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.struct(
+                    F.col("src"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                ).alias("sc"),
+            )
+            .groupBy("node")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("sc")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("mass")
+            )
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

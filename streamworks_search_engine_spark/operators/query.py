@@ -209,6 +209,24 @@ def attach_rank(ordered: "DataFrame", order_cols: list, dtype: str = "int") -> "
     )
 
 
+def _ranked_topk(
+    scored: DataFrame,
+    k: int,
+    select_cols: list[str],
+    score_col: str = "score",
+    key_col: str = "doc_id",
+    dtype: str = "int",
+) -> DataFrame:
+    """``orderBy(score desc, key asc).limit(k)`` → attach_rank → select:
+    the shared tail of every top-k entry point, defined once so the
+    deterministic-ordering contract (O3: score DESC, key ASC) can't drift
+    between the nine call sites that used to inline it."""
+    order = [F.desc(score_col), F.asc(key_col)]
+    return attach_rank(scored.orderBy(*order).limit(k), order, dtype).select(
+        *select_cols
+    )
+
+
 def _score_and_topk(
     scored_terms: DataFrame, n_terms: int, k: int | None, mode: str = "all"
 ) -> DataFrame:
@@ -240,10 +258,7 @@ def _score_and_topk(
     if k is None:
         # full match set: no global sort / rank needed (callers hash-compare)
         return scored
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def bm25_topk(
@@ -316,10 +331,7 @@ def bm25_topk(
     )
     if k is None:
         return scored
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def bm25_prefix_topk(
@@ -442,10 +454,7 @@ def bm25_topk_excluding(
         scored = scored.join(ex_docs, "doc_id", "left_anti")
     if k is None:
         return scored
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def bm25_topk_after(
@@ -483,10 +492,7 @@ def bm25_topk_after(
             (F.col("score") < F.lit(s0))
             | ((F.col("score") == F.lit(s0)) & (F.col("doc_id") > F.lit(d0)))
         )
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def bm25_synonym_topk(
@@ -567,10 +573,7 @@ def bm25_synonym_topk(
     )
     if k is None:
         return scored
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def bm25_topk_diversified(
@@ -605,9 +608,14 @@ def bm25_topk_diversified(
     scored = bm25_topk(index, raw_terms, k=None, mode=mode)
     # LEFT join: a matching doc with no metadata row must not silently
     # vanish from results — docs with unknown group collectively form one
-    # capped "(unknown)" group (visible in the output, never dropped)
+    # capped "(unknown)" group (visible in the output, never dropped).
+    # dropDuplicates: meta is a dimension keyed on doc_id, but a
+    # duplicate-keyed input would fan the scored frame out and let one
+    # doc_id consume several per-group cap slots (and repeat in the page)
     joined = scored.join(
-        meta.select("doc_id", group_col), "doc_id", "left"
+        meta.select("doc_id", group_col).dropDuplicates(["doc_id"]),
+        "doc_id",
+        "left",
     ).withColumn(
         group_col,
         F.coalesce(F.col(group_col).cast("string"), F.lit("(unknown)")),
@@ -620,10 +628,7 @@ def bm25_topk_diversified(
         .filter(F.col("_gr") <= max_per_group)
         .drop("_gr")
     )
-    ordered = capped.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score", group_col
-    )
+    return _ranked_topk(capped, k, ["rank", "doc_id", "score", group_col])
 
 
 _QUOTED = __import__("re").compile(r'"([^"]*)"')
@@ -826,10 +831,7 @@ def search(
         scored = scored.join(_field_filter(meta, fields), "doc_id", "left_semi")
     if k is None:
         return scored
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def more_like_this(
@@ -893,10 +895,7 @@ def more_like_this(
     )
     if k is None:
         return scored
-    ordered = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("score"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "score"
-    )
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
 
 
 def related_terms(
@@ -985,9 +984,9 @@ def related_terms(
             ).alias("pmi"),
         )
     )
-    ordered = scored.orderBy(F.desc("pmi"), F.asc("term")).limit(k)
-    return attach_rank(ordered, [F.desc("pmi"), F.asc("term")]).select(
-        "rank", "term", "co", "pmi"
+    return _ranked_topk(
+        scored, k, ["rank", "term", "co", "pmi"],
+        score_col="pmi", key_col="term",
     )
 
 
@@ -1275,6 +1274,24 @@ def adaptive_prune(
         return 8 * rare_df <= big_df and skippable >= prune_min_df
     return True
 
+
+def adaptive_prune_or(dfs: dict[str, int], prune_min_df: int) -> bool:
+    """OR-mode (MAXSCORE) gate, a pure function of the lexicon dfs so the
+    design-point decision is unit-testable (pinned in test_packed_postings):
+    maxscore needs idf skew (a low-df term whose contribution dominates
+    theta) AND enough high-df posting mass to skip; without skew every
+    term is essential and pruning only pays its probe cost. Measured at
+    the 8M-doc rare-OR-common design point: packed+prune 1.63s vs flat
+    2.55s (r3) and 2.61s vs 3.23s (r5 idle window) — the win reproduces
+    in good windows and holds at worst to parity in steal-heavy ones
+    (r4: 1.911 vs 1.913), so the gate stays."""
+    rare_df = min(dfs.values())
+    return (
+        8 * rare_df <= max(dfs.values())
+        and sum(dfs.values()) - rare_df >= prune_min_df
+    )
+
+
 def bm25_topk_packed(
     index: SearchIndex,
     raw_terms: list[str],
@@ -1360,14 +1377,7 @@ def bm25_topk_packed(
         if mode == "all":
             prune = adaptive_prune(dfs, semi_join_df_threshold, prune_min_df)
         else:
-            # OR-mode maxscore needs idf skew (a low-df term whose contrib
-            # dominates theta) AND enough high-df posting mass to skip;
-            # without skew every term is essential and nothing prunes.
-            rare_df = min(dfs.values())
-            prune = (
-                8 * rare_df <= max(dfs.values())
-                and sum(dfs.values()) - rare_df >= prune_min_df
-            )
+            prune = adaptive_prune_or(dfs, prune_min_df)
 
     if prune and len(term_list) == 1 and k is not None:
         probe = decode_blocks(
@@ -1597,10 +1607,7 @@ def hybrid_rrf_topk(
     fused = lex.join(sem, "doc_id", "full_outer").select(
         "doc_id", (contrib_lex + contrib_sem).alias("rrf")
     )
-    ordered = fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
-    return attach_rank(ordered, [F.desc("rrf"), F.asc("doc_id")]).select(
-        "rank", "doc_id", "rrf"
-    )
+    return _ranked_topk(fused, k, ["rank", "doc_id", "rrf"], score_col="rrf")
 
 
 def tfidf_reference_topk(

@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 from ..functions.tokenizer import DEF_LINE_RE, tokenize
 from .query import (
     SearchIndex,
-    attach_rank,
+    _ranked_topk,
     bm25_topk,
     normalize_terms,
     postings_for_terms,
@@ -334,6 +334,91 @@ def proximity_feature(
     )
 
 
+PROX_ALLIN = 1.5  # IndexScorer.java:407
+PROX_TWO_OR_MORE = 1.2  # IndexScorer.java:408
+PROX_ALONE = 1.0  # IndexScorer.java:409
+
+
+def make_refprox_udf(terms: list[str], n_existed: int):
+    """Pandas UDF ``(path, content, lang) -> double``: the reference-EXACT
+    per-tag-instance proximity formula (IndexScorer.assignProximityScore,
+    IndexScorer.java:666-710).
+
+    Tag instances for the code corpus mirror the tag classes: the file
+    path is the single 'h' instance, each definition line an 'a' instance,
+    each other line a 'p' instance. Per instance with >=1 query-term hit:
+    ``tagW(class) × (allIn 1.5 if hit-count == numExistedWords >= 2;
+    twoOrMore 1.2 if hit-count >= 2; else alone 1.0)``, summed then
+    normalized by the number of hit instances; 1.0 when no instance has a
+    hit (assignProximityScore's empty-map branch). The summation order is
+    pinned (path first, then lines top-to-bottom) so the SQL oracle's
+    ``list_sum(list(… ORDER BY inst))`` folds the identical doubles.
+    """
+    term_set = set(terms)
+
+    @F.pandas_udf(T.DoubleType())
+    def refprox(
+        path: pd.Series, content: pd.Series, lang: pd.Series
+    ) -> pd.Series:
+        out = []
+        for pth, txt, lg in zip(path, content, lang):
+            contribs: list[tuple[float, int]] = []
+            n_h = sum(
+                1 for t in tokenize(pth or "", lg or "") if t in term_set
+            )
+            if n_h:
+                contribs.append((TAG_WEIGHTS["h"], n_h))
+            for line in (txt or "").split("\n"):
+                n = sum(
+                    1 for t in tokenize(line, lg or "") if t in term_set
+                )
+                if not n:
+                    continue
+                cls = "a" if _DEF_LINE.match(line) else "p"
+                contribs.append((TAG_WEIGHTS[cls], n))
+            if not contribs:
+                out.append(1.0)
+                continue
+            score = 0.0
+            for w, n in contribs:
+                if n == n_existed and n_existed >= 2:
+                    bonus = PROX_ALLIN
+                elif n >= 2:
+                    bonus = PROX_TWO_OR_MORE
+                else:
+                    bonus = PROX_ALONE
+                score += w * bonus
+            out.append(score / len(contribs))
+        return pd.Series(out, dtype="float64")
+
+    return refprox
+
+
+def proximity_feature_reference(
+    docs_df: DataFrame,
+    terms: list[str],
+    kw_ratio: float = 1.0,
+    n_existed: int | None = None,
+) -> DataFrame:
+    """(doc_id, prox_score) via the reference-exact per-tag-instance
+    formula over source files ``(doc_id, path, content, lang)``. Like
+    tag_feature_code, run it on the MATCHED docs only (semi-join the
+    candidate doc_ids before calling): at 100 TB the Arrow UDF touches k
+    candidate docs, never the corpus. ``n_existed`` is the reference's
+    ``numExistedWords`` (count of surviving query lemmas —
+    IndexScorer.java:584); defaults to ``len(set(terms))``."""
+    if n_existed is None:
+        n_existed = len(set(terms))
+    udf = make_refprox_udf(sorted(set(terms)), n_existed)
+    return docs_df.select(
+        "doc_id",
+        (
+            udf(F.col("path"), F.col("content"), F.col("lang"))
+            * F.lit(kw_ratio)
+        ).alias("prox_score"),
+    )
+
+
 def token_mass_prior(index: SearchIndex) -> DataFrame:
     """(doc_id, ranker_score): the stationary distribution of a surfer
     jumping to a uniformly random *token* — doc_len / Σ doc_len. A
@@ -361,6 +446,7 @@ def weighted_search_topk(
     tag_docs_df: DataFrame | None = None,
     title_prefix: int = 10,
     window: int = 8,
+    proximity: str = "window",
 ) -> DataFrame:
     """The reference's top-level user-facing query (SearchHandler.handle):
     conjunctive match -> per-feature scores -> J6 ranker join ->
@@ -377,7 +463,21 @@ def weighted_search_topk(
     (build_index_with_tags -> tag_feature_indexed, a pure index read —
     the preferred 100-TB path); else the positional analog from the
     positions arrays.
+
+    ``proximity`` selects the proximity feature: ``"window"`` (default)
+    is the min-window/phrase analog (proximity_feature — arguably better
+    for code); ``"reference"`` is the reference-EXACT per-tag-instance
+    allIn/twoOrMore/alone formula (proximity_feature_reference,
+    IndexScorer.java:666-710) and requires ``tag_docs_df`` (it scores tag
+    instances from the candidates' content).
     """
+    if proximity not in ("window", "reference"):
+        raise ValueError(f"unknown proximity mode {proximity!r}")
+    if proximity == "reference" and tag_docs_df is None:
+        raise ValueError(
+            "proximity='reference' needs tag_docs_df (per-tag-instance "
+            "scoring reads the candidates' path/content/lang)"
+        )
     feats_cfg = {f.name: f for f in (features or DEFAULT_FEATURES)}
     spark = index.postings.sparkSession
     empty = spark.createDataFrame(
@@ -433,10 +533,18 @@ def weighted_search_topk(
     # existed lemmas only) — keep raw order for the phrase check.
     surv_set = set(survivors)
     surv_raw_order = [t for t in norm_raw_order if t in surv_set]
-    prox = proximity_feature(
-        index, surv_raw_order, 1.0 if n_query == 1 else kw_ratio, window,
-        hits=hits,
-    )
+    prox_ratio = 1.0 if n_query == 1 else kw_ratio
+    if proximity == "reference":
+        prox = proximity_feature_reference(
+            tag_docs_df.join(base.select("doc_id"), "doc_id", "left_semi"),
+            survivors,
+            prox_ratio,
+            n_existed=len(survivors),
+        )
+    else:
+        prox = proximity_feature(
+            index, surv_raw_order, prox_ratio, window, hits=hits
+        )
     rank = (
         ranker_scores
         if ranker_scores is not None
@@ -480,10 +588,13 @@ def weighted_search_topk(
         + term_of("rankerScore", F.col("ranker_score"))
     )
     scored = joined.withColumn("total", total)
-    ordered = scored.orderBy(F.desc("total"), F.asc("doc_id")).limit(k)
-    return attach_rank(
-        ordered, [F.desc("total"), F.asc("doc_id")], dtype="long"
-    ).select(
-        "rank", "doc_id", "bm25_score", "tag_score", "prox_score",
-        "ranker_score", "total",
+    return _ranked_topk(
+        scored,
+        k,
+        [
+            "rank", "doc_id", "bm25_score", "tag_score", "prox_score",
+            "ranker_score", "total",
+        ],
+        score_col="total",
+        dtype="long",
     )

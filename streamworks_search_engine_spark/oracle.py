@@ -260,6 +260,38 @@ def tag_score_code(row: dict, terms: set[str], kw_ratio: float = 1.0) -> float:
     return (w["h"] * h + w["a"] * a + w["p"] * p) / total * kw_ratio
 
 
+def refprox_code(
+    row: dict, terms: set[str], n_existed: int, kw_ratio: float = 1.0
+) -> float:
+    """Reference-exact per-tag-instance proximity
+    (IndexScorer.assignProximityScore, IndexScorer.java:666-710) for one
+    source file: instances are the path ('h'), each def line ('a') and
+    each other line ('p'); per hit instance w(class) × (allIn 1.5 if
+    hit-count == n_existed >= 2 | twoOrMore 1.2 if >= 2 | alone 1.0),
+    normalized by the hit-instance count; 1.0 with no hit instance."""
+    contribs: list[tuple[float, int]] = []
+    n_h = sum(1 for t in tokenize(row["path"], row["lang"]) if t in terms)
+    if n_h:
+        contribs.append((TAG_WEIGHTS["h"], n_h))
+    for line in row["content"].split("\n"):
+        n = sum(1 for t in tokenize(line, row["lang"]) if t in terms)
+        if not n:
+            continue
+        cls = "a" if _DEF_LINE_RE.match(line) else "p"
+        contribs.append((TAG_WEIGHTS[cls], n))
+    if not contribs:
+        return 1.0 * kw_ratio
+    score = 0.0
+    for w, n in contribs:
+        if n == n_existed and n_existed >= 2:
+            score += w * 1.5
+        elif n >= 2:
+            score += w * 1.2
+        else:
+            score += w * 1.0
+    return score / len(contribs) * kw_ratio
+
+
 def weighted_topk(
     idx: OracleIndex,
     rows: list[dict],
@@ -268,6 +300,7 @@ def weighted_topk(
     coeffs: list[tuple[str, float, bool]] | None = None,
     ranker_scores: dict[int, float] | None = None,
     window: int = 8,
+    proximity: str = "window",
 ) -> list[tuple[int, int, float]]:
     """The reference's final weighted total (SearchHandler.java:155-169)
     over code tag classes: [(rank, doc_id, total)]. ``coeffs`` rows are
@@ -316,6 +349,12 @@ def weighted_topk(
         )
         if n_query == 1:
             prox = 1.0
+        elif proximity == "reference":
+            prox = (
+                refprox_code(row, surv_set, len(survivors), kw_ratio)
+                if row is not None
+                else 1.0 * kw_ratio
+            )
         elif len(survivors) == 1:
             prox = 1.0 * kw_ratio
         elif d in phrased:

@@ -678,9 +678,18 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_embedding_quantize(spark, sf_dir):
     """int8 symmetric quantization of the embeddings table — codes are
-    exact integers, scale a single float64 division (hash-stable)."""
+    exact integers, scale a single float64 division (hash-stable).
+
+    Output is FLATTENED to one scalar row per (vec_id, i): the driver's
+    pandas canonicalization cannot sort array cells (`unhashable type:
+    'list'` — the CORRECTNESS_r04 red row; same bug class encode_ids hit
+    in r3, fixed the same way: posexplode to scalars)."""
     qz = similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
-    return qz.select("vec_id", "codes", F.round("scale", 6).alias("scale"))
+    return qz.select(
+        "vec_id",
+        F.posexplode("codes").alias("i", "code"),
+        F.round("scale", 6).alias("scale"),
+    )
 
 
 def q_ann_quantized_topk(spark, sf_dir):
@@ -838,12 +847,32 @@ def q_pagerank_top20(spark, sf_dir):
     (supplier -> part-bucket edges), fixed 8 iterations, top-20."""
     from ..operators.pagerank import pagerank, top_ranked
 
+    ranks = pagerank(spark, _pagerank_edges(spark, sf_dir), max_iter=8, tol=0.0)
+    top = top_ranked(ranks, 20)
+    return top.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_edges(spark, sf_dir):
+    """The shared synthetic graph: supplier -> part-bucket distinct edges."""
     li = _t(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_suppkey").alias("src"),
-        (F.pmod(F.col("l_partkey"), F.lit(500)) + 100000).alias("dst"),
+    return li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.pmod(F.col("l_partkey"), F.lit(500)) + 100000)
+        .cast("long")
+        .alias("dst"),
     ).distinct()
-    ranks = pagerank(spark, edges, max_iter=8, tol=0.0)
+
+
+def q_pagerank_iter2_top20(spark, sf_dir):
+    """A10/O5 driver-VISIBLE oracle (closes the last rows-only gap other
+    than the converged fixpoint): 2 power iterations with pinned float64
+    summation order (operators/pagerank.py:pagerank_pinned), hash-checked
+    against a CTE-unrolled DuckDB twin — the kmeans_assign unrolling
+    pattern applied to PageRank.java:335-343's math (dangling mass
+    dropped, the reference's mode)."""
+    from ..operators.pagerank import pagerank_pinned, top_ranked
+
+    ranks = pagerank_pinned(spark, _pagerank_edges(spark, sf_dir), n_iter=2)
     top = top_ranked(ranks, 20)
     return top.select("node", F.round("rank", 9).alias("rank"))
 
@@ -1314,6 +1343,35 @@ def q_search_weighted_code_topk(spark, sf_dir):
     )
 
 
+def q_search_weighted_refprox_topk(spark, sf_dir):
+    """Weighted final scorer with the reference-EXACT per-tag-instance
+    proximity formula (allIn 1.5 / twoOrMore 1.2 / alone 1.0 per tag
+    instance, normalized by hit-instance count —
+    IndexScorer.java:407-409,666-710), offered as an option next to the
+    min-window analog the same way the ntf·idf scorer is
+    (tfidf_reference). Closes the last §2.11 semantic not reproducible on
+    demand. Tag feature comes from the candidates' content
+    (tag_feature_code); proximity from proximity_feature_reference."""
+    from ..operators.ranker import weighted_search_topk
+
+    res = weighted_search_topk(
+        _tag_index(spark, sf_dir),
+        Q_CONJ2,
+        k=10,
+        tag_docs_df=_code_docs(spark, sf_dir),
+        proximity="reference",
+    )
+    return res.select(
+        "rank",
+        "doc_id",
+        F.round("bm25_score", 6).alias("bm25_score"),
+        F.round("tag_score", 6).alias("tag_score"),
+        F.round("prox_score", 6).alias("prox_score"),
+        F.round("ranker_score", 9).alias("ranker_score"),
+        F.round("total", 6).alias("total"),
+    )
+
+
 def _anchor_docs(spark, sf_dir):
     """documents -> a code corpus with CROSS-DOC references, derived
     deterministically in both engines: every doc defines module
@@ -1527,68 +1585,13 @@ def q_index_merge_lexicon(spark, sf_dir):
 # representatives up top. Round 4 front window = core representatives +
 # the 27 entries CORRECTNESS_r03 did not reach + this round's new/fixed
 # entries; the round-3-verified remainder follows.
+# Registry order matters: the driver's correctness gate samples the FIRST
+# 50 entries. Round-5 rotation: the 41 entries whose most recent driver
+# row was r1–r3 go first, then this round's fixed/new entries, then a
+# spread of round-4 representatives — so after r5 every entry has a
+# driver row from r4 or r5.
 QUERIES = {
-    # -- core representatives (always driver-visible) --
-    "index_postings": q_index_postings,
-    "index_lexicon": q_index_lexicon,
-    "index_doclen": q_index_doclen,
-    "index_stats": q_index_stats,
-    "index_wordcount": q_index_wordcount,
-    "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
-    # -- new this round: J5 cross-doc anchor attribution --
-    "anchor_hits": q_anchor_hits,
-    "tag_score_anchor": q_tag_score_anchor,
-    "search_weighted_anchor_topk": q_search_weighted_anchor_topk,
-    # -- new this round: query-integrated spell correction --
-    "search_corrected_top10": q_search_corrected,
-    # -- new this round: full query language over packed-only segments --
-    "search_string_segmented": q_search_string_segmented,
-    # -- new this round: streaming segment ingest (foreachBatch -> append) --
-    "search_streamed_top10": q_search_streamed,
-    # -- new this round: end-to-end curation pipeline --
-    "curated_export": q_curated_export,
-    "curated_accounting": q_curated_accounting,
-    # -- new this round: persisted cell-partitioned IVF --
-    "ann_ivf_persisted_topk": q_ann_ivf_persisted_topk,
-    # -- new this round: paging / synonyms / diversification / expansion --
-    "bm25_page2": q_bm25_page2,
-    "bm25_synonym_top10": q_bm25_synonym_top10,
-    "bm25_diversified_top10": q_bm25_diversified_top10,
-    "related_terms_top10": q_related_terms,
-    "cooccur_pairs_top50": q_cooccur_pairs,
-    # -- fixed this round (scalar output shape) --
-    "encode_ids": q_encode_ids,
-    # -- not covered by CORRECTNESS_r03 (driver window stopped at 50) --
-    "embedding_quantize": q_embedding_quantize,
-    "ann_quantized_topk": q_ann_quantized_topk,
-    "kmeans_assign": q_kmeans_assign,
-    "semantic_near_dups": q_semantic_near_dups,
-    "embedding_norms": q_embedding_norms,
-    "tpch_q1": q_tpch_q1,
-    "top_orders": q_top_orders,
-    "customer_order_agg": q_customer_order_agg,
-    "window_order_rank": q_window_order_rank,
-    "events_tumbling": q_events_tumbling,
-    "events_sessionize": q_events_sessionize,
-    "bm25_top10_snippet": q_bm25_top10_snippet,
-    "spellcheck": q_spellcheck,
-    "pagerank_top20": q_pagerank_top20,
-    "phrase_match": q_phrase_match,
-    "trending_topk": q_trending_topk,
-    "corpus_filter": q_corpus_filter,
-    "embedding_near_dups": q_embedding_near_dups,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "simhash_near_dups": q_simhash_near_dups,
-    "proximity_top10": q_proximity_top10,
-    "tag_score_positional": q_tag_score_positional,
-    "search_weighted_topk": q_search_weighted_topk,
-    "tag_score_indexed": q_tag_score_indexed,
-    "search_weighted_code_topk": q_search_weighted_code_topk,
-    "bm25_topk_metadata": q_bm25_topk_metadata,
-    # -- round-3-verified remainder (hash-green in CORRECTNESS_r03) --
-    "index_merge_postings": q_index_merge_postings,
-    "index_merge_lexicon": q_index_merge_lexicon,
+    # -- last driver-checked r1–r3: rotate to the front (41 entries) --
     "term_semi_join": q_term_semi_join,
     "bm25_matches_single": _bm25_matches(Q_SINGLE),
     "bm25_matches_conj2": _bm25_matches(Q_CONJ2),
@@ -1630,6 +1633,63 @@ QUERIES = {
     "langid_en": q_langid_en,
     "token_counts": q_token_counts,
     "cosine_topk": q_cosine_topk,
+    # -- fixed this round: flattened to scalar rows (r4 red row) --
+    "embedding_quantize": q_embedding_quantize,
+    # -- new this round: driver-visible PageRank iteration oracle --
+    "pagerank_iter2_top20": q_pagerank_iter2_top20,
+    # -- new this round: reference-exact proximity scoring option --
+    "search_weighted_refprox_topk": q_search_weighted_refprox_topk,
+    # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
+    "index_postings": q_index_postings,
+    "index_lexicon": q_index_lexicon,
+    "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
+    "anchor_hits": q_anchor_hits,
+    "search_corrected_top10": q_search_corrected,
+    "curated_export": q_curated_export,
+    # ---- driver window boundary (~50) ----
+    "index_doclen": q_index_doclen,
+    "index_stats": q_index_stats,
+    "index_wordcount": q_index_wordcount,
+    "tag_score_anchor": q_tag_score_anchor,
+    "search_weighted_anchor_topk": q_search_weighted_anchor_topk,
+    "search_string_segmented": q_search_string_segmented,
+    "search_streamed_top10": q_search_streamed,
+    "curated_accounting": q_curated_accounting,
+    "ann_ivf_persisted_topk": q_ann_ivf_persisted_topk,
+    "bm25_page2": q_bm25_page2,
+    "bm25_synonym_top10": q_bm25_synonym_top10,
+    "bm25_diversified_top10": q_bm25_diversified_top10,
+    "related_terms_top10": q_related_terms,
+    "cooccur_pairs_top50": q_cooccur_pairs,
+    "encode_ids": q_encode_ids,
+    "ann_quantized_topk": q_ann_quantized_topk,
+    "kmeans_assign": q_kmeans_assign,
+    "semantic_near_dups": q_semantic_near_dups,
+    "embedding_norms": q_embedding_norms,
+    "tpch_q1": q_tpch_q1,
+    "top_orders": q_top_orders,
+    "customer_order_agg": q_customer_order_agg,
+    "window_order_rank": q_window_order_rank,
+    "events_tumbling": q_events_tumbling,
+    "events_sessionize": q_events_sessionize,
+    "bm25_top10_snippet": q_bm25_top10_snippet,
+    "spellcheck": q_spellcheck,
+    "pagerank_top20": q_pagerank_top20,
+    "phrase_match": q_phrase_match,
+    "trending_topk": q_trending_topk,
+    "corpus_filter": q_corpus_filter,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "simhash_near_dups": q_simhash_near_dups,
+    "proximity_top10": q_proximity_top10,
+    "tag_score_positional": q_tag_score_positional,
+    "search_weighted_topk": q_search_weighted_topk,
+    "tag_score_indexed": q_tag_score_indexed,
+    "search_weighted_code_topk": q_search_weighted_code_topk,
+    "bm25_topk_metadata": q_bm25_topk_metadata,
+    "index_merge_postings": q_index_merge_postings,
+    "index_merge_lexicon": q_index_merge_lexicon,
 }
 
 # ------------------------------------------------------------- oracles ----
@@ -2076,6 +2136,68 @@ prox AS (SELECT w.doc_id,
            (CASE WHEN phr.doc_id IS NOT NULL THEN 1.5
                  WHEN w.mw <= 8 THEN 1.2 ELSE 1.0 END)::DOUBLE AS prox_score
          FROM win w LEFT JOIN phr ON w.doc_id = phr.doc_id),
+rk AS (SELECT doc_id,
+         len(tokens)::DOUBLE
+           / (SELECT sum(len(tokens))::DOUBLE FROM toks) AS ranker_score
+       FROM toks),
+feat AS (
+  SELECT m.doc_id, m.s AS bm25_score, tag.tag_score, prox.prox_score,
+         rk.ranker_score,
+         1.0 * m.s + 0.5 * tag.tag_score + 0.3 * prox.prox_score
+           + 0.2 * ln(greatest(rk.ranker_score, 1e-12)) AS total
+  FROM matched m
+  JOIN tag USING (doc_id) JOIN prox USING (doc_id) JOIN rk USING (doc_id))
+SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, round(bm25_score, 6) AS bm25_score,
+       round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
+       round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
+FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
+
+
+# Reference-exact proximity twin (proximity_feature_reference): tag
+# INSTANCES are the path (inst -1) and each content line (inst = 1-based
+# line number); per hit instance w(class) × (allIn 1.5 | twoOrMore 1.2 |
+# alone 1.0), folded in pinned instance order (list_sum over ORDER BY inst
+# == the UDF's path-first, lines-top-to-bottom Python accumulation), then
+# normalized by the hit-instance count. numExistedWords = 2 (both Q_CONJ2
+# terms survive), so allIn is n = 2.
+_REFPROX_CTES = f"""pinst AS (
+  SELECT doc_id, -1 AS inst, CAST(1.3 AS DOUBLE) AS w,
+         len(list_filter(
+           list_filter(string_split_regex(lower(path), '[^a-z0-9]+'),
+                       {_TOK_FILTER}),
+           t -> list_contains({_CODE_Q_ARR}, t))) AS n
+  FROM src),
+lsplit AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(content, chr(10)))))
+           AS inst,
+         unnest(string_split(content, chr(10))) AS line
+  FROM src),
+linst AS (
+  SELECT doc_id, inst,
+         CAST(CASE WHEN regexp_matches(line, {_DEF_RE_SQL})
+                   THEN 1.2 ELSE 1.0 END AS DOUBLE) AS w,
+         len(list_filter(
+           list_filter(string_split_regex(lower(line), '[^a-z0-9]+'),
+                       {_TOK_FILTER}),
+           t -> list_contains({_CODE_Q_ARR}, t))) AS n
+  FROM lsplit),
+insts AS (
+  SELECT doc_id, inst, w, n FROM pinst WHERE n > 0
+  UNION ALL SELECT doc_id, inst, w, n FROM linst WHERE n > 0),
+prox AS (
+  SELECT doc_id,
+         list_sum(list(w * CASE WHEN n = 2 THEN 1.5
+                                WHEN n >= 2 THEN 1.2
+                                ELSE 1.0 END ORDER BY inst))
+           / count(*) AS prox_score
+  FROM insts GROUP BY doc_id)"""
+
+_WEIGHTED_REFPROX_SQL = f"""{_bm25_sql_base(Q_CONJ2, index_sql=_CODE_INDEX)},
+{_CODE_TAG_CTES},
+{_REFPROX_CTES},
 rk AS (SELECT doc_id,
          len(tokens)::DOUBLE
            / (SELECT sum(len(tokens))::DOUBLE FROM toks) AS ranker_score
@@ -2585,8 +2707,14 @@ SELECT vec_id,
     AS cos_sim
 FROM embeddings, q WHERE vec_id != 0
 ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+    # Flattened to scalar rows (posexplode twin): two same-length unnests
+    # in one SELECT zip positionally in DuckDB, giving (i, code) pairs.
     "embedding_quantize": f"""{_QUANTIZE_CTE}
-SELECT vec_id, codes, round(scale, 6) AS scale FROM qz""",
+SELECT vec_id,
+  CAST(unnest(generate_series(1, len(codes))) - 1 AS INT) AS i,
+  unnest(codes) AS code,
+  round(scale, 6) AS scale
+FROM qz""",
     "ann_quantized_topk": f"""{_QUANTIZE_CTE},
 q AS (SELECT codes AS qcodes FROM qz WHERE vec_id = 0),
 sims AS (
@@ -2768,6 +2896,7 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "search_weighted_topk": _WEIGHTED_SQL,
     "tag_score_indexed": _TAG_IDX_SQL,
     "search_weighted_code_topk": _WEIGHTED_CODE_SQL,
+    "search_weighted_refprox_topk": _WEIGHTED_REFPROX_SQL,
     "bm25_topk_metadata": f"""{_bm25_sql_base(Q_CONJ2)},
 topk AS (
   SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
@@ -2853,10 +2982,55 @@ SELECT doc_id,
        % {HASHED_TF_BUCKETS} AS BIGINT) AS bucket,
   CAST(count(*) AS BIGINT) AS tf
 FROM hits GROUP BY doc_id, bucket""",
-    # pagerank_top20: intentionally no SQL oracle (iterative power method,
-    # not expressible in one SQL statement) -> rows-only driver check;
-    # pure-Python oracle in tests/test_pagerank.py.
+    # pagerank_top20 (converged, 8 iterations): intentionally no SQL
+    # oracle -> rows-only driver check; pure-Python oracle in
+    # tests/test_pagerank.py. The iteration MATH is driver-hash-checked
+    # via pagerank_iter2_top20 (CTE-unrolled oracle below).
 }
+
+
+def _pagerank_sql(n_iter: int = 2, k: int = 20) -> str:
+    """CTE-unrolled twin of operators/pagerank.py:pagerank_pinned over the
+    lineitem-derived graph. Exact despite iterating: the only cross-row
+    float reduction is the per-destination contribution sum, and
+    ``list_sum(list(c ORDER BY src))`` is the same sequential left fold
+    (0.0 seed) as the Spark side's F.aggregate over sort_array — so the
+    doubles are bit-identical before the final round(…, 9)."""
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(l_partkey % 500 + 100000 AS BIGINT) AS dst
+  FROM lineitem)""",
+        """nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+  FROM edges GROUP BY src)""",
+        "r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{it} AS (
+  SELECT e.dst AS node,
+         list_sum(list(r.rank / o.outdeg ORDER BY e.src)) AS mass
+  FROM edges e JOIN outdeg o USING (src) JOIN r{it - 1} r ON e.src = r.node
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS (
+  SELECT nodes.node,
+         (1.0 - 0.85) / n + 0.85 * coalesce(c{it}.mass, 0.0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{it} ON nodes.node = c{it}.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{n_iter}"
+        + f"\nORDER BY rank DESC, node LIMIT {k}"
+    )
+
+
+ORACLE_SQL["pagerank_iter2_top20"] = _pagerank_sql(n_iter=2, k=20)
 
 # secret_scrub oracle: generated from scrub.SECRET_PATTERNS so the Spark
 # expressions and the SQL can never drift apart. Patterns are

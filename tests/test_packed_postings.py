@@ -257,3 +257,22 @@ def test_adaptive_prune_regimes():
     assert not adaptive_prune({"rare": 100, "common": 50_000}, thr, floor)
     # every term above the semi-join threshold: bucket sigma-maxscore path
     assert adaptive_prune({"a": 5_000_000, "b": 9_000_000}, thr, floor)
+
+
+def test_adaptive_prune_or_design_point_pinned():
+    """OR-mode MAXSCORE gate decisions pinned at the measured profiles:
+    the 8M rare-OR-common design point must take the packed+prune path
+    (wins 1.24-1.56x in idle windows, parity at worst in steal-heavy
+    ones — BENCH.md rounds 3-5); a uniform-df OR (no idf skew: every term
+    essential) and a rare-OR-small (nothing to skip) must decline."""
+    from streamworks_search_engine_spark.operators.query import (
+        adaptive_prune_or,
+    )
+
+    floor = 1_000_000
+    # the 8M design point: veryrareterm (~200 docs) OR commonterm (~4M)
+    assert adaptive_prune_or({"rare": 200, "common": 4_000_000}, floor)
+    # uniform dfs: no term's bound dominates theta -> nothing non-essential
+    assert not adaptive_prune_or({"a": 4_000_000, "b": 3_500_000}, floor)
+    # skewed but tiny skippable mass: probe cost can't be earned back
+    assert not adaptive_prune_or({"rare": 100, "common": 900_000}, floor)

@@ -67,3 +67,37 @@ def test_top_ranked_deterministic(spark):
     top = top_ranked(ranks, 3).collect()
     assert len(top) == 3
     assert top[0]["node"] == 1  # most in-links via cycle + two feeders
+
+
+def test_pagerank_pinned_matches_oracle(spark):
+    """pagerank_pinned (the oracle-checkable unrolled variant with pinned
+    per-destination fold order) computes the same math as the reference
+    power iteration — vs the pure-Python oracle at 2 and 3 iterations."""
+    from streamworks_search_engine_spark.operators.pagerank import (
+        pagerank_pinned,
+    )
+
+    rng = random.Random(7)
+    edges = sorted(
+        {(rng.randrange(25), rng.randrange(25)) for _ in range(100)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for n_iter in (2, 3):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_pinned(spark, df, n_iter=n_iter).collect()
+        }
+        exp = _oracle_pagerank(edges, max_iter=n_iter, tol=0.0)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert got[v] == pytest.approx(exp[v], abs=1e-12)
+
+
+def test_pagerank_pinned_empty(spark):
+    from streamworks_search_engine_spark.operators.pagerank import (
+        pagerank_pinned,
+    )
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_pinned(spark, df, n_iter=2).count() == 0

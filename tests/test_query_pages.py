@@ -314,3 +314,24 @@ def test_diversified_missing_meta_not_dropped(spark_index):
     # the overall best match must appear regardless of meta coverage
     best = _full_order(spark_index, ["parse"])[0]
     assert best.doc_id in {r.doc_id for r in got}
+
+
+def test_diversified_duplicate_meta_rows_no_fanout(spark_index):
+    """A duplicate-keyed meta table must NOT fan out the scored frame:
+    each doc_id appears at most once in the page and consumes at most one
+    cap slot (regression: the join now dropDuplicates the dimension)."""
+    meta = _meta_mod(spark_index, 3)
+    dup_meta = meta.unionByName(meta).unionByName(
+        # a conflicting duplicate too (different group for the same doc):
+        # one row must win; the doc must still appear exactly once
+        meta.withColumn("grp", F.lit("conflict"))
+    )
+    got = bm25_topk_diversified(
+        spark_index, ["parse"], dup_meta, "grp", max_per_group=2, k=10
+    ).collect()
+    ids = [r.doc_id for r in got]
+    assert len(ids) == len(set(ids)), f"doc repeated in page: {ids}"
+    counts = {}
+    for r in got:
+        counts[r.grp] = counts.get(r.grp, 0) + 1
+    assert counts and max(counts.values()) <= 2

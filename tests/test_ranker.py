@@ -362,3 +362,90 @@ def test_feature_table_round_trip(spark, spark_index, docs_df, tmp_path):
     a = _collect_weighted(spark_index, docs_df, TERMS)
     b = _collect_weighted(spark_index, docs_df, TERMS, features=loaded)
     assert a == b
+
+
+# ------------------------------------------ reference-exact proximity ----
+
+
+def test_refprox_matches_oracle(docs_df, corpus_rows):
+    """proximity_feature_reference == the pure-Python per-tag-instance
+    replica of IndexScorer.assignProximityScore for every corpus doc."""
+    from streamworks_search_engine_spark.operators.ranker import (
+        proximity_feature_reference,
+    )
+
+    terms = set(TERMS)
+    got = {
+        r["doc_id"]: r["prox_score"]
+        for r in proximity_feature_reference(
+            docs_df, sorted(terms), kw_ratio=1.0, n_existed=len(terms)
+        ).collect()
+    }
+    for row in corpus_rows:
+        did = doc_id_of(row["repo"], row["path"], row["commit"])
+        exp = oracle.refprox_code(row, terms, n_existed=len(terms))
+        assert got[did] == pytest.approx(exp, abs=1e-12), row["path"]
+
+
+def test_refprox_allin_twoormore_alone(spark):
+    """Hand-computed instance cases (IndexScorer.java:666-710 semantics,
+    including the faithful quirk that two hits of the SAME word in one
+    instance count as allIn when n_existed == 2):
+    def line with both terms -> a-class allIn 1.2*1.5; plain line with one
+    hit -> alone 1.0*1.0; plain line with 'scan scan' -> allIn 1.0*1.5;
+    normalized by 3 hit instances."""
+    from streamworks_search_engine_spark.operators.ranker import (
+        proximity_feature_reference,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "x/noplain.py",
+                "def scan merge\nscan appears once here\nscan scan here",
+                "py",
+            ),
+            (2, "x/nohits.py", "nothing relevant anywhere", "py"),
+        ],
+        "doc_id long, path string, content string, lang string",
+    )
+    got = {
+        r["doc_id"]: r["prox_score"]
+        for r in proximity_feature_reference(
+            df, ["merge", "scan"], kw_ratio=1.0, n_existed=2
+        ).collect()
+    }
+    exp1 = (1.2 * 1.5 + 1.0 * 1.0 + 1.0 * 1.5) / 3
+    assert got[1] == pytest.approx(exp1, abs=1e-12)
+    # no hit instance -> assignProximityScore's empty-map default of 1.0
+    assert got[2] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_weighted_refprox_matches_oracle(
+    spark_index, docs_df, oracle_index, corpus_rows
+):
+    got = _collect_weighted(
+        spark_index, docs_df, TERMS, proximity="reference"
+    )
+    exp = [
+        (rk, d, round(s, 9))
+        for rk, d, s in oracle.weighted_topk(
+            oracle_index, corpus_rows, TERMS, 10, proximity="reference"
+        )
+    ]
+    assert got == exp
+
+
+def test_weighted_refprox_requires_tag_docs(spark_index):
+    with pytest.raises(ValueError, match="reference"):
+        weighted_search_topk(
+            spark_index, TERMS, k=10, proximity="reference"
+        )
+
+
+def test_weighted_unknown_proximity_mode(spark_index, docs_df):
+    with pytest.raises(ValueError, match="proximity"):
+        weighted_search_topk(
+            spark_index, TERMS, k=10, tag_docs_df=docs_df, proximity="bogus"
+        )

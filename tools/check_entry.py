@@ -97,6 +97,23 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error {exc}")
             continue
+        # The driver harness canonicalizes via pandas sort_values, which
+        # throws `unhashable type: 'list'` on array/map/struct cells
+        # (CORRECTNESS_r03 encode_ids, CORRECTNESS_r04 embedding_quantize).
+        # Kill the bug class: no entry may emit a complex-typed column.
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            failures.append(name)
+            print(
+                f"FAIL {name}: complex-typed output columns {complex_cols}"
+                " (driver canonicalization cannot sort these — flatten"
+                " with posexplode or hash to hex)"
+            )
+            continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
