@@ -457,3 +457,165 @@ def test_compaction_pins_one_listing_no_lost_epoch(spark, tmp_path, monkeypatch)
     assert any("epoch=99" in v for v in visible), visible
     view = inc.load_streamed_index(spark, work)
     assert view.n_docs == 70  # 60 compacted + 10 late — nothing lost
+
+
+# ------------------------- compaction/ingest/GC interleaving races ----
+
+
+def _ingest_epoch(spark, work, epoch, docs, term_buckets=2):
+    """Commit one epoch segment directly (the foreachBatch body's effect,
+    without the stream machinery — cheap enough to interleave many)."""
+    import streamworks_search_engine_spark.streaming.incremental as inc
+    from streamworks_search_engine_spark.operators.merge import append_segment
+
+    d = f"{work}/segments/epoch={epoch}"
+    append_segment(spark, docs, d, term_buckets=term_buckets)
+    fs, marker = inc._hadoop_fs(spark, f"{d}/{inc.COMMIT_MARKER}")
+    fs.create(marker, True).close()
+    return d
+
+
+def _distinct_docs(view) -> int:
+    return view.doclen.select("doc_id").distinct().count()
+
+
+@pytest.mark.parametrize("order", ["compact_then_gc", "gc_then_compact"])
+def test_compaction_interleaved_ingest_property(spark, tmp_path, order):
+    """Epochs interleaved with compaction and GC, in BOTH maintenance
+    orders: after EVERY step the visible view serves exactly the union of
+    everything ingested so far — nothing lost, nothing duplicated
+    (n_docs == distinct doc_ids == running expectation)."""
+    import streamworks_search_engine_spark.streaming.incremental as inc
+
+    work = str(tmp_path / "work")
+    sizes = [20, 15, 12, 9]
+    batches = [corpus_df(spark, n, seed=300 + i) for i, n in enumerate(sizes)]
+
+    def check(expected):
+        view = inc.load_streamed_index(spark, work)
+        assert view.n_docs == expected, f"n_docs {view.n_docs} != {expected}"
+        assert _distinct_docs(view) == expected
+
+    _ingest_epoch(spark, work, 0, batches[0])
+    _ingest_epoch(spark, work, 1, batches[1])
+    check(35)
+    inc.compact_streamed_segments(spark, work, term_buckets=2)
+    check(35)
+    _ingest_epoch(spark, work, 2, batches[2])
+    check(47)
+    if order == "compact_then_gc":
+        inc.compact_streamed_segments(spark, work, term_buckets=2)
+        check(47)
+        deleted = inc.gc_streamed_segments(spark, work)
+        assert deleted, "gc found nothing to delete after two compactions"
+        check(47)
+    else:
+        # GC first (manifest gen 1): epochs 0/1 are subsumed and die,
+        # epoch 2 sits ABOVE the cut and must survive
+        deleted = inc.gc_streamed_segments(spark, work)
+        assert any("epoch=0" in d for d in deleted), deleted
+        assert not any("epoch=2" in d for d in deleted), deleted
+        check(47)
+        inc.compact_streamed_segments(spark, work, term_buckets=2)
+        check(47)
+    _ingest_epoch(spark, work, 3, batches[3])
+    check(56)
+    # a second GC with no new compaction must not touch the live epoch
+    deleted = inc.gc_streamed_segments(spark, work)
+    assert not any("epoch=3" in d for d in deleted), deleted
+    check(56)
+
+
+@pytest.mark.parametrize("kill_at", ["marker", "manifest"])
+def test_compaction_crash_between_write_and_swap(
+    spark, tmp_path, monkeypatch, kill_at
+):
+    """Kill-between-swap: the compactor dies AFTER writing the compacted
+    segment data but BEFORE it becomes visible (before its commit marker,
+    or after the marker but before the manifest swap). Readers must keep
+    the OLD view — 'compacted=' dirs are invisible until a manifest names
+    them — and a RETRY must succeed by overwriting the orphan."""
+    import streamworks_search_engine_spark.streaming.incremental as inc
+
+    work = str(tmp_path / "work")
+    _ingest_epoch(spark, work, 0, corpus_df(spark, 18, seed=41))
+    _ingest_epoch(spark, work, 1, corpus_df(spark, 14, seed=43))
+
+    if kill_at == "marker":
+        real_fs = inc._hadoop_fs
+
+        def fs_kill(s, path):
+            if "compacted=" in path and path.endswith(inc.COMMIT_MARKER):
+                raise RuntimeError("killed before marker")
+            return real_fs(s, path)
+
+        monkeypatch.setattr(inc, "_hadoop_fs", fs_kill)
+    else:
+
+        def manifest_kill(*a, **kw):
+            raise RuntimeError("killed before manifest swap")
+
+        monkeypatch.setattr(inc, "_write_manifest", manifest_kill)
+
+    with pytest.raises(RuntimeError, match="killed"):
+        inc.compact_streamed_segments(spark, work, term_buckets=2)
+    monkeypatch.undo()
+
+    # old view intact: both epochs visible, the orphan invisible
+    visible = inc.committed_segment_dirs(spark, work)
+    assert len(visible) == 2 and all("epoch=" in v for v in visible)
+    view = inc.load_streamed_index(spark, work)
+    assert view.n_docs == 32 and _distinct_docs(view) == 32
+
+    # retry lands on the same generation dir and overwrites the orphan
+    out = inc.compact_streamed_segments(spark, work, term_buckets=2)
+    assert out.endswith("compacted=1")
+    visible = inc.committed_segment_dirs(spark, work)
+    assert len(visible) == 1 and "compacted=1" in visible[0]
+    view = inc.load_streamed_index(spark, work)
+    assert view.n_docs == 32 and _distinct_docs(view) == 32
+    # and GC now reclaims the subsumed epochs, nothing else breaks
+    inc.gc_streamed_segments(spark, work)
+    view = inc.load_streamed_index(spark, work)
+    assert view.n_docs == 32
+
+
+def test_upsert_reingest_across_compactions(spark, tmp_path):
+    """Upsert mode under maintenance: the same doc_ids re-ingested in
+    epochs on BOTH sides of a compaction collapse to exactly one live
+    version each (latest epoch wins through the compacted segment too)."""
+    import streamworks_search_engine_spark.streaming.incremental as inc
+
+    work = str(tmp_path / "work")
+    schema = (
+        "repo string, path string, commit string, lang string,"
+        " content string"
+    )
+
+    def batch(tag):
+        return spark.createDataFrame(
+            [
+                ("r0", "a.py", "c0", "python", f"{tag}worda shared alpha"),
+                ("r0", "b.py", "c0", "python", f"{tag}wordb shared beta"),
+            ],
+            schema,
+        )
+
+    _ingest_epoch(spark, work, 0, batch("v1"))
+    _ingest_epoch(spark, work, 1, batch("v2"))
+    inc.compact_streamed_segments(spark, work, term_buckets=2, upsert=True)
+    _ingest_epoch(spark, work, 2, batch("v3"))
+
+    view = inc.load_streamed_index(spark, work, upsert=True)
+    assert view.n_docs == 2 and _distinct_docs(view) == 2
+    lex = {r["term"]: r["df"] for r in view.lexicon.collect()}
+    # only the NEWEST version's marker terms are live
+    assert "v3worda" in lex and "v1worda" not in lex and "v2worda" not in lex
+    assert lex.get("shared") == 2
+    # compact once more through the upsert fold and re-check
+    inc.compact_streamed_segments(spark, work, term_buckets=2, upsert=True)
+    inc.gc_streamed_segments(spark, work)
+    post = inc.load_streamed_index(spark, work)
+    assert post.n_docs == 2 and _distinct_docs(post) == 2
+    lex = {r["term"]: r["df"] for r in post.lexicon.collect()}
+    assert "v3worda" in lex and "v1worda" not in lex
