@@ -70,9 +70,11 @@ def cooccurrence_pairs(
         # persisted across the exclusion count and the pair aggregation:
         # without it the postings scan + the collect_list shuffle (the
         # single heaviest stage) runs TWICE — once for the log count, once
-        # for the pairs. No explicit unpersist: the returned plan still
-        # references the cache; the ContextCleaner frees the blocks when
-        # the caller drops the result frame
+        # for the pairs. Explicitly unpersisted before returning (the
+        # result is localCheckpoint'd first): the CacheManager holds
+        # persisted plans by strong reference — the ContextCleaner never
+        # reclaims them — so a long-lived session calling this repeatedly
+        # would otherwise accumulate one corpus-scale cache per call
         .persist()
     )
     n_big = doc_terms.filter(F.col("nt") > max_terms_per_doc).count()
@@ -107,7 +109,7 @@ def cooccurrence_pairs(
     )
     ea = F.broadcast(elig.select(F.col("term").alias("term_a"), F.col("df").alias("df_a")))
     eb = F.broadcast(elig.select(F.col("term").alias("term_b"), F.col("df").alias("df_b")))
-    return (
+    out = (
         pairs.join(ea, "term_a")
         .join(eb, "term_b")
         .select(
@@ -121,6 +123,13 @@ def cooccurrence_pairs(
             ).alias("pmi"),
         )
     )
+    # materialize the (bounded: capped-quadratic vocabulary pairs, far
+    # smaller than doc_terms) association table, then release the
+    # corpus-scale cache — this is an offline build, already eager via the
+    # exclusion count above, so the checkpoint adds no extra pass
+    out = out.localCheckpoint()
+    doc_terms.unpersist()
+    return out
 
 
 def related_from_pairs(pairs: DataFrame, raw_term: str, k: int = 10) -> DataFrame:

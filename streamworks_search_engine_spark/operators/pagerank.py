@@ -127,11 +127,15 @@ def pagerank_pinned(
     (2–3): each iteration is one shuffle and the unrolled oracle grows a
     CTE pair per iteration. For converged ranks use ``pagerank``.
     """
+    # no persist: the CacheManager would hold it for the session lifetime
+    # (ContextCleaner never reclaims persisted plans), and this variant
+    # runs 2-3 unrolled iterations at verification scale — recomputing the
+    # node set per reference in the plan is cheaper than a leaked cache.
+    # The converged ``pagerank`` is the any-scale path.
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
     if n == 0:

@@ -609,14 +609,16 @@ def bm25_topk_diversified(
     # LEFT join: a matching doc with no metadata row must not silently
     # vanish from results — docs with unknown group collectively form one
     # capped "(unknown)" group (visible in the output, never dropped).
-    # dropDuplicates: meta is a dimension keyed on doc_id, but a
-    # duplicate-keyed input would fan the scored frame out and let one
-    # doc_id consume several per-group cap slots (and repeat in the page)
-    joined = scored.join(
-        meta.select("doc_id", group_col).dropDuplicates(["doc_id"]),
-        "doc_id",
-        "left",
-    ).withColumn(
+    # min-dedup: meta is a dimension keyed on doc_id, but a duplicate-keyed
+    # input would fan the scored frame out and let one doc_id consume
+    # several per-group cap slots (and repeat in the page). groupBy+min —
+    # not dropDuplicates, whose arbitrary winner would make the group
+    # assignment (and thus the page composition) nondeterministic when the
+    # duplicates conflict.
+    dim = meta.select("doc_id", group_col).groupBy("doc_id").agg(
+        F.min(group_col).alias(group_col)
+    )
+    joined = scored.join(dim, "doc_id", "left").withColumn(
         group_col,
         F.coalesce(F.col(group_col).cast("string"), F.lit("(unknown)")),
     )

@@ -339,10 +339,14 @@ PROX_TWO_OR_MORE = 1.2  # IndexScorer.java:408
 PROX_ALONE = 1.0  # IndexScorer.java:409
 
 
-def make_refprox_udf(terms: list[str], n_existed: int):
-    """Pandas UDF ``(path, content, lang) -> double``: the reference-EXACT
-    per-tag-instance proximity formula (IndexScorer.assignProximityScore,
-    IndexScorer.java:666-710).
+def make_code_tag_prox_udf(terms: list[str], n_existed: int):
+    """Pandas UDF ``(path, content, lang) -> struct<h, a, p, prox>``: ONE
+    Arrow pass computing both the tag-class hit counts (as
+    make_code_tag_counts_udf) and the reference-EXACT per-tag-instance
+    proximity (IndexScorer.assignProximityScore,
+    IndexScorer.java:666-710) — both features tokenize the same lines, so
+    fusing them halves the content scan + Python tokenization on the
+    reference-mode query hot path.
 
     Tag instances for the code corpus mirror the tag classes: the file
     path is the single 'h' instance, each definition line an 'a' instance,
@@ -355,29 +359,42 @@ def make_refprox_udf(terms: list[str], n_existed: int):
     ``list_sum(list(… ORDER BY inst))`` folds the identical doubles.
     """
     term_set = set(terms)
+    out_type = T.StructType(
+        [
+            T.StructField("h", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("p", T.LongType()),
+            T.StructField("prox", T.DoubleType()),
+        ]
+    )
 
-    @F.pandas_udf(T.DoubleType())
-    def refprox(
+    @F.pandas_udf(out_type)
+    def tag_prox(
         path: pd.Series, content: pd.Series, lang: pd.Series
-    ) -> pd.Series:
-        out = []
+    ) -> pd.DataFrame:
+        rows = []
         for pth, txt, lg in zip(path, content, lang):
             contribs: list[tuple[float, int]] = []
-            n_h = sum(
+            h = sum(
                 1 for t in tokenize(pth or "", lg or "") if t in term_set
             )
-            if n_h:
-                contribs.append((TAG_WEIGHTS["h"], n_h))
+            if h:
+                contribs.append((TAG_WEIGHTS["h"], h))
+            a = p = 0
             for line in (txt or "").split("\n"):
                 n = sum(
                     1 for t in tokenize(line, lg or "") if t in term_set
                 )
                 if not n:
                     continue
-                cls = "a" if _DEF_LINE.match(line) else "p"
-                contribs.append((TAG_WEIGHTS[cls], n))
+                if _DEF_LINE.match(line):
+                    a += n
+                    contribs.append((TAG_WEIGHTS["a"], n))
+                else:
+                    p += n
+                    contribs.append((TAG_WEIGHTS["p"], n))
             if not contribs:
-                out.append(1.0)
+                rows.append((h, a, p, 1.0))
                 continue
             score = 0.0
             for w, n in contribs:
@@ -388,10 +405,51 @@ def make_refprox_udf(terms: list[str], n_existed: int):
                 else:
                     bonus = PROX_ALONE
                 score += w * bonus
-            out.append(score / len(contribs))
-        return pd.Series(out, dtype="float64")
+            rows.append((h, a, p, score / len(contribs)))
+        return pd.DataFrame(rows, columns=["h", "a", "p", "prox"])
 
-    return refprox
+    return tag_prox
+
+
+def tag_prox_feature_code(
+    docs_df: DataFrame,
+    terms: list[str],
+    tag_ratio: float,
+    prox_ratio: float,
+    n_existed: int,
+) -> DataFrame:
+    """(doc_id, tag_score, prox_score) from ONE fused Arrow pass over the
+    candidates' content — tag_score identical to tag_feature_code's,
+    prox_score the reference per-tag-instance formula. Run on the MATCHED
+    docs only (semi-join candidates first): at 100 TB the UDF touches k
+    docs, never the corpus."""
+    w = TAG_WEIGHTS
+    udf = make_code_tag_prox_udf(sorted(set(terms)), n_existed)
+    cnt = docs_df.select(
+        "doc_id",
+        udf(F.col("path"), F.col("content"), F.col("lang")).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.h").cast("double").alias("h"),
+        F.col("c.a").cast("double").alias("a"),
+        F.col("c.p").cast("double").alias("p"),
+        F.col("c.prox").alias("prox"),
+    )
+    total = F.col("h") + F.col("a") + F.col("p")
+    tag = F.when(
+        total > 0,
+        (
+            F.lit(w["h"]) * F.col("h")
+            + F.lit(w["a"]) * F.col("a")
+            + F.lit(w["p"]) * F.col("p")
+        )
+        / total,
+    ).otherwise(F.lit(1.0))
+    return cnt.select(
+        "doc_id",
+        (tag * F.lit(tag_ratio)).alias("tag_score"),
+        (F.col("prox") * F.lit(prox_ratio)).alias("prox_score"),
+    )
 
 
 def proximity_feature_reference(
@@ -409,14 +467,10 @@ def proximity_feature_reference(
     IndexScorer.java:584); defaults to ``len(set(terms))``."""
     if n_existed is None:
         n_existed = len(set(terms))
-    udf = make_refprox_udf(sorted(set(terms)), n_existed)
-    return docs_df.select(
-        "doc_id",
-        (
-            udf(F.col("path"), F.col("content"), F.col("lang"))
-            * F.lit(kw_ratio)
-        ).alias("prox_score"),
-    )
+    return tag_prox_feature_code(
+        docs_df, terms, tag_ratio=1.0, prox_ratio=kw_ratio,
+        n_existed=n_existed,
+    ).select("doc_id", "prox_score")
 
 
 def token_mass_prior(index: SearchIndex) -> DataFrame:
@@ -516,17 +570,6 @@ def weighted_search_topk(
     base = bm25_topk(index, survivors, k=None, hits=hits).select(
         "doc_id", F.col("score").alias("bm25_score")
     )
-    if tag_docs_df is not None:
-        cand = base.select("doc_id")
-        tag = tag_feature_code(
-            tag_docs_df.join(cand, "doc_id", "left_semi"), survivors, kw_ratio
-        )
-    elif index.path_hits is not None and "tf_def" in index.postings.columns:
-        tag = tag_feature_indexed(index, survivors, kw_ratio, hits=hits)
-    else:
-        tag = tag_feature_positional(
-            index, survivors, kw_ratio, title_prefix, hits=hits
-        )
     # reference: single-WORD queries get proximityScore = 1 exactly; multi-
     # word queries scale by kwRatio even when only one term survives.
     # Absent terms are dropped BEFORE proximity (reference scores over the
@@ -534,14 +577,35 @@ def weighted_search_topk(
     surv_set = set(survivors)
     surv_raw_order = [t for t in norm_raw_order if t in surv_set]
     prox_ratio = 1.0 if n_query == 1 else kw_ratio
-    if proximity == "reference":
-        prox = proximity_feature_reference(
+    tag_prox = None  # set when one fused pass serves both features
+    if proximity == "reference" and n_query > 1:
+        # ONE candidate semi-join + ONE Arrow pass computes tag AND
+        # reference proximity (both tokenize the same content lines)
+        tag_prox = tag_prox_feature_code(
             tag_docs_df.join(base.select("doc_id"), "doc_id", "left_semi"),
             survivors,
-            prox_ratio,
+            tag_ratio=kw_ratio,
+            prox_ratio=prox_ratio,
             n_existed=len(survivors),
         )
     else:
+        # single-word reference-mode queries take this path too: the
+        # reference pins proximityScore to exactly 1.0 when numWords == 1
+        # (IndexScorer.java:575-579), which proximity_feature's one-term
+        # branch emits — never the per-instance formula
+        if tag_docs_df is not None:
+            cand = base.select("doc_id")
+            tag = tag_feature_code(
+                tag_docs_df.join(cand, "doc_id", "left_semi"),
+                survivors,
+                kw_ratio,
+            )
+        elif index.path_hits is not None and "tf_def" in index.postings.columns:
+            tag = tag_feature_indexed(index, survivors, kw_ratio, hits=hits)
+        else:
+            tag = tag_feature_positional(
+                index, survivors, kw_ratio, title_prefix, hits=hits
+            )
         prox = proximity_feature(
             index, surv_raw_order, prox_ratio, window, hits=hits
         )
@@ -563,22 +627,21 @@ def weighted_search_topk(
             col = F.greatest(col, F.lit(LOG_FLOOR))
         return F.lit(f.coeff) * (F.log(col) if f.use_log else col)
 
-    joined = (
-        # LEFT joins: a matched doc with no tag hits (or absent from
-        # tag_docs_df) scores tagScore = 1·kwRatio — the reference's
-        # no-hits default (assignTagScore returns 1, IndexScorer.java:
-        # 646-650); a doc missing from the ranker table scores 0 (floored
-        # above when the feature is log-scaled)
-        base.join(tag, "doc_id", "left")
-        .join(prox, "doc_id", "left")
-        .join(rank, "doc_id", "left")
-        .fillna(
-            {
-                "tag_score": 1.0 * kw_ratio,
-                "prox_score": 1.0 if n_query == 1 else 1.0 * kw_ratio,
-                "ranker_score": 0.0,
-            }
-        )
+    # LEFT joins: a matched doc with no tag hits (or absent from
+    # tag_docs_df) scores tagScore = 1·kwRatio — the reference's no-hits
+    # default (assignTagScore returns 1, IndexScorer.java:646-650); a doc
+    # missing from the ranker table scores 0 (floored above when the
+    # feature is log-scaled)
+    if tag_prox is not None:
+        feats = base.join(tag_prox, "doc_id", "left")
+    else:
+        feats = base.join(tag, "doc_id", "left").join(prox, "doc_id", "left")
+    joined = feats.join(rank, "doc_id", "left").fillna(
+        {
+            "tag_score": 1.0 * kw_ratio,
+            "prox_score": 1.0 if n_query == 1 else 1.0 * kw_ratio,
+            "ranker_score": 0.0,
+        }
     )
     # fixed summation order (feature-name agnostic, matches the SQL oracle)
     total = (

@@ -2040,7 +2040,7 @@ SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
        doc_id, round(bm25_score, 6) AS bm25_score,
        round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
        round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
-FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
+FROM feat ORDER BY feat.total DESC, doc_id LIMIT 10"""
 
 
 # ---------------------------------------------- index-time tag classes ----
@@ -2152,7 +2152,7 @@ SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
        doc_id, round(bm25_score, 6) AS bm25_score,
        round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
        round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
-FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
+FROM feat ORDER BY feat.total DESC, doc_id LIMIT 10"""
 
 
 # Reference-exact proximity twin (proximity_feature_reference): tag
@@ -2214,7 +2214,7 @@ SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
        doc_id, round(bm25_score, 6) AS bm25_score,
        round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
        round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
-FROM feat ORDER BY total DESC, doc_id LIMIT 10"""
+FROM feat ORDER BY feat.total DESC, doc_id LIMIT 10"""
 
 
 # ---- anchor (J5 cross-doc attribution) corpus + oracle CTEs ----
@@ -2351,7 +2351,7 @@ SELECT CAST(row_number() OVER (ORDER BY total DESC, doc_id) AS BIGINT)
        doc_id, round(bm25_score, 6) AS bm25_score,
        round(tag_score, 6) AS tag_score, round(prox_score, 6) AS prox_score,
        round(ranker_score, 9) AS ranker_score, round(total, 6) AS total
-FROM feat ORDER BY total DESC, doc_id LIMIT 10""",
+FROM feat ORDER BY feat.total DESC, doc_id LIMIT 10""",
     "index_wordcount": f"""{_SQL_TOKS}
 SELECT term, count(*) AS n
 FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term""",
@@ -2448,7 +2448,7 @@ scored AS (SELECT c.term, c.co,
            FROM co c JOIN lexicon l USING (term) WHERE l.df >= 2)
 SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term) AS BIGINT) AS rank,
        term, co, round(pmi, 6) AS pmi
-FROM scored ORDER BY pmi DESC, term LIMIT 10""",
+FROM scored ORDER BY scored.pmi DESC, term LIMIT 10""",
     "cooccur_pairs_top50": f"""{_SQL_INDEX},
 elig AS (SELECT term, df FROM lexicon WHERE df BETWEEN 5 AND 450),
 rows_e AS (SELECT p.term, p.doc_id FROM postings p JOIN elig USING (term)),
@@ -2468,7 +2468,7 @@ scored AS (SELECT term_a, term_b, co,
 SELECT CAST(row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS BIGINT)
          AS rank,
        term_a, term_b, co, round(pmi, 6) AS pmi
-FROM scored ORDER BY pmi DESC, term_a, term_b LIMIT 50""",
+FROM scored ORDER BY scored.pmi DESC, term_a, term_b LIMIT 50""",
     "search_string_top10": f"""{_bm25_sql_base(sorted(["scan", "table", "hash"]))},
 ph AS (SELECT doc_id FROM toks
        WHERE len(tokens) >= 2 AND len(list_filter(
@@ -2586,7 +2586,7 @@ fused AS (
   FROM lex l FULL OUTER JOIN sem s2 ON l.doc_id = s2.doc_id)
 SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(rrf, 9) AS rrf
-FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
+FROM fused ORDER BY fused.rrf DESC, doc_id LIMIT 10""",
     "tfidf_reference": f"""{_SQL_INDEX},
 sumsq AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * tf) AS ss
           FROM postings GROUP BY doc_id)
@@ -3026,7 +3026,11 @@ def _pagerank_sql(n_iter: int = 2, k: int = 20) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, round(rank, 9) AS rank FROM r{n_iter}"
-        + f"\nORDER BY rank DESC, node LIMIT {k}"
+        # qualified r{n}.rank: a bare 'rank' would bind to the ROUNDED
+        # output alias (SQL alias-shadowing), while Spark's top_ranked
+        # orders by the unrounded double — at a 1e-9 rounding-boundary tie
+        # the two engines would pick different top-k sets
+        + f"\nORDER BY r{n_iter}.rank DESC, node LIMIT {k}"
     )
 
 

@@ -335,3 +335,10 @@ def test_diversified_duplicate_meta_rows_no_fanout(spark_index):
     for r in got:
         counts[r.grp] = counts.get(r.grp, 0) + 1
     assert counts and max(counts.values()) <= 2
+    # the dedup is DETERMINISTIC (min group wins, not an arbitrary
+    # dropDuplicates survivor): '0'/'1'/'2' < 'conflict' lexically, so the
+    # page must be identical to the clean-meta page, run after run
+    clean = bm25_topk_diversified(
+        spark_index, ["parse"], meta, "grp", max_per_group=2, k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in clean]

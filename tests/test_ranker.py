@@ -449,3 +449,20 @@ def test_weighted_unknown_proximity_mode(spark_index, docs_df):
         weighted_search_topk(
             spark_index, TERMS, k=10, tag_docs_df=docs_df, proximity="bogus"
         )
+
+
+def test_weighted_refprox_single_word_prox_is_one(spark_index, docs_df):
+    """Reference semantics pin proximityScore to EXACTLY 1.0 for a
+    single-word query (IndexScorer.java:575-579) — the per-instance
+    formula must not run (regression: it used to, giving e.g. 1.2 for a
+    doc whose line holds the term twice)."""
+    res = weighted_search_topk(
+        spark_index, ["parse"], k=10, tag_docs_df=docs_df,
+        proximity="reference",
+    ).collect()
+    assert res and all(r["prox_score"] == 1.0 for r in res)
+    win = weighted_search_topk(
+        spark_index, ["parse"], k=10, tag_docs_df=docs_df,
+        proximity="window",
+    ).collect()
+    assert [tuple(r) for r in res] == [tuple(r) for r in win]
