@@ -48,6 +48,7 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    prev_cache = None  # the persisted frame of the previous iteration
 
     for it in range(max_iter):
         contribs = (
@@ -89,14 +90,28 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                 .collect()[0][0]
             )
-        ranks.unpersist() if it > 0 else None
+        if prev_cache is not None:
+            prev_cache.unpersist(blocking=False)
+        prev_cache = new_ranks
         ranks = new_ranks
         if (it + 1) % checkpoint_every == 0:
             # truncate lineage: materialize to a local checkpoint
             ranks = ranks.localCheckpoint()
         if delta is not None and delta < tol:
             break
-    return ranks
+    # Checkpoint the result and release every cache this call registered:
+    # the CacheManager holds persisted plans by strong reference (the
+    # ContextCleaner never reclaims them), so returning a plan that leans
+    # on the caches would leak them for the session lifetime. The ranks
+    # frame is n rows — materializing it here is what any caller's first
+    # action would do anyway.
+    result = ranks.localCheckpoint()
+    if prev_cache is not None:
+        prev_cache.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    outdeg.unpersist(blocking=False)
+    edges_deg.unpersist(blocking=False)
+    return result
 
 
 def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
