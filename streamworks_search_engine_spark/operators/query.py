@@ -178,6 +178,25 @@ def surviving_terms(index: SearchIndex, terms: list[str]) -> list[tuple[str, flo
     return sorted([(r["term"], float(r["idf"])) for r in rows])
 
 
+def _lex_probe(
+    index: SearchIndex, terms: list[str]
+) -> list[tuple[str, float, int]]:
+    """(term, idf, df) for the query terms' lexicon rows, sorted — ONE
+    bounded driver job (≤ |query| rows; the term filter pushes into the
+    term-keyed lexicon scan). The single probe every flat/packed/front-door
+    entry point shares, so a routed query never reads the lexicon twice."""
+    if not terms:
+        return []
+    rows = (
+        index.lexicon.filter(F.col("term").isin(terms))
+        .select("term", "idf", "df")
+        .collect()
+    )
+    return sorted(
+        (r["term"], float(r["idf"]), int(r["df"])) for r in rows
+    )
+
+
 def _bm25_contrib(idf_col, tf_col, dl_col, avgdl: float):
     return (
         idf_col
@@ -267,16 +286,25 @@ def bm25_topk(
     k: int | None = 10,
     hits: DataFrame | None = None,
     mode: str = "all",
+    lex: list[tuple[str, float, int]] | None = None,
 ) -> DataFrame:
     """Flat-postings BM25 top-k. Returns (rank, doc_id, score).
 
-    Single-job plan: the lexicon semi-join runs as a broadcast hash join
-    inside the query (no driver round-trip), the ``term IN (...)`` predicate
+    Two-step plan: the lexicon probe (``surviving_terms``) collects the
+    query terms' idfs to the driver — ONE bounded job over the term-keyed
+    lexicon (k rows; the moral equivalent of the reference's lexicon RPC,
+    MatchHandler.java:186-213, and the same step ``bm25_topk_packed`` and
+    ``bm25_prefix_topk`` already take) — then the scoring job carries the
+    idfs and the conjunctive count as LITERALS: scan → contrib → one
+    hash-agg → top-k, with no broadcast exchanges at all. The previous
+    in-plan lexicon semi-join ran the same lexicon scan as a broadcast
+    stage plus a second 1-row broadcast for the term count — two extra
+    sequential stages on every query for no data-size benefit (measured
+    2.5× the warm p50 at sf0.1). The ``term IN (...)`` predicate still
     pushes into the range-partitioned parquet scan (file pruning via
-    row-group stats), and the conjunctive count compares against a
-    broadcast 1-row scalar (# surviving terms) — the reference needed a
-    lexicon RPC + an n-way SQL join chain for the same thing
-    (MatchHandler.java:186-213,317-335).
+    row-group stats); the reference needed an n-way SQL join chain for the
+    intersection (MatchHandler.java:317-335) — here it is one hash-agg
+    with a literal count filter.
 
     ``hits``: an optional prefetched term-filtered postings frame covering
     (at least) the normalized query terms — multi-feature callers
@@ -286,52 +314,32 @@ def bm25_topk(
     ``mode``: ``"all"`` (default) requires every query term per doc — the
     reference's conjunctive semantics; ``"any"`` scores docs matching any
     term (disjunctive OR), same BM25 sum over the terms present.
+
+    ``lex``: an optional precomputed ``_lex_probe`` result — routing
+    callers (``bm25_search``) probe the lexicon once and share it, so a
+    routed query never runs the probe twice.
     """
     spark = index.postings.sparkSession
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
     terms = normalize_terms(raw_terms)
     if not terms:
-        return spark.createDataFrame([], "rank int, doc_id long, score double")
-
-    lex_mini = index.lexicon.filter(F.col("term").isin(terms)).select(
-        "term", "idf"
+        return empty
+    survivors = (
+        [(t, i) for t, i, _ in lex]
+        if lex is not None
+        else surviving_terms(index, terms)
     )
-    nq = lex_mini.agg(F.count("*").alias("nq_n"))
+    if not survivors:
+        return empty if k is not None else empty.select("doc_id", "score")
+    term_list = [t for t, _ in survivors]
     if hits is not None:
-        rows = hits.filter(F.col("term").isin(terms))
+        rows = hits.filter(F.col("term").isin(term_list))
         if "positions" in rows.columns:
             rows = rows.drop("positions")
     else:
-        rows = postings_for_terms(index, terms, positions=False)
-    hits = (
-        rows
-        .join(F.broadcast(lex_mini), "term")
-        .select(
-            "term",
-            "doc_id",
-            _bm25_contrib(
-                F.col("idf"), F.col("tf"), F.col("doc_len"), index.avgdl
-            ).alias("contrib"),
-        )
-    )
-    agg = hits.groupBy("doc_id").agg(
-        F.count("*").alias("n_matched"),
-        F.sort_array(F.collect_list(F.struct("term", "contrib"))).alias("parts"),
-    )
-    if mode == "all":
-        agg = agg.join(
-            F.broadcast(nq), F.col("n_matched") == F.col("nq_n")
-        )
-    scored = (
-        agg
-        .withColumn(
-            "score",
-            F.aggregate("parts", F.lit(0.0), lambda acc, x: acc + x["contrib"]),
-        )
-        .select("doc_id", "score")
-    )
-    if k is None:
-        return scored
-    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
+        rows = postings_for_terms(index, term_list, positions=False)
+    scored_terms = _contribs_from_decoded(rows, survivors, index.avgdl)
+    return _score_and_topk(scored_terms, n_terms=len(survivors), k=k, mode=mode)
 
 
 def bm25_prefix_topk(
@@ -1302,6 +1310,7 @@ def bm25_topk_packed(
     semi_join_df_threshold: int = 200_000,
     prune_min_df: int = 1_000_000,
     mode: str = "all",
+    lex: list[tuple[str, float, int]] | None = None,
 ) -> DataFrame:
     """BM25 top-k over block-packed postings with lossless pruning (M3).
 
@@ -1341,15 +1350,12 @@ def bm25_topk_packed(
     assert index.packed is not None, "index has no packed postings"
     terms = normalize_terms(raw_terms)
     empty = spark.createDataFrame([], "rank int, doc_id long, score double")
-    lex_rows = (
-        index.lexicon.filter(F.col("term").isin(terms))
-        .select("term", "idf", "df")
-        .collect()
-    )
-    survivors = sorted([(r["term"], float(r["idf"])) for r in lex_rows])
+    if lex is None:
+        lex = _lex_probe(index, terms)
+    survivors = [(t, i) for t, i, _ in lex]
     if not survivors:
         return empty
-    dfs = {r["term"]: int(r["df"]) for r in lex_rows}
+    dfs = {t: d for t, _, d in lex}
     term_list = [t for t, _ in survivors]
 
     # scoring never reads positions — drop the blob column so the parquet
@@ -1542,17 +1548,15 @@ def bm25_search(
     terms = normalize_terms(raw_terms)
     if not terms:
         return bm25_topk(index, raw_terms, k, mode=mode)
-    row = (
-        index.lexicon.filter(F.col("term").isin(terms))
-        .agg(F.sum("df").alias("mass"))
-        .collect()[0]
-    )
-    mass = int(row["mass"] or 0)
+    # ONE lexicon probe serves both the routing decision (candidate df
+    # mass) and the routed path's idf/df needs — no second lexicon job
+    lex = _lex_probe(index, terms)
+    mass = sum(d for _, _, d in lex)
     if mass < crossover_df:
-        return bm25_topk(index, raw_terms, k, mode=mode)
+        return bm25_topk(index, raw_terms, k, mode=mode, lex=lex)
     # above the crossover, the block path still lets adaptive_prune decide
     # whether a probe earns its round-trips for THIS df profile
-    return bm25_topk_packed(index, raw_terms, k, mode=mode)
+    return bm25_topk_packed(index, raw_terms, k, mode=mode, lex=lex)
 
 
 def hybrid_rrf_topk(
