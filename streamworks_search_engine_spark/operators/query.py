@@ -1290,11 +1290,14 @@ def adaptive_prune_or(dfs: dict[str, int], prune_min_df: int) -> bool:
     design-point decision is unit-testable (pinned in test_packed_postings):
     maxscore needs idf skew (a low-df term whose contribution dominates
     theta) AND enough high-df posting mass to skip; without skew every
-    term is essential and pruning only pays its probe cost. Measured at
-    the 8M-doc rare-OR-common design point: packed+prune 1.63s vs flat
-    2.55s (r3) and 2.61s vs 3.23s (r5 idle window) — the win reproduces
-    in good windows and holds at worst to parity in steal-heavy ones
-    (r4: 1.911 vs 1.913), so the gate stays."""
+    term is essential and pruning only pays its probe cost. The decision
+    this gate controls is prune-vs-decode-all on the packed path (flat
+    vs packed is a ROUTING choice made upstream by ``bm25_search``);
+    measured at the 8M-doc rare-OR-common design point with an
+    interleaved 7-rep A/B (round-5 close): packed+prune p50 3.01 s
+    (min 2.21) vs packed decode-all p50 3.64 s (min 3.29) — prune won
+    every rep, so the gate stays. Earlier window classes agree
+    (r3: 1.63 s pruned vs 2.55 s flat; r5-open idle: 2.61 vs 3.23)."""
     rare_df = min(dfs.values())
     return (
         8 * rare_df <= max(dfs.values())
