@@ -91,9 +91,14 @@ def main() -> None:
     si.postings = si.postings.persist()
     si.postings.count()  # warm cache
     # one untimed query warms JIT/codegen + AQE paths — the metric is
-    # warm-index latency; cold-JVM cost is a per-process one-off
-    bm25_topk(si, ["warmup"], k=10).collect()
-    bm25_topk_packed(si, ["warmup"], k=10).collect()
+    # warm-index latency; cold-JVM cost is a per-process one-off. The
+    # warmup terms must EXIST in the index ("table"/"join" are corpus
+    # words outside BM25_QUERIES): a nonexistent term short-circuits at
+    # the lexicon probe and never compiles the scoring stage, leaving q1
+    # to absorb codegen + parquet-footer one-offs (measured ~0.4s on q1
+    # before this fix).
+    bm25_topk(si, ["table", "join"], k=10).collect()
+    bm25_topk_packed(si, ["table", "join"], k=10).collect()
     lat = []
     for terms in BM25_QUERIES:
         t0 = time.time()
@@ -316,7 +321,8 @@ def main() -> None:
     # the ONLY path here (no flat table) — positions-pruned block scan +
     # decode (bm25_search routes to it automatically)
     ci = load_index(spark, corpus_out)
-    bm25_search(ci, ["warmup"], k=10).collect()
+    # real corpus words outside the measured set (see the q1 warmup note)
+    bm25_search(ci, ["posting", "document"], k=10).collect()
     clat = []
     for terms in (["index"], ["parse", "merge"], ["buffer", "stream", "query"]):
         t0 = time.time()
@@ -380,7 +386,8 @@ def main() -> None:
         max(part_rows) / (sum(part_rows) / len(part_rows)), 2
     )
     si = load_index(spark, skew_out)
-    bm25_search(si, ["warmup"], k=10).collect()
+    # real corpus words outside the measured set (see the q1 warmup note)
+    bm25_search(si, ["posting", "document"], k=10).collect()
     slat = []
     for terms in (["hotterm"], ["hotterm", "parse"], ["hotterm", "merge", "index"]):
         t0 = time.time()
@@ -450,8 +457,10 @@ def main() -> None:
             fh.write("ok")
     dpi = load_index(spark, dp_dir)
     dp_q = ["rareterm", "commonterm"]
-    bm25_topk(dpi, ["warmup"], k=10).collect()
-    bm25_topk_packed(dpi, ["warmup"], k=10).collect()
+    # rareterm (df=8000) exists in the design-point index — cheap, and it
+    # actually compiles the scoring stages (see the q1 warmup note)
+    bm25_topk(dpi, ["rareterm"], k=10).collect()
+    bm25_topk_packed(dpi, ["rareterm"], k=10).collect()
     flat_l, packed_l = [], []
     for _ in range(5):
         t0 = time.time()

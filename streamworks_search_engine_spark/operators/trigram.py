@@ -1,0 +1,485 @@
+"""Trigram-indexed regex + substring search over source text.
+
+The canonical code-search operator (R. Cox, "Regular Expression Matching
+with a Trigram Index", 2012 — the Google Code Search design, of which
+Zoekt and livegrep are the public descendants): derive the trigrams every
+match MUST contain from the regex itself, intersect those trigrams'
+posting lists to get a candidate doc set, and run the actual regex only
+on the candidates. The reference engine answers tokenized term queries
+only (backend MatchHandler serves word lookups over the word lexicon);
+regex/substring search is the capability its code-search users reach for
+next, so it is added here as a first-class Spark operator rather than a
+tokenizer special case.
+
+Spark-first shape:
+
+- the trigram postings table reuses the word index's layout conventions
+  (operators/indexer.py:write_index): parquet, range-partitioned and
+  sorted by (tri, doc_id), so a query's ``tri IN (...)`` predicate prunes
+  whole files via row-group min/max stats;
+- trigram extraction is pure JVM (``sequence`` + ``transform`` + per-doc
+  ``array_distinct`` map-side + one explode — no Python anywhere in the
+  build, and the per-doc distinct removes the duplicate mass BEFORE the
+  shuffle);
+- the AND-intersection is the same single hash-agg count-compare the
+  BM25 conjunction uses (operators/query.py:_score_and_topk's J2 shape)
+  — never an n-way join chain;
+- the regex itself runs JVM-side (``rlike``) on the semi-joined
+  candidates only — Python never sees a row;
+- planning is SOUND by construction: ``regex_trigrams`` returns an
+  OR-of-ANDs trigram query that every match provably satisfies, or
+  ``None`` when the pattern admits matches with no required literal
+  (then — and only then — the search falls back to a full ``rlike``
+  scan: slower, never wrong).
+
+At 100 TB the trigram df distribution is Zipf-heavy (whitespace runs and
+common keyword fragments appear in essentially every file), so the
+planner probes the trigram lexicon first (ONE bounded driver job — the
+``_lex_probe`` pattern from operators/query.py) and keeps only the
+rarest few trigrams per alternative: candidate-generation cost is
+bounded by the CHOSEN dfs, an absent trigram short-circuits its whole
+alternative to zero candidates without touching the postings, and a
+best-trigram df above ``scan_cutoff``·n_docs routes to the scan (the
+intersection could not beat it).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+try:  # Python 3.11+: sre_parse moved under re (public import deprecated)
+    from re import _constants as sre_constants
+    from re import _parser as sre_parse
+except ImportError:  # pragma: no cover - older stdlib layout
+    import sre_constants
+    import sre_parse
+
+# Alternation blowup cap: `(a|b)(c|d)(e|f)...` cross-products; past this
+# many alternatives the trigram query costs more to plan and execute than
+# it saves, so the analyzer gives up (-> full scan). Sound either way.
+MAX_ALTS = 24
+# Character classes of at most this many plain literals (e.g. [ae]) expand
+# into alternation branches; larger/complex classes break the literal run.
+MAX_CLASS_EXPANSION = 4
+
+
+# --------------------------------------------------------------------------
+# regex -> required-trigram query (pure Python, unit-testable, no Spark)
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _Frag:
+    """Literal structure of one alternative of a regex fragment.
+
+    ``exact`` is set when the fragment matches EXACTLY that literal (no
+    wildcards at all); otherwise ``prefix``/``suffix`` are the guaranteed
+    literal head/tail of any match and ``inner`` the other literal runs
+    guaranteed to appear somewhere inside. All fields describe text the
+    match MUST contain contiguously — the soundness invariant everything
+    below preserves.
+    """
+
+    exact: str | None = ""
+    prefix: str = ""
+    suffix: str = ""
+    inner: tuple[str, ...] = ()
+
+    def runs(self) -> list[str]:
+        if self.exact is not None:
+            return [self.exact]
+        return [self.prefix, *self.inner, self.suffix]
+
+
+_EPSILON = _Frag(exact="")
+_BREAK = _Frag(exact=None)  # matches something with no guaranteed literal
+
+
+def _concat(a: _Frag, b: _Frag) -> _Frag:
+    if a.exact is not None and b.exact is not None:
+        return _Frag(exact=a.exact + b.exact)
+    if a.exact is not None:  # a is a pure literal: it extends b's prefix
+        return _Frag(
+            exact=None, prefix=a.exact + b.prefix, suffix=b.suffix, inner=b.inner
+        )
+    if b.exact is not None:
+        return _Frag(
+            exact=None, prefix=a.prefix, suffix=a.suffix + b.exact, inner=a.inner
+        )
+    # both have a wildcard: a's tail and b's head are adjacent in any match
+    junction = a.suffix + b.prefix
+    inner = a.inner + b.inner + ((junction,) if junction else ())
+    return _Frag(exact=None, prefix=a.prefix, suffix=b.suffix, inner=inner)
+
+
+def _concat_alts(xs: list[_Frag], ys: list[_Frag]) -> list[_Frag] | None:
+    out = [_concat(x, y) for x in xs for y in ys]
+    return None if len(out) > MAX_ALTS else out
+
+
+def _class_literals(av) -> list[str] | None:
+    """[ae]-style class -> its literal chars, or None if not expandable."""
+    lits: list[str] = []
+    for op, arg in av:
+        if op is sre_constants.LITERAL:
+            lits.append(chr(arg))
+        else:  # NEGATE / RANGE / CATEGORY: not a small literal set
+            return None
+    return lits if 0 < len(lits) <= MAX_CLASS_EXPANSION else None
+
+
+def _analyze(tokens) -> list[_Frag] | None:
+    """Alternatives of guaranteed-literal structure for a parsed sequence.
+
+    Returns None when the analysis would blow past MAX_ALTS — the caller
+    treats that exactly like an unpruneable pattern (full scan).
+    """
+    alts: list[_Frag] = [_EPSILON]
+    for op, av in tokens:
+        atom_alts: list[_Frag] | None
+        if op is sre_constants.LITERAL:
+            atom_alts = [_Frag(exact=chr(av))]
+        elif op is sre_constants.IN:
+            lits = _class_literals(av)
+            atom_alts = (
+                [_Frag(exact=c) for c in lits] if lits is not None else [_BREAK]
+            )
+        elif op is sre_constants.AT:
+            # anchors (^ $ \b) are zero-width: they never break the
+            # contiguity of the literals around them in the matched text
+            atom_alts = [_EPSILON]
+        elif op in (sre_constants.ASSERT, sre_constants.ASSERT_NOT):
+            # lookaround is zero-width; ignoring it keeps a superset of
+            # matches (sound — we only ever return REQUIRED literals)
+            atom_alts = [_EPSILON]
+        elif op is sre_constants.SUBPATTERN:
+            # av = (group, add_flags, del_flags, tokens)
+            add_flags = av[1]
+            if add_flags & re.IGNORECASE:
+                return None  # index is case-sensitive; let rlike handle it
+            atom_alts = _analyze(av[3])
+        elif op is sre_constants.BRANCH:
+            branch_alts: list[_Frag] = []
+            for branch in av[1]:
+                sub = _analyze(branch)
+                if sub is None:
+                    return None
+                branch_alts.extend(sub)
+            if len(branch_alts) > MAX_ALTS:
+                return None
+            atom_alts = branch_alts
+        elif op in (sre_constants.MAX_REPEAT, sre_constants.MIN_REPEAT):
+            lo, hi, item = av
+            sub = _analyze(item)
+            if sub is None:
+                return None
+            if lo == 0:
+                atom_alts = [_BREAK]  # optional: nothing guaranteed
+            elif len(sub) == 1:
+                (ia,) = sub
+                if ia.exact is not None:
+                    lit = ia.exact * lo
+                    if hi == lo:
+                        atom_alts = [_Frag(exact=lit)]
+                    else:
+                        # x{lo,hi}, x literal: every match starts AND ends
+                        # with x*lo (matches are x*k, k>=lo)
+                        atom_alts = [
+                            _Frag(exact=None, prefix=lit, suffix=lit, inner=())
+                        ]
+                else:
+                    # >=1 occurrence of a wildcard-bearing item: one
+                    # occurrence's guaranteed runs all appear; its prefix
+                    # starts the fragment, its suffix ends it
+                    atom_alts = [
+                        _Frag(
+                            exact=None,
+                            prefix=ia.prefix,
+                            suffix=ia.suffix,
+                            inner=ia.inner,
+                        )
+                    ]
+            else:
+                # alternation under a repeat: different occurrences may
+                # take different branches; guaranteed literals would be
+                # the intersection across branches — treat as none (sound)
+                atom_alts = [_BREAK]
+        else:
+            # ANY (.), CATEGORY (\d \w), GROUPREF (backrefs), etc.: the
+            # atom consumes text but guarantees no particular literal
+            atom_alts = [_BREAK]
+        if atom_alts is None:
+            return None
+        merged = _concat_alts(alts, atom_alts)
+        if merged is None:
+            return None
+        alts = merged
+    return alts
+
+
+def _trigrams(s: str) -> set[str]:
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+def regex_trigrams(pattern: str) -> list[set[str]] | None:
+    """OR-of-ANDs required-trigram query for ``pattern``, or None.
+
+    A non-None result ``[A1, A2, ...]`` means: every string matching
+    ``pattern`` contains ALL trigrams of at least one ``Ai`` (so docs
+    missing them are safe to skip — the Cox trigram-query invariant).
+    None means the pattern admits matches with no extractable trigram
+    (too short a literal, case-insensitive, alternation blowup, ...):
+    the caller must fall back to scanning. Never raises on a valid
+    pattern — any analysis failure degrades to None.
+    """
+    try:
+        parsed = sre_parse.parse(pattern)
+    except re.error:
+        return None
+    if parsed.state.flags & re.IGNORECASE:
+        return None  # the trigram index is case-sensitive
+    alts = _analyze(parsed)
+    if alts is None:
+        return None
+    out: list[set[str]] = []
+    for alt in alts:
+        tris: set[str] = set()
+        for run in alt.runs():
+            tris |= _trigrams(run)
+        if not tris:
+            return None  # this alternative can match with no trigram
+        out.append(tris)
+    return out
+
+
+# --------------------------------------------------------------------------
+# trigram index build / persist / load (the word index's layout, re-keyed)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TrigramIndex:
+    postings: DataFrame  # (tri, doc_id) — distinct
+    lexicon: DataFrame  # (tri, df)
+    n_docs: int
+
+
+def trigram_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (tri, doc_id) pairs, extracted entirely JVM-side.
+
+    ``array_distinct`` runs map-side BEFORE the explode, so duplicate
+    trigram instances (the bulk of any real file) never enter the
+    pipeline as rows; the explode emits at most |distinct trigrams of the
+    doc| rows per doc. Source files are bounded (KB-MB), so the per-doc
+    array is too — the same per-doc-bounded-array contract the word
+    tokenizer already relies on.
+    """
+    tris = F.when(
+        F.length(F.col(text_col)) >= 3,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - 2),"
+            f" i -> substring({text_col}, i, 3))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tris)).alias("tri"),
+    )
+
+
+def build_trigram_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> TrigramIndex:
+    """In-memory trigram index: postings + df lexicon + corpus size.
+
+    One wide shuffle total at scale: postings are per-doc distinct
+    already, and the lexicon df agg is a partial-aggregated groupBy on
+    the trigram key ((tri, doc_id) rows salt naturally across doc_ids,
+    the same hot-key argument as the word lexicon — indexer.py A3).
+    """
+    postings = trigram_postings(docs, text_col=text_col, id_col=id_col)
+    lexicon = postings.groupBy("tri").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    return TrigramIndex(postings=postings, lexicon=lexicon, n_docs=n_docs)
+
+
+def write_trigram_index(
+    docs: DataFrame,
+    out_dir: str,
+    tri_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist as parquet, range-partitioned + sorted by (tri, doc_id) —
+    the same file-pruning layout rationale as write_index: every file
+    covers a tight trigram range, so a query's ``tri IN (...)`` prunes
+    whole files via row-group stats. (Cluster-scale: Iceberg
+    ``bucket(N, tri)``, exactly like the word postings.)"""
+    idx = build_trigram_index(docs, text_col=text_col, id_col=id_col)
+    (
+        idx.postings.repartitionByRange(tri_buckets, "tri", "doc_id")
+        .sortWithinPartitions("tri", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/tri_postings")
+    )
+    idx.lexicon.repartitionByRange(
+        max(1, tri_buckets // 4), "tri"
+    ).sortWithinPartitions("tri").write.mode("overwrite").parquet(
+        f"{out_dir}/tri_lexicon"
+    )
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(idx.n_docs,)], "n_docs long"
+    ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/tri_stats")
+
+
+def load_trigram_index(spark: SparkSession, index_dir: str) -> TrigramIndex:
+    stats = spark.read.json(f"{index_dir}/tri_stats").collect()[0]
+    return TrigramIndex(
+        postings=spark.read.parquet(f"{index_dir}/tri_postings"),
+        lexicon=spark.read.parquet(f"{index_dir}/tri_lexicon"),
+        n_docs=int(stats["n_docs"]),
+    )
+
+
+# --------------------------------------------------------------------------
+# query planning + execution
+# --------------------------------------------------------------------------
+
+
+def plan_regex(
+    index: TrigramIndex,
+    pattern: str,
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+) -> dict:
+    """Plan a regex search: probe trigram dfs, choose the rarest trigrams
+    per alternative, decide index-vs-scan. Pure planning — no corpus-scale
+    job runs here (the lexicon probe is one bounded driver job, ≤ |tris|
+    rows, the filter pushed into the tri-keyed lexicon scan).
+
+    Returns ``{"mode": "index"|"scan"|"empty", "alts": [[tri,...],...],
+    "dfs": {tri: df}, "query": <raw trigram query>}``:
+
+    - ``empty``: every alternative requires a trigram absent from the
+      corpus — NO document can match; skip the corpus entirely.
+    - ``scan``: no sound trigram query (regex_trigrams -> None), or the
+      cheapest alternative's rarest trigram is so common
+      (df > scan_cutoff * n_docs) that intersection can't beat a scan.
+    - ``index``: per surviving alternative, up to ``max_tris_per_alt``
+      rarest trigrams (a SUBSET of required trigrams keeps candidates a
+      superset — still sound, and cost is bounded by the chosen dfs).
+    """
+    query = regex_trigrams(pattern)
+    if query is None:
+        return {"mode": "scan", "alts": [], "dfs": {}, "query": None}
+    all_tris = sorted(set().union(*query))
+    rows = index.lexicon.filter(F.col("tri").isin(all_tris)).collect()
+    dfs = {r["tri"]: int(r["df"]) for r in rows}
+    alts: list[list[str]] = []
+    for alt in query:
+        if any(t not in dfs for t in alt):
+            continue  # a required trigram is absent -> alternative is dead
+        chosen = sorted(alt, key=lambda t: (dfs[t], t))[:max_tris_per_alt]
+        alts.append(chosen)
+    if not alts:
+        return {"mode": "empty", "alts": [], "dfs": dfs, "query": query}
+    # the gate looks at each alternative's RAREST trigram: if even that
+    # one's posting list rivals the corpus, intersecting can't pay
+    worst_best = max(min(dfs[t] for t in alt) for alt in alts)
+    if worst_best > scan_cutoff * max(index.n_docs, 1):
+        return {"mode": "scan", "alts": alts, "dfs": dfs, "query": query}
+    return {"mode": "index", "alts": alts, "dfs": dfs, "query": query}
+
+
+def _candidates(index: TrigramIndex, alts: list[list[str]]) -> DataFrame:
+    """Docs containing ALL chosen trigrams of at least one alternative:
+    per alternative one term-pruned scan + ONE hash-agg count-compare
+    (the J2 intersection shape — no n-way join chain), then a union
+    distinct across alternatives."""
+    parts = []
+    for chosen in alts:
+        cand = (
+            index.postings.filter(F.col("tri").isin(chosen))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == len(chosen))
+            .select("doc_id")
+        )
+        parts.append(cand)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct() if len(parts) > 1 else out
+
+
+def regex_search(
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+) -> DataFrame:
+    """Docs whose ``text_col`` matches ``pattern`` (unanchored, like
+    ``grep``): trigram-pruned when the pattern allows it, full ``rlike``
+    scan when it doesn't. Returns (doc_id), deterministic order by caller.
+
+    The verification filter is JVM ``rlike`` over ONLY the semi-joined
+    candidates — at 100 TB the regex engine touches |candidates| rows,
+    bounded by the chosen trigram dfs, never the corpus.
+    """
+    plan = plan_regex(
+        index, pattern, max_tris_per_alt=max_tris_per_alt, scan_cutoff=scan_cutoff
+    )
+    matches = F.col(text_col).rlike(pattern)
+    if plan["mode"] == "empty":
+        return docs.select(F.col(id_col).alias("doc_id")).limit(0)
+    if plan["mode"] == "scan":
+        return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
+    cand = _candidates(index, plan["alts"])
+    return (
+        docs.withColumnRenamed(id_col, "doc_id")
+        .join(cand, "doc_id", "leftsemi")
+        .filter(matches)
+        .select("doc_id")
+    )
+
+
+def substring_search(
+    index: TrigramIndex,
+    docs: DataFrame,
+    needle: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+) -> DataFrame:
+    """Exact substring containment — the regex path with the trigram query
+    computed directly from the literal (no parsing), verified with
+    ``contains`` instead of a regex engine."""
+    matches = F.col(text_col).contains(needle)
+    if len(needle) < 3:
+        return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
+    tris = sorted(_trigrams(needle))
+    rows = index.lexicon.filter(F.col("tri").isin(tris)).collect()
+    dfs = {r["tri"]: int(r["df"]) for r in rows}
+    if any(t not in dfs for t in tris):
+        return docs.select(F.col(id_col).alias("doc_id")).limit(0)
+    chosen = sorted(tris, key=lambda t: (dfs[t], t))[:max_tris_per_alt]
+    if min(dfs[t] for t in chosen) > scan_cutoff * max(index.n_docs, 1):
+        return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
+    cand = _candidates(index, [chosen])
+    return (
+        docs.withColumnRenamed(id_col, "doc_id")
+        .join(cand, "doc_id", "leftsemi")
+        .filter(matches)
+        .select("doc_id")
+    )

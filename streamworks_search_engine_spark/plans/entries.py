@@ -877,6 +877,70 @@ def q_pagerank_iter2_top20(spark, sf_dir):
     return top.select("node", F.round("rank", 9).alias("rank"))
 
 
+# bounded to ONE live entry (same rationale as _MERGE_CACHE): the persisted
+# trigram postings/lexicon pin executor storage, so switching (app, sf_dir)
+# unpersists the previous corpus's index first
+_TRIGRAM_CACHE: dict = {}
+
+
+def _trigram_index(spark, sf_dir):
+    from ..operators.trigram import build_trigram_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRIGRAM_CACHE:
+        return _TRIGRAM_CACHE[key]
+    for old_key in list(_TRIGRAM_CACHE):
+        old = _TRIGRAM_CACHE.pop(old_key)
+        old.postings.unpersist(blocking=False)
+        old.lexicon.unpersist(blocking=False)
+    idx = build_trigram_index(_t(spark, sf_dir, "documents"))
+    idx.postings = idx.postings.persist()
+    idx.lexicon = idx.lexicon.persist()
+    _TRIGRAM_CACHE[key] = idx
+    return idx
+
+
+def q_regex_search_alternation(spark, sf_dir):
+    """Trigram-indexed regex search (operators/trigram.py — the Cox 2012
+    code-search design the reference lacks): the OR-of-ANDs trigram query
+    for this alternation pattern survives the df gate at every SF, so the
+    plan is candidate-generation (per-alternative posting intersection,
+    one hash-agg each) + JVM rlike verification over the semi-joined
+    candidates only. The oracle is the unpruned truth — DuckDB regexes
+    the whole table — so a hash match proves the pruning is lossless."""
+    from ..operators.trigram import regex_search
+
+    docs = _t(spark, sf_dir, "documents")
+    pat = "(window window|batch batch) (stream|spark)"
+    return regex_search(_trigram_index(spark, sf_dir), docs, pat).orderBy(
+        "doc_id"
+    )
+
+
+def q_regex_search_scan(spark, sf_dir):
+    """The SOUND-fallback path: 'd.p' has no extractable literal run of
+    length >= 3 (regex_trigrams -> None), so the search degrades to a full
+    JVM rlike scan — slower, never wrong. Hash-checked against the same
+    DuckDB regex to pin the fallback semantics too."""
+    from ..operators.trigram import regex_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_search(_trigram_index(spark, sf_dir), docs, "d.p").orderBy(
+        "doc_id"
+    )
+
+
+def q_substring_search(spark, sf_dir):
+    """Exact substring containment over the trigram index (the literal's
+    own trigrams, no regex parsing; contains() verification)."""
+    from ..operators.trigram import substring_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_search(
+        _trigram_index(spark, sf_dir), docs, "vector vector"
+    ).orderBy("doc_id")
+
+
 PHRASE = ["table", "hash"]  # bigram present at every SF in the documents text
 
 
@@ -1639,6 +1703,9 @@ QUERIES = {
     "pagerank_iter2_top20": q_pagerank_iter2_top20,
     # -- new this round: reference-exact proximity scoring option --
     "search_weighted_refprox_topk": q_search_weighted_refprox_topk,
+    "regex_search_alternation": q_regex_search_alternation,
+    "regex_search_scan": q_regex_search_scan,
+    "substring_search": q_substring_search,
     # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
@@ -2897,6 +2964,19 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35""",
     "tag_score_indexed": _TAG_IDX_SQL,
     "search_weighted_code_topk": _WEIGHTED_CODE_SQL,
     "search_weighted_refprox_topk": _WEIGHTED_REFPROX_SQL,
+    # trigram-index entries: the oracle is the UNPRUNED truth (DuckDB runs
+    # the regex over every row) — a hash match proves the trigram pruning
+    # is lossless, which is the operator's whole contract
+    "regex_search_alternation": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(window window|batch batch) (stream|spark)')
+ORDER BY doc_id""",
+    "regex_search_scan": """
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'd.p')
+ORDER BY doc_id""",
+    "substring_search": """
+SELECT doc_id FROM documents WHERE contains(text, 'vector vector')
+ORDER BY doc_id""",
     "bm25_topk_metadata": f"""{_bm25_sql_base(Q_CONJ2)},
 topk AS (
   SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,

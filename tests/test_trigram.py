@@ -1,0 +1,237 @@
+"""Trigram-indexed regex/substring search (operators/trigram.py).
+
+Soundness is the load-bearing property: the trigram query must never
+exclude a matching document. It is checked three ways — a hand-picked
+case table, a hypothesis property sweep over generated patterns/texts
+(pure Python, no Spark), and end-to-end equality of the pruned Spark
+path against a full rlike scan on the fixtures corpus.
+"""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.trigram import (
+    TrigramIndex,
+    _trigrams,
+    build_trigram_index,
+    load_trigram_index,
+    plan_regex,
+    regex_search,
+    regex_trigrams,
+    substring_search,
+    write_trigram_index,
+)
+
+
+# --------------------------------------------------------------------------
+# regex -> trigram query analyzer (pure Python)
+# --------------------------------------------------------------------------
+
+
+def test_regex_trigrams_literal():
+    assert regex_trigrams("batch") == [{"bat", "atc", "tch"}]
+
+
+def test_regex_trigrams_alternation():
+    q = regex_trigrams("(dup|row)")
+    assert q == [{"dup"}, {"row"}]
+
+
+def test_regex_trigrams_class_expansion():
+    q = regex_trigrams("ord[ea]r")
+    assert q == [{"ord", "rde", "der"}, {"ord", "rda", "dar"}]
+
+
+def test_regex_trigrams_branch_merges_through_group():
+    # literals on both sides of a group concatenate into each branch
+    q = regex_trigrams("foo(bar|baz)qux")
+    assert q is not None and len(q) == 2
+    assert _trigrams("foobarqux") in q and _trigrams("foobazqux") in q
+
+
+def test_regex_trigrams_wildcard_splits_runs():
+    assert regex_trigrams("scan.*merge") == [_trigrams("scan") | _trigrams("merge")]
+
+
+def test_regex_trigrams_repeat_of_literal():
+    # ab{2,4}c: every match contains "abb" and "bbc"
+    assert regex_trigrams("ab{2,4}c") == [{"abb", "bbc"}]
+
+
+def test_regex_trigrams_repeat_of_group():
+    # (abc)+def always ends with the contiguous run "abcdef"
+    assert regex_trigrams("(abc)+def") == [_trigrams("abc") | _trigrams("abcdef")]
+
+
+def test_regex_trigrams_anchors_are_transparent():
+    assert regex_trigrams("^order by$") == [_trigrams("order by")]
+
+
+def test_regex_trigrams_unpruneable_returns_none():
+    # every alternative must yield at least one trigram
+    assert regex_trigrams("d.p") is None  # runs too short
+    assert regex_trigrams("(abc|d)") is None  # one branch too short
+    assert regex_trigrams("[0-9]{4}") is None  # no literal at all
+    assert regex_trigrams("x*") is None  # optional everything
+
+
+def test_regex_trigrams_case_insensitive_falls_back():
+    assert regex_trigrams("(?i)batch") is None
+
+
+def test_regex_trigrams_invalid_pattern_falls_back():
+    assert regex_trigrams("(unclosed") is None
+
+
+def test_regex_trigrams_alternation_blowup_falls_back():
+    # 3^4 = 81 cross-product alternatives > MAX_ALTS
+    pat = "(aaa|bbb|ccc)" * 4
+    assert regex_trigrams(pat) is None
+
+
+# Soundness property: any text matching the pattern contains all trigrams
+# of at least one alternative. Patterns are assembled from words, classes,
+# wildcards, alternation, and repeats; texts from the same word pool so
+# matches actually occur.
+_WORDS = ["scan", "merge", "batch", "stream", "window", "dup", "row", "key"]
+_piece = st.one_of(
+    st.sampled_from(_WORDS),
+    st.sampled_from([".", ".*", "[ae]", "x?", "(dup|row)", "s+", " "]),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pieces=st.lists(_piece, min_size=1, max_size=5),
+    text=st.lists(st.sampled_from(_WORDS + ["xx", "a"]), min_size=1, max_size=12),
+)
+def test_regex_trigrams_soundness_property(pieces, text):
+    pattern = "".join(pieces)
+    doc = " ".join(text)
+    try:
+        matched = re.search(pattern, doc) is not None
+    except re.error:
+        return
+    q = regex_trigrams(pattern)
+    if q is None or not matched:
+        return
+    doc_tris = _trigrams(doc)
+    assert any(alt <= doc_tris for alt in q), (
+        f"pattern {pattern!r} matched {doc!r} but no alternative's "
+        f"trigrams {q} are all present"
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark side: build, plan, search (fixtures-scale)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, corpus_rows):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in corpus_rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return with_doc_id(df).select("doc_id", F.col("content").alias("text")).persist()
+
+
+@pytest.fixture(scope="module")
+def tri_index(docs):
+    idx = build_trigram_index(docs)
+    idx.postings = idx.postings.persist()
+    idx.lexicon = idx.lexicon.persist()
+    idx.postings.count()
+    return idx
+
+
+PATTERNS = [
+    "return [a-z]+Merge",  # literal run + class repeat break
+    "public (parse|hash)",  # alternation
+    '"posting_[0-9]+"',  # literal runs around a class repeat
+    "int [a-z]+Graph",  # very selective (1 match)
+    "zzz_never_there",  # absent trigrams -> empty mode
+    "d.f",  # unpruneable -> scan mode
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_regex_search_equals_scan(tri_index, docs, pattern):
+    got = sorted(
+        r["doc_id"] for r in regex_search(tri_index, docs, pattern).collect()
+    )
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
+    )
+    assert got == exp
+
+
+def test_plan_modes(tri_index):
+    assert plan_regex(tri_index, "zzz_never_there")["mode"] == "empty"
+    assert plan_regex(tri_index, "d.f")["mode"] == "scan"
+    # a forced-tiny cutoff routes even a pruneable pattern to scan
+    assert (
+        plan_regex(tri_index, "public (parse|hash)", scan_cutoff=0.0)["mode"]
+        == "scan"
+    )
+
+
+def test_plan_picks_rarest_trigrams(tri_index):
+    plan = plan_regex(tri_index, "return", max_tris_per_alt=2)
+    assert plan["mode"] in ("index", "scan")
+    if plan["mode"] == "index":
+        (chosen,) = plan["alts"]
+        assert len(chosen) == 2
+        dfs = plan["dfs"]
+        # the chosen pair is the df-minimal pair among the required set
+        required = sorted(_trigrams("return"), key=lambda t: (dfs[t], t))
+        assert chosen == required[:2]
+
+
+def test_substring_search_equals_contains(tri_index, docs):
+    for needle in ["tokenBuffer", "posting_71", "zz", "zzz_never_there"]:
+        got = sorted(
+            r["doc_id"]
+            for r in substring_search(tri_index, docs, needle).collect()
+        )
+        exp = sorted(
+            r["doc_id"]
+            for r in docs.filter(F.col("text").contains(needle))
+            .select("doc_id")
+            .collect()
+        )
+        assert got == exp
+
+
+def test_write_load_roundtrip(spark, docs, tmp_path):
+    out = str(tmp_path / "tri_idx")
+    write_trigram_index(docs, out, tri_buckets=4)
+    idx = load_trigram_index(spark, out)
+    assert isinstance(idx, TrigramIndex)
+    assert idx.n_docs == docs.count()
+    pattern = "public (parse|hash)"
+    got = sorted(r["doc_id"] for r in regex_search(idx, docs, pattern).collect())
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
+    )
+    assert got == exp
+
+
+def test_candidate_pruning_actually_prunes(tri_index, docs):
+    """The verify filter must see candidates, not the corpus: for a rare
+    pattern the candidate count is far below n_docs (this is the whole
+    point of the index — the regex engine runs on a bounded set)."""
+    from streamworks_search_engine_spark.operators.trigram import _candidates
+
+    plan = plan_regex(tri_index, "posting_71")
+    assert plan["mode"] == "index"
+    n_cand = _candidates(tri_index, plan["alts"]).count()
+    assert n_cand < tri_index.n_docs / 2
