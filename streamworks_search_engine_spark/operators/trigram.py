@@ -266,30 +266,62 @@ class TrigramIndex:
     postings: DataFrame  # (tri, doc_id) — distinct
     lexicon: DataFrame  # (tri, df)
     n_docs: int
+    # total corpus text bytes-ish (chars): the routing-relevant size — a
+    # full rlike scan costs O(total_chars), the index path a fixed 2-3
+    # driver jobs + work bounded by the chosen trigram dfs. Measured
+    # crossover on local[32]: scan wins below ~1 GB of text, the index
+    # above (BENCH.md round-5 notes). None for in-memory builds that
+    # never computed it.
+    total_chars: int | None = None
+
+
+def _make_trigram_udf():
+    """Arrow-batched trigram-set extraction (the same vectorized-UDF call
+    the word tokenizer uses — functions/tokenizer.py:make_tokens_udf).
+
+    Python set-of-slices over Arrow batches measured 13x faster than the
+    JVM ``transform(sequence(...), i -> substring(...))`` +
+    ``array_distinct`` expression at the 40k corpus (3.1 s vs 41.0 s on
+    local[32]): per-position substring allocates a fresh JVM string
+    object per char of corpus, while a Python slice into one str is a
+    pointer-range copy and the set dedups in place. Output sorted for
+    reproducibility.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, StringType
+
+    # no pd.Series type hints: `from __future__ import annotations` makes
+    # them strings the hint-inferrer can't resolve; bare signature =
+    # SCALAR eval type, which is what this is
+    @F.pandas_udf(ArrayType(StringType()))
+    def tri_udf(texts):
+        out = []
+        for t in texts:
+            if t is None or len(t) < 3:
+                out.append([])
+            else:
+                out.append(sorted({t[i : i + 3] for i in range(len(t) - 2)}))
+        return pd.Series(out)
+
+    return tri_udf
 
 
 def trigram_postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct (tri, doc_id) pairs, extracted entirely JVM-side.
+    """Distinct (tri, doc_id) pairs.
 
-    ``array_distinct`` runs map-side BEFORE the explode, so duplicate
-    trigram instances (the bulk of any real file) never enter the
-    pipeline as rows; the explode emits at most |distinct trigrams of the
+    The per-doc set is built map-side INSIDE the Arrow batch (the
+    duplicate trigram instances — the bulk of any real file — never
+    become rows); the explode emits at most |distinct trigrams of the
     doc| rows per doc. Source files are bounded (KB-MB), so the per-doc
     array is too — the same per-doc-bounded-array contract the word
     tokenizer already relies on.
     """
-    tris = F.when(
-        F.length(F.col(text_col)) >= 3,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - 2),"
-            f" i -> substring({text_col}, i, 3))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tri_udf = _make_trigram_udf()
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tris)).alias("tri"),
+        F.explode(tri_udf(F.col(text_col))).alias("tri"),
     )
 
 
@@ -320,31 +352,57 @@ def write_trigram_index(
     the same file-pruning layout rationale as write_index: every file
     covers a tight trigram range, so a query's ``tri IN (...)`` prunes
     whole files via row-group stats. (Cluster-scale: Iceberg
-    ``bucket(N, tri)``, exactly like the word postings.)"""
-    idx = build_trigram_index(docs, text_col=text_col, id_col=id_col)
+    ``bucket(N, tri)``, exactly like the word postings.)
+
+    The extraction runs ONCE: its output is staged to parquet first, and
+    the range write (whose sampling pass alone would otherwise recompute
+    the extraction), the lexicon agg, and the final layout all derive
+    from the staged table — the build_and_write_index staged-checkpoint
+    pattern (operators/indexer.py). Measured before the stage: the 40k
+    corpus build recomputed the ~90 s extraction 3-4x.
+    """
+    spark = docs.sparkSession
+    staged = f"{out_dir}/_staged_tri"
+    trigram_postings(docs, text_col=text_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    postings = spark.read.parquet(staged)
     (
-        idx.postings.repartitionByRange(tri_buckets, "tri", "doc_id")
+        postings.repartitionByRange(tri_buckets, "tri", "doc_id")
         .sortWithinPartitions("tri", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/tri_postings")
     )
-    idx.lexicon.repartitionByRange(
-        max(1, tri_buckets // 4), "tri"
-    ).sortWithinPartitions("tri").write.mode("overwrite").parquet(
-        f"{out_dir}/tri_lexicon"
+    (
+        postings.groupBy("tri")
+        .agg(F.count("*").alias("df"))
+        .repartitionByRange(max(1, tri_buckets // 4), "tri")
+        .sortWithinPartitions("tri")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/tri_lexicon")
     )
-    spark = docs.sparkSession
+    stats = docs.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+    ).collect()[0]
     spark.createDataFrame(
-        [(idx.n_docs,)], "n_docs long"
+        [(int(stats["n_docs"]), int(stats["total_chars"] or 0))],
+        "n_docs long, total_chars long",
     ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/tri_stats")
+    # drop the stage (the sorted layout supersedes it)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
 
 
 def load_trigram_index(spark: SparkSession, index_dir: str) -> TrigramIndex:
     stats = spark.read.json(f"{index_dir}/tri_stats").collect()[0]
+    row = stats.asDict()
     return TrigramIndex(
         postings=spark.read.parquet(f"{index_dir}/tri_postings"),
         lexicon=spark.read.parquet(f"{index_dir}/tri_lexicon"),
-        n_docs=int(stats["n_docs"]),
+        n_docs=int(row["n_docs"]),
+        total_chars=int(row["total_chars"]) if "total_chars" in row else None,
     )
 
 
@@ -427,14 +485,30 @@ def regex_search(
     id_col: str = "doc_id",
     max_tris_per_alt: int = 8,
     scan_cutoff: float = 0.5,
+    collect_candidates_max: int = 20_000,
 ) -> DataFrame:
     """Docs whose ``text_col`` matches ``pattern`` (unanchored, like
     ``grep``): trigram-pruned when the pattern allows it, full ``rlike``
     scan when it doesn't. Returns (doc_id), deterministic order by caller.
 
-    The verification filter is JVM ``rlike`` over ONLY the semi-joined
-    candidates — at 100 TB the regex engine touches |candidates| rows,
-    bounded by the chosen trigram dfs, never the corpus.
+    The verification filter is JVM ``rlike`` over ONLY the candidates —
+    at 100 TB the regex engine touches |candidates| rows, bounded by the
+    chosen trigram dfs, never the corpus. HOW the candidates reach the
+    docs table matters just as much as how many there are:
+
+    - when the candidate count's a-priori bound (Σ per-alternative min
+      chosen df — known from the lexicon probe, no extra job) is at most
+      ``collect_candidates_max``, the ids are collected and pushed into
+      the docs scan as a ``doc_id IN (...)`` LITERAL predicate — the
+      "probe → literals" plan shape the flat BM25 path uses
+      (operators/query.py:bm25_topk): on a doc_id-sorted docs layout the
+      parquet scan row-group-prunes to the candidate ids, so the verify
+      side READS |candidates|-ish rows instead of scanning the corpus
+      and filtering after. A semi-join cannot do that — the join filter
+      never reaches the scan (measured: the join-shaped verify re-scans
+      the whole 644 MB corpus per query, BENCH.md round-5 notes).
+    - above the bound, one broadcast-sized semi-join (the candidate set
+      is still df-bounded; the corpus side never shuffles).
     """
     plan = plan_regex(
         index, pattern, max_tris_per_alt=max_tris_per_alt, scan_cutoff=scan_cutoff
@@ -445,11 +519,21 @@ def regex_search(
     if plan["mode"] == "scan":
         return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
     cand = _candidates(index, plan["alts"])
+    bound = sum(
+        min(plan["dfs"][t] for t in alt) for alt in plan["alts"]
+    )
+    renamed = docs.withColumnRenamed(id_col, "doc_id")
+    if bound <= collect_candidates_max:
+        ids = [r["doc_id"] for r in cand.collect()]  # <= bound rows
+        if not ids:
+            return renamed.select("doc_id").limit(0)
+        return (
+            renamed.filter(F.col("doc_id").isin(ids))
+            .filter(matches)
+            .select("doc_id")
+        )
     return (
-        docs.withColumnRenamed(id_col, "doc_id")
-        .join(cand, "doc_id", "leftsemi")
-        .filter(matches)
-        .select("doc_id")
+        renamed.join(cand, "doc_id", "leftsemi").filter(matches).select("doc_id")
     )
 
 
@@ -461,10 +545,13 @@ def substring_search(
     id_col: str = "doc_id",
     max_tris_per_alt: int = 8,
     scan_cutoff: float = 0.5,
+    collect_candidates_max: int = 20_000,
 ) -> DataFrame:
     """Exact substring containment — the regex path with the trigram query
     computed directly from the literal (no parsing), verified with
-    ``contains`` instead of a regex engine."""
+    ``contains`` instead of a regex engine. Same candidate delivery as
+    regex_search: literal ``IN`` pushdown below the df bound, semi-join
+    above."""
     matches = F.col(text_col).contains(needle)
     if len(needle) < 3:
         return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
@@ -477,9 +564,16 @@ def substring_search(
     if min(dfs[t] for t in chosen) > scan_cutoff * max(index.n_docs, 1):
         return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
     cand = _candidates(index, [chosen])
+    renamed = docs.withColumnRenamed(id_col, "doc_id")
+    if min(dfs[t] for t in chosen) <= collect_candidates_max:
+        ids = [r["doc_id"] for r in cand.collect()]
+        if not ids:
+            return renamed.select("doc_id").limit(0)
+        return (
+            renamed.filter(F.col("doc_id").isin(ids))
+            .filter(matches)
+            .select("doc_id")
+        )
     return (
-        docs.withColumnRenamed(id_col, "doc_id")
-        .join(cand, "doc_id", "leftsemi")
-        .filter(matches)
-        .select("doc_id")
+        renamed.join(cand, "doc_id", "leftsemi").filter(matches).select("doc_id")
     )

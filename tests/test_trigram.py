@@ -162,15 +162,37 @@ PATTERNS = [
 
 
 @pytest.mark.parametrize("pattern", PATTERNS)
-def test_regex_search_equals_scan(tri_index, docs, pattern):
+@pytest.mark.parametrize("collect_max", [20_000, 0])
+def test_regex_search_equals_scan(tri_index, docs, pattern, collect_max):
+    """Both candidate-delivery shapes — literal IN pushdown (default) and
+    the semi-join (forced with collect_candidates_max=0) — must equal the
+    unpruned scan."""
     got = sorted(
-        r["doc_id"] for r in regex_search(tri_index, docs, pattern).collect()
+        r["doc_id"]
+        for r in regex_search(
+            tri_index, docs, pattern, collect_candidates_max=collect_max
+        ).collect()
     )
     exp = sorted(
         r["doc_id"]
         for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
     )
     assert got == exp
+
+
+def test_regex_search_pushes_candidate_ids_into_scan(spark, docs, tmp_path):
+    """The literal-delivery path must reach the parquet scan as a pushed
+    filter (PushedFilters: [In(doc_id, ...)]) — the point-read plan shape
+    that keeps the verify side from re-scanning the corpus at scale."""
+    pdir = str(tmp_path / "docs_by_id")
+    docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.parquet(pdir)
+    pdocs = spark.read.parquet(pdir)
+    idx = build_trigram_index(pdocs)
+    out = regex_search(idx, pdocs, "int [a-z]+Graph")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [" in plan and "PushedFilters" in plan, plan[:2000]
 
 
 def test_plan_modes(tri_index):
@@ -216,6 +238,8 @@ def test_write_load_roundtrip(spark, docs, tmp_path):
     idx = load_trigram_index(spark, out)
     assert isinstance(idx, TrigramIndex)
     assert idx.n_docs == docs.count()
+    exp_chars = docs.select(F.sum(F.length("text"))).collect()[0][0]
+    assert idx.total_chars == exp_chars
     pattern = "public (parse|hash)"
     got = sorted(r["doc_id"] for r in regex_search(idx, docs, pattern).collect())
     exp = sorted(
