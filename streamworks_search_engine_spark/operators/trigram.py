@@ -17,10 +17,12 @@ Spark-first shape:
   (operators/indexer.py:write_index): parquet, range-partitioned and
   sorted by (tri, doc_id), so a query's ``tri IN (...)`` predicate prunes
   whole files via row-group min/max stats;
-- trigram extraction is pure JVM (``sequence`` + ``transform`` + per-doc
-  ``array_distinct`` map-side + one explode — no Python anywhere in the
-  build, and the per-doc distinct removes the duplicate mass BEFORE the
-  shuffle);
+- trigram extraction is an Arrow-batched pandas UDF (the word
+  tokenizer's architecture; measured 13x faster than the equivalent JVM
+  ``transform``+``array_distinct`` expression — per-position JVM
+  substring churns an object per corpus char), with the per-doc distinct
+  happening inside the batch so duplicate trigram instances never become
+  rows and never reach the shuffle;
 - the AND-intersection is the same single hash-agg count-compare the
   BM25 conjunction uses (operators/query.py:_score_and_topk's J2 shape)
   — never an n-way join chain;
@@ -132,11 +134,13 @@ def _class_literals(av) -> list[str] | None:
     return lits if 0 < len(lits) <= MAX_CLASS_EXPANSION else None
 
 
-def _analyze(tokens) -> list[_Frag] | None:
+def _analyze(tokens, allow_icase: bool = False) -> list[_Frag] | None:
     """Alternatives of guaranteed-literal structure for a parsed sequence.
 
     Returns None when the analysis would blow past MAX_ALTS — the caller
     treats that exactly like an unpruneable pattern (full scan).
+    ``allow_icase``: inline ``(?i)`` groups are acceptable when the
+    caller will case-fold the extracted literals anyway (folded index).
     """
     alts: list[_Frag] = [_EPSILON]
     for op, av in tokens:
@@ -159,13 +163,13 @@ def _analyze(tokens) -> list[_Frag] | None:
         elif op is sre_constants.SUBPATTERN:
             # av = (group, add_flags, del_flags, tokens)
             add_flags = av[1]
-            if add_flags & re.IGNORECASE:
+            if add_flags & re.IGNORECASE and not allow_icase:
                 return None  # index is case-sensitive; let rlike handle it
-            atom_alts = _analyze(av[3])
+            atom_alts = _analyze(av[3], allow_icase=allow_icase)
         elif op is sre_constants.BRANCH:
             branch_alts: list[_Frag] = []
             for branch in av[1]:
-                sub = _analyze(branch)
+                sub = _analyze(branch, allow_icase=allow_icase)
                 if sub is None:
                     return None
                 branch_alts.extend(sub)
@@ -174,7 +178,7 @@ def _analyze(tokens) -> list[_Frag] | None:
             atom_alts = branch_alts
         elif op in (sre_constants.MAX_REPEAT, sre_constants.MIN_REPEAT):
             lo, hi, item = av
-            sub = _analyze(item)
+            sub = _analyze(item, allow_icase=allow_icase)
             if sub is None:
                 return None
             if lo == 0:
@@ -225,31 +229,42 @@ def _trigrams(s: str) -> set[str]:
     return {s[i : i + 3] for i in range(len(s) - 2)}
 
 
-def regex_trigrams(pattern: str) -> list[set[str]] | None:
+def regex_trigrams(
+    pattern: str, fold_case: bool = False
+) -> list[set[str]] | None:
     """OR-of-ANDs required-trigram query for ``pattern``, or None.
 
     A non-None result ``[A1, A2, ...]`` means: every string matching
     ``pattern`` contains ALL trigrams of at least one ``Ai`` (so docs
     missing them are safe to skip — the Cox trigram-query invariant).
     None means the pattern admits matches with no extractable trigram
-    (too short a literal, case-insensitive, alternation blowup, ...):
-    the caller must fall back to scanning. Never raises on a valid
-    pattern — any analysis failure degrades to None.
+    (too short a literal, case-insensitive against a case-sensitive
+    index, alternation blowup, ...): the caller must fall back to
+    scanning. Never raises on a valid pattern — any analysis failure
+    degrades to None.
+
+    ``fold_case=True`` targets a case-FOLDED index (trigrams of
+    ``text.lower()``): literals are lowercased before trigram
+    extraction, which is sound for case-sensitive AND ``(?i)`` patterns
+    alike — either way a match's literal appears in the text in SOME
+    case, so its lowercase trigrams appear in the lowercased text. Both
+    sides fold with Python ``str.lower`` (the extraction UDF and this
+    planner), so the folding can never disagree with itself.
     """
     try:
         parsed = sre_parse.parse(pattern)
     except re.error:
         return None
-    if parsed.state.flags & re.IGNORECASE:
-        return None  # the trigram index is case-sensitive
-    alts = _analyze(parsed)
+    if parsed.state.flags & re.IGNORECASE and not fold_case:
+        return None  # a case-sensitive index can't serve (?i) literals
+    alts = _analyze(parsed, allow_icase=fold_case)
     if alts is None:
         return None
     out: list[set[str]] = []
     for alt in alts:
         tris: set[str] = set()
         for run in alt.runs():
-            tris |= _trigrams(run)
+            tris |= _trigrams(run.lower() if fold_case else run)
         if not tris:
             return None  # this alternative can match with no trigram
         out.append(tris)
@@ -273,9 +288,13 @@ class TrigramIndex:
     # above (BENCH.md round-5 notes). None for in-memory builds that
     # never computed it.
     total_chars: int | None = None
+    # trigrams extracted from text.lower(): one folded index serves both
+    # case-sensitive and (?i) patterns (the planner folds the query's
+    # literals to match; verification always runs the ORIGINAL pattern)
+    fold_case: bool = False
 
 
-def _make_trigram_udf():
+def _make_trigram_udf(fold_case: bool = False):
     """Arrow-batched trigram-set extraction (the same vectorized-UDF call
     the word tokenizer uses — functions/tokenizer.py:make_tokens_udf).
 
@@ -300,6 +319,8 @@ def _make_trigram_udf():
             if t is None or len(t) < 3:
                 out.append([])
             else:
+                if fold_case:
+                    t = t.lower()
                 out.append(sorted({t[i : i + 3] for i in range(len(t) - 2)}))
         return pd.Series(out)
 
@@ -307,7 +328,10 @@ def _make_trigram_udf():
 
 
 def trigram_postings(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_case: bool = False,
 ) -> DataFrame:
     """Distinct (tri, doc_id) pairs.
 
@@ -318,7 +342,7 @@ def trigram_postings(
     array is too — the same per-doc-bounded-array contract the word
     tokenizer already relies on.
     """
-    tri_udf = _make_trigram_udf()
+    tri_udf = _make_trigram_udf(fold_case=fold_case)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tri_udf(F.col(text_col))).alias("tri"),
@@ -326,7 +350,10 @@ def trigram_postings(
 
 
 def build_trigram_index(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fold_case: bool = False,
 ) -> TrigramIndex:
     """In-memory trigram index: postings + df lexicon + corpus size.
 
@@ -335,10 +362,14 @@ def build_trigram_index(
     the trigram key ((tri, doc_id) rows salt naturally across doc_ids,
     the same hot-key argument as the word lexicon — indexer.py A3).
     """
-    postings = trigram_postings(docs, text_col=text_col, id_col=id_col)
+    postings = trigram_postings(
+        docs, text_col=text_col, id_col=id_col, fold_case=fold_case
+    )
     lexicon = postings.groupBy("tri").agg(F.count("*").alias("df"))
     n_docs = docs.select(id_col).distinct().count()
-    return TrigramIndex(postings=postings, lexicon=lexicon, n_docs=n_docs)
+    return TrigramIndex(
+        postings=postings, lexicon=lexicon, n_docs=n_docs, fold_case=fold_case
+    )
 
 
 def write_trigram_index(
@@ -347,6 +378,7 @@ def write_trigram_index(
     tri_buckets: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fold_case: bool = False,
 ) -> None:
     """Persist as parquet, range-partitioned + sorted by (tri, doc_id) —
     the same file-pruning layout rationale as write_index: every file
@@ -363,9 +395,9 @@ def write_trigram_index(
     """
     spark = docs.sparkSession
     staged = f"{out_dir}/_staged_tri"
-    trigram_postings(docs, text_col=text_col, id_col=id_col).write.mode(
-        "overwrite"
-    ).parquet(staged)
+    trigram_postings(
+        docs, text_col=text_col, id_col=id_col, fold_case=fold_case
+    ).write.mode("overwrite").parquet(staged)
     postings = spark.read.parquet(staged)
     (
         postings.repartitionByRange(tri_buckets, "tri", "doc_id")
@@ -386,8 +418,8 @@ def write_trigram_index(
         F.sum(F.length(text_col)).alias("total_chars"),
     ).collect()[0]
     spark.createDataFrame(
-        [(int(stats["n_docs"]), int(stats["total_chars"] or 0))],
-        "n_docs long, total_chars long",
+        [(int(stats["n_docs"]), int(stats["total_chars"] or 0), bool(fold_case))],
+        "n_docs long, total_chars long, fold_case boolean",
     ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/tri_stats")
     # drop the stage (the sorted layout supersedes it)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
@@ -403,6 +435,7 @@ def load_trigram_index(spark: SparkSession, index_dir: str) -> TrigramIndex:
         lexicon=spark.read.parquet(f"{index_dir}/tri_lexicon"),
         n_docs=int(row["n_docs"]),
         total_chars=int(row["total_chars"]) if "total_chars" in row else None,
+        fold_case=bool(row.get("fold_case", False)),
     )
 
 
@@ -434,7 +467,7 @@ def plan_regex(
       rarest trigrams (a SUBSET of required trigrams keeps candidates a
       superset — still sound, and cost is bounded by the chosen dfs).
     """
-    query = regex_trigrams(pattern)
+    query = regex_trigrams(pattern, fold_case=index.fold_case)
     if query is None:
         return {"mode": "scan", "alts": [], "dfs": {}, "query": None}
     all_tris = sorted(set().union(*query))
@@ -555,7 +588,7 @@ def substring_search(
     matches = F.col(text_col).contains(needle)
     if len(needle) < 3:
         return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
-    tris = sorted(_trigrams(needle))
+    tris = sorted(_trigrams(needle.lower() if index.fold_case else needle))
     rows = index.lexicon.filter(F.col("tri").isin(tris)).collect()
     dfs = {r["tri"]: int(r["df"]) for r in rows}
     if any(t not in dfs for t in tris):

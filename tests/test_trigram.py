@@ -259,3 +259,83 @@ def test_candidate_pruning_actually_prunes(tri_index, docs):
     assert plan["mode"] == "index"
     n_cand = _candidates(tri_index, plan["alts"]).count()
     assert n_cand < tri_index.n_docs / 2
+
+
+# --------------------------------------------------------------------------
+# case-folded index (one folded index serves sensitive and (?i) patterns)
+# --------------------------------------------------------------------------
+
+
+def test_regex_trigrams_fold_accepts_icase():
+    assert regex_trigrams("(?i)batch", fold_case=True) == [{"bat", "atc", "tch"}]
+    assert regex_trigrams("(?i)BATCH", fold_case=True) == [{"bat", "atc", "tch"}]
+    # inline-scoped (?i:...) group, folded
+    q = regex_trigrams("scan(?i:Merge)", fold_case=True)
+    assert q == [_trigrams("scanmerge")]
+    # without folding, icase still falls back
+    assert regex_trigrams("(?i)batch", fold_case=False) is None
+
+
+def test_regex_trigrams_fold_lowers_sensitive_literals():
+    assert regex_trigrams("ParseMerge", fold_case=True) == [_trigrams("parsemerge")]
+
+
+@pytest.fixture(scope="module")
+def tri_index_folded(docs):
+    idx = build_trigram_index(docs, fold_case=True)
+    idx.postings = idx.postings.persist()
+    idx.lexicon = idx.lexicon.persist()
+    idx.postings.count()
+    return idx
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "(?i)RETURN [a-z]+MERGE",  # icase: only servable by the folded index
+        "return [a-z]+Merge",  # case-sensitive on the folded index
+        "(?i)PUBLIC (PARSE|HASH)",
+        "(?i)zzz_never_there",
+    ],
+)
+def test_folded_regex_search_equals_scan(tri_index_folded, docs, pattern):
+    got = sorted(
+        r["doc_id"]
+        for r in regex_search(tri_index_folded, docs, pattern).collect()
+    )
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
+    )
+    assert got == exp
+
+
+def test_folded_substring_search(tri_index_folded, docs):
+    # verification is exact-case contains; only the trigram query folds
+    for needle in ["tokenBuffer", "TOKENBUFFER"]:
+        got = sorted(
+            r["doc_id"]
+            for r in substring_search(tri_index_folded, docs, needle).collect()
+        )
+        exp = sorted(
+            r["doc_id"]
+            for r in docs.filter(F.col("text").contains(needle))
+            .select("doc_id")
+            .collect()
+        )
+        assert got == exp
+
+
+def test_folded_roundtrip_preserves_flag(spark, docs, tmp_path):
+    out = str(tmp_path / "tri_folded")
+    write_trigram_index(docs, out, tri_buckets=4, fold_case=True)
+    idx = load_trigram_index(spark, out)
+    assert idx.fold_case is True
+    pattern = "(?i)PUBLIC (PARSE|HASH)"
+    assert plan_regex(idx, pattern)["mode"] in ("index", "scan")
+    got = sorted(r["doc_id"] for r in regex_search(idx, docs, pattern).collect())
+    exp = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
+    )
+    assert got == exp
