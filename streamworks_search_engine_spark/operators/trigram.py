@@ -546,27 +546,80 @@ def regex_search(
     plan = plan_regex(
         index, pattern, max_tris_per_alt=max_tris_per_alt, scan_cutoff=scan_cutoff
     )
-    matches = F.col(text_col).rlike(pattern)
+    delivered = _candidate_docs(index, docs, plan, id_col, collect_candidates_max)
+    return (
+        delivered.filter(F.col(text_col).rlike(pattern)).select("doc_id")
+    )
+
+
+def _candidate_docs(
+    index: TrigramIndex,
+    docs: DataFrame,
+    plan: dict,
+    id_col: str,
+    collect_candidates_max: int,
+) -> DataFrame:
+    """The docs rows a verification pass must touch, per the plan: the
+    whole corpus in scan mode, an empty frame when a required trigram is
+    absent, otherwise the candidate set delivered either as a literal
+    ``doc_id IN (...)`` pushed into the scan (below the a-priori df
+    bound) or a broadcast-sized semi-join (above it). ``id_col`` comes
+    back renamed ``doc_id``; every other column survives, so callers can
+    verify at doc granularity (rlike/contains) or explode to lines."""
+    renamed = docs.withColumnRenamed(id_col, "doc_id")
     if plan["mode"] == "empty":
-        return docs.select(F.col(id_col).alias("doc_id")).limit(0)
+        return renamed.limit(0)
     if plan["mode"] == "scan":
-        return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
+        return renamed
     cand = _candidates(index, plan["alts"])
     bound = sum(
         min(plan["dfs"][t] for t in alt) for alt in plan["alts"]
     )
-    renamed = docs.withColumnRenamed(id_col, "doc_id")
     if bound <= collect_candidates_max:
         ids = [r["doc_id"] for r in cand.collect()]  # <= bound rows
         if not ids:
-            return renamed.select("doc_id").limit(0)
-        return (
-            renamed.filter(F.col("doc_id").isin(ids))
-            .filter(matches)
-            .select("doc_id")
-        )
-    return (
-        renamed.join(cand, "doc_id", "leftsemi").filter(matches).select("doc_id")
+            return renamed.limit(0)
+        return renamed.filter(F.col("doc_id").isin(ids))
+    return renamed.join(cand, "doc_id", "leftsemi")
+
+
+def regex_search_lines(
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+    collect_candidates_max: int = 20_000,
+) -> DataFrame:
+    """``grep -n`` over the corpus: (doc_id, line_no, line) for every
+    LINE of every doc where ``pattern`` matches the line (per-line grep
+    semantics — a pattern that only matches across a line boundary
+    matches nothing, exactly like grep). line_no is 1-based.
+
+    Soundness under the doc-level trigram prune: a matching line is a
+    substring of the doc's text, so every trigram the planner requires
+    of a match is present in the doc — the candidate set computed for
+    doc-granularity search is a superset of docs with matching lines.
+    The plan is the same candidate delivery as :func:`regex_search`,
+    then one JVM ``posexplode(split(text, '\\n'))`` over ONLY the
+    delivered rows and a per-line ``rlike`` — the regex engine touches
+    candidate docs' lines, never the corpus, and the explode happens
+    after the scan-side pruning so no line rows exist for docs the
+    trigram query already excluded."""
+    plan = plan_regex(
+        index, pattern, max_tris_per_alt=max_tris_per_alt, scan_cutoff=scan_cutoff
+    )
+    delivered = _candidate_docs(index, docs, plan, id_col, collect_candidates_max)
+    lines = delivered.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    return lines.filter(F.col("line").rlike(pattern)).select(
+        "doc_id",
+        (F.col("pos") + F.lit(1)).cast("long").alias("line_no"),
+        "line",
     )
 
 
@@ -592,21 +645,14 @@ def substring_search(
     rows = index.lexicon.filter(F.col("tri").isin(tris)).collect()
     dfs = {r["tri"]: int(r["df"]) for r in rows}
     if any(t not in dfs for t in tris):
-        return docs.select(F.col(id_col).alias("doc_id")).limit(0)
-    chosen = sorted(tris, key=lambda t: (dfs[t], t))[:max_tris_per_alt]
-    if min(dfs[t] for t in chosen) > scan_cutoff * max(index.n_docs, 1):
-        return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
-    cand = _candidates(index, [chosen])
-    renamed = docs.withColumnRenamed(id_col, "doc_id")
-    if min(dfs[t] for t in chosen) <= collect_candidates_max:
-        ids = [r["doc_id"] for r in cand.collect()]
-        if not ids:
-            return renamed.select("doc_id").limit(0)
-        return (
-            renamed.filter(F.col("doc_id").isin(ids))
-            .filter(matches)
-            .select("doc_id")
+        plan = {"mode": "empty", "alts": [], "dfs": dfs}
+    else:
+        chosen = sorted(tris, key=lambda t: (dfs[t], t))[:max_tris_per_alt]
+        mode = (
+            "scan"
+            if min(dfs[t] for t in chosen) > scan_cutoff * max(index.n_docs, 1)
+            else "index"
         )
-    return (
-        renamed.join(cand, "doc_id", "leftsemi").filter(matches).select("doc_id")
-    )
+        plan = {"mode": mode, "alts": [chosen], "dfs": dfs}
+    delivered = _candidate_docs(index, docs, plan, id_col, collect_candidates_max)
+    return delivered.filter(matches).select("doc_id")

@@ -883,17 +883,19 @@ def q_pagerank_iter2_top20(spark, sf_dir):
 _TRIGRAM_CACHE: dict = {}
 
 
-def _trigram_index(spark, sf_dir):
+def _trigram_index(spark, sf_dir, fold_case=False):
     from ..operators.trigram import build_trigram_index
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, fold_case)
     if key in _TRIGRAM_CACHE:
         return _TRIGRAM_CACHE[key]
     for old_key in list(_TRIGRAM_CACHE):
         old = _TRIGRAM_CACHE.pop(old_key)
         old.postings.unpersist(blocking=False)
         old.lexicon.unpersist(blocking=False)
-    idx = build_trigram_index(_t(spark, sf_dir, "documents"))
+    idx = build_trigram_index(
+        _t(spark, sf_dir, "documents"), fold_case=fold_case
+    )
     idx.postings = idx.postings.persist()
     idx.lexicon = idx.lexicon.persist()
     _TRIGRAM_CACHE[key] = idx
@@ -928,6 +930,42 @@ def q_regex_search_scan(spark, sf_dir):
     return regex_search(_trigram_index(spark, sf_dir), docs, "d.p").orderBy(
         "doc_id"
     )
+
+
+def q_regex_search_icase(spark, sf_dir):
+    """Case-insensitive regex over a case-FOLDED trigram index
+    (operators/trigram.py fold_case=True): the planner lowercases the
+    pattern's extracted literals and the index holds trigrams of
+    text.lower(), so one folded index serves (?i) and case-sensitive
+    queries alike — a case-SENSITIVE index must full-scan for (?i)
+    (regex_trigrams -> None). Verification always reruns the ORIGINAL
+    pattern, so mixed-case literals in the pattern are exercised even
+    where the corpus itself is lowercase. Oracle: unpruned DuckDB RE2
+    scan of the same (?i) pattern — hash match proves folded pruning is
+    lossless."""
+    from ..operators.trigram import regex_search
+
+    docs = _t(spark, sf_dir, "documents")
+    pat = "(?i)(Window WINDOW|Batch batch) (Stream|SPARK)"
+    return regex_search(
+        _trigram_index(spark, sf_dir, fold_case=True), docs, pat
+    ).orderBy("doc_id")
+
+
+def q_regex_search_lines(spark, sf_dir):
+    """grep -n over the corpus (operators/trigram.py:regex_search_lines):
+    trigram-pruned candidate delivery, then ONE JVM posexplode over only
+    the delivered docs' lines and a per-line rlike — (doc_id, line_no,
+    line), 1-based, per-line grep semantics. Oracle: DuckDB parallel
+    unnest of string_split with a generated 1..len index — the unpruned
+    per-line truth over the whole table."""
+    from ..operators.trigram import regex_search_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    pat = "(window window|batch batch) (stream|spark)"
+    return regex_search_lines(
+        _trigram_index(spark, sf_dir), docs, pat
+    ).orderBy("doc_id", "line_no")
 
 
 def q_substring_search(spark, sf_dir):
@@ -1705,6 +1743,8 @@ QUERIES = {
     "search_weighted_refprox_topk": q_search_weighted_refprox_topk,
     "regex_search_alternation": q_regex_search_alternation,
     "regex_search_scan": q_regex_search_scan,
+    "regex_search_icase": q_regex_search_icase,
+    "regex_search_lines": q_regex_search_lines,
     "substring_search": q_substring_search,
     # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
     "index_postings": q_index_postings,
@@ -2974,6 +3014,19 @@ ORDER BY doc_id""",
     "regex_search_scan": """
 SELECT doc_id FROM documents WHERE regexp_matches(text, 'd.p')
 ORDER BY doc_id""",
+    "regex_search_icase": """
+SELECT doc_id FROM documents
+WHERE regexp_matches(text, '(?i)(Window WINDOW|Batch batch) (Stream|SPARK)')
+ORDER BY doc_id""",
+    "regex_search_lines": """
+WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+ex AS (SELECT doc_id,
+              CAST(unnest(range(1, len(lines)+1)) AS BIGINT) AS line_no,
+              unnest(lines) AS line
+       FROM ls)
+SELECT doc_id, line_no, line FROM ex
+WHERE regexp_matches(line, '(window window|batch batch) (stream|spark)')
+ORDER BY doc_id, line_no""",
     "substring_search": """
 SELECT doc_id FROM documents WHERE contains(text, 'vector vector')
 ORDER BY doc_id""",

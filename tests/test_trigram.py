@@ -21,6 +21,7 @@ from streamworks_search_engine_spark.operators.trigram import (
     load_trigram_index,
     plan_regex,
     regex_search,
+    regex_search_lines,
     regex_trigrams,
     substring_search,
     write_trigram_index,
@@ -339,3 +340,72 @@ def test_folded_roundtrip_preserves_flag(spark, docs, tmp_path):
         for r in docs.filter(F.col("text").rlike(pattern)).select("doc_id").collect()
     )
     assert got == exp
+
+
+# --------------------------------------------------------------------------
+# grep -n: regex_search_lines (per-line matches with 1-based line numbers)
+# --------------------------------------------------------------------------
+
+
+def _lines_scan(docs, pattern):
+    """Unpruned per-line truth: explode every doc's lines, rlike each."""
+    exploded = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line")
+    )
+    return sorted(
+        (r["doc_id"], r["pos"] + 1, r["line"])
+        for r in exploded.filter(F.col("line").rlike(pattern)).collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "return [a-z]+Merge",  # index mode
+        "public (parse|hash)",  # alternation, index mode
+        "d.f",  # scan fallback
+        "zzz_never_there",  # empty mode
+    ],
+)
+def test_regex_search_lines_equals_scan(tri_index, docs, pattern):
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in regex_search_lines(tri_index, docs, pattern).collect()
+    )
+    assert got == _lines_scan(docs, pattern)
+
+
+def test_regex_search_lines_semi_join_path(tri_index, docs):
+    # collect_candidates_max=0 forces the semi-join delivery
+    pattern = "public (parse|hash)"
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in regex_search_lines(
+            tri_index, docs, pattern, collect_candidates_max=0
+        ).collect()
+    )
+    assert got == _lines_scan(docs, pattern)
+
+
+def test_regex_search_lines_line_numbers_are_1_based(tri_index, docs):
+    rows = regex_search_lines(tri_index, docs, "return").collect()
+    assert rows and min(r["line_no"] for r in rows) >= 1
+    # every reported line really matches, and really is that line of the doc
+    by_doc = {
+        r["doc_id"]: r["text"].split("\n")
+        for r in docs.filter(
+            F.col("doc_id").isin([x["doc_id"] for x in rows[:20]])
+        ).collect()
+    }
+    for r in rows[:20]:
+        assert re.search("return", r["line"])
+        assert by_doc[r["doc_id"]][r["line_no"] - 1] == r["line"]
+
+
+def test_regex_search_lines_folded_icase(tri_index_folded, docs):
+    pattern = "(?i)PUBLIC (PARSE|HASH)"
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["line"])
+        for r in regex_search_lines(tri_index_folded, docs, pattern).collect()
+    )
+    assert got == _lines_scan(docs, pattern)
