@@ -332,6 +332,62 @@ def main() -> None:
         statistics.median(clat), 3
     )
 
+    # --- trigram-indexed regex search (round-5 code-search operator) ---
+    # Build: one Arrow extraction pass staged to parquet, then the
+    # (tri, doc_id)-sorted range layout + df lexicon (write_trigram_index).
+    # Query: the Cox trigram plan — lexicon probe -> rarest-trigram
+    # intersection -> rlike verify over candidates only — A/B'd against
+    # the full rlike scan it replaces, result identity asserted every
+    # rep. The scan wins this RAM-resident sandbox regime (BENCH.md
+    # round-5 notes: 2-3 sequential driver jobs of fixed cost vs
+    # page-cache regex at ~3 GB/s over 80 MB); at 100 TB the scan reads
+    # the corpus per query while the index path reads tri-range-pruned
+    # posting row groups + |candidates| docs, so both numbers are
+    # reported rather than a winner declared.
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.operators.trigram import (
+        load_trigram_index,
+        regex_search,
+        write_trigram_index,
+    )
+
+    tri_dir = tempfile.mkdtemp(prefix="sse_bench_tri40k_")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+    tri_docs = with_doc_id(corpus).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    t0 = time.time()
+    write_trigram_index(
+        tri_docs, tri_dir, tri_buckets=int(CPUS), fold_case=True
+    )
+    timings["trigram_build_40k"] = round(time.time() - t0, 3)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    ti = load_trigram_index(spark, tri_dir)
+    tri_pat = "public (parse|hash)"  # alternation; survives the df gate
+    # one untimed rep per path warms codegen/scan caches symmetrically
+    regex_search(ti, tri_docs, tri_pat).collect()
+    tri_docs.filter(F.col("text").rlike(tri_pat)).collect()
+    idx_l, scan_l = [], []
+    for _ in range(5):
+        t0 = time.time()
+        idx_rows = sorted(
+            r["doc_id"] for r in regex_search(ti, tri_docs, tri_pat).collect()
+        )
+        idx_l.append(time.time() - t0)
+        t0 = time.time()
+        scan_rows = sorted(
+            r["doc_id"]
+            for r in tri_docs.filter(F.col("text").rlike(tri_pat))
+            .select("doc_id")
+            .collect()
+        )
+        scan_l.append(time.time() - t0)
+    assert idx_rows == scan_rows and idx_rows, \
+        "trigram-pruned regex diverged from the full scan"
+    timings["regex40k_indexed_p50"] = round(statistics.median(idx_l), 3)
+    timings["regex40k_scan_p50"] = round(statistics.median(scan_l), 3)
+    tri_bytes = _dir_bytes(f"{tri_dir}/tri_postings")
+
     # --- hot-term skew design point (north_rule: hot-term salting) ---
     # generate_skewed_corpus injects ONE term into 50% of the 40k files
     # (x3 occurrences). Evidence that the skew-neutral build — (term,
@@ -511,6 +567,7 @@ def main() -> None:
                 "corpus_files_per_sec": round(n_corpus / corpus_build_s, 1),
                 "postings_flat_bytes": flat_bytes,
                 "postings_packed_bytes": packed_bytes,
+                "trigram_postings_bytes": tri_bytes,
             }
         )
     )
