@@ -623,6 +623,88 @@ def regex_search_lines(
     )
 
 
+def regex_grep_count_topk(
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+    collect_candidates_max: int = 20_000,
+) -> DataFrame:
+    """``grep -c`` ranked: the k docs with the MOST pattern-matching
+    lines — (rank, doc_id, n_lines), n_lines DESC then doc_id ASC (the
+    O3 deterministic-ordering contract, so the k boundary is stable
+    under ties).
+
+    Plan: :func:`regex_search_lines` does the heavy lifting (trigram-
+    pruned candidate delivery, per-line JVM rlike over only the
+    delivered docs), so the count aggregation shuffles MATCHING LINES
+    only — bounded by the chosen trigram dfs, never the corpus — and
+    the top-k is one TakeOrdered. At 100 TB this is the same shape as
+    every other top-k here: all corpus-scale work happens before the
+    k-row tail."""
+    from .query import _ranked_topk
+
+    lines = regex_search_lines(
+        index,
+        docs,
+        pattern,
+        text_col=text_col,
+        id_col=id_col,
+        max_tris_per_alt=max_tris_per_alt,
+        scan_cutoff=scan_cutoff,
+        collect_candidates_max=collect_candidates_max,
+    )
+    counts = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return _ranked_topk(
+        counts, k, ["rank", "doc_id", "n_lines"], score_col="n_lines"
+    )
+
+
+def regex_match_count_topk(
+    index: TrigramIndex,
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+    collect_candidates_max: int = 20_000,
+) -> DataFrame:
+    """``grep -o | wc -l`` ranked: the k docs with the MOST non-
+    overlapping occurrences of ``pattern`` — (rank, doc_id, n_matches),
+    n_matches DESC then doc_id ASC (the O3 contract; ties at the k
+    boundary are stable).
+
+    Same candidate delivery as :func:`regex_search`; the counting is one
+    JVM ``regexp_extract_all`` (group 0 — the whole match, NOT the
+    pattern's first capture group) + ``size`` over only the delivered
+    rows, so the regex engine touches candidates, never the corpus, and
+    the top-k tail is one TakeOrdered over the >0-count survivors."""
+    from .query import _ranked_topk
+
+    plan = plan_regex(
+        index, pattern, max_tris_per_alt=max_tris_per_alt,
+        scan_cutoff=scan_cutoff,
+    )
+    delivered = _candidate_docs(
+        index, docs, plan, id_col, collect_candidates_max
+    )
+    counts = delivered.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).cast("long").alias("n_matches"),
+    ).filter(F.col("n_matches") > 0)
+    return _ranked_topk(
+        counts, k, ["rank", "doc_id", "n_matches"], score_col="n_matches"
+    )
+
+
 def substring_search(
     index: TrigramIndex,
     docs: DataFrame,

@@ -979,6 +979,23 @@ def q_substring_search(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_regex_match_count_topk(spark, sf_dir):
+    """Ranked code search (operators/trigram.py:regex_match_count_topk —
+    grep -o | wc -l as a top-k): trigram-pruned candidate delivery, then
+    one JVM regexp_extract_all(group 0) + size over only the delivered
+    docs, n_matches DESC / doc_id ASC, k=10. Oracle: DuckDB
+    len(regexp_extract_all(...)) over the whole table — the unpruned
+    truth, so a hash match proves both the pruning lossless AND the
+    Java/RE2 occurrence semantics in agreement for this pattern."""
+    from ..operators.trigram import regex_match_count_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_match_count_topk(
+        _trigram_index(spark, sf_dir), docs,
+        "(window|batch) (stream|spark)", k=10,
+    )
+
+
 PHRASE = ["table", "hash"]  # bigram present at every SF in the documents text
 
 
@@ -1746,6 +1763,7 @@ QUERIES = {
     "regex_search_icase": q_regex_search_icase,
     "regex_search_lines": q_regex_search_lines,
     "substring_search": q_substring_search,
+    "regex_match_count_topk": q_regex_match_count_topk,
     # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
@@ -3030,6 +3048,16 @@ ORDER BY doc_id, line_no""",
     "substring_search": """
 SELECT doc_id FROM documents WHERE contains(text, 'vector vector')
 ORDER BY doc_id""",
+    "regex_match_count_topk": """
+WITH cnt AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '(window|batch) (stream|spark)'))
+              AS BIGINT) AS n_matches
+  FROM documents),
+pos AS (SELECT doc_id, n_matches FROM cnt WHERE n_matches > 0)
+SELECT CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id) AS INT) AS rank,
+       doc_id, n_matches
+FROM pos ORDER BY n_matches DESC, doc_id LIMIT 10""",
     "bm25_topk_metadata": f"""{_bm25_sql_base(Q_CONJ2)},
 topk AS (
   SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,

@@ -409,3 +409,60 @@ def test_regex_search_lines_folded_icase(tri_index_folded, docs):
         for r in regex_search_lines(tri_index_folded, docs, pattern).collect()
     )
     assert got == _lines_scan(docs, pattern)
+
+
+# --------------------------------------------------------------------------
+# ranked counts: grep -c (lines) and grep -o|wc -l (occurrences) as top-k
+# --------------------------------------------------------------------------
+
+
+def _count_truth(docs, pattern, per="lines"):
+    """Driver-side truth: Python re over the collected fixtures corpus."""
+    out = {}
+    for r in docs.collect():
+        if per == "lines":
+            n = sum(1 for ln in r["text"].split("\n") if re.search(pattern, ln))
+        else:
+            n = len(re.findall(pattern, r["text"]))
+        if n:
+            out[r["doc_id"]] = n
+    return out
+
+
+@pytest.mark.parametrize("pattern", ["return", "public (parse|hash)", "d.f"])
+def test_regex_grep_count_topk_matches_truth(tri_index, docs, pattern):
+    from streamworks_search_engine_spark.operators.trigram import (
+        regex_grep_count_topk,
+    )
+
+    truth = _count_truth(docs, pattern, per="lines")
+    k = 10
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    rows = regex_grep_count_topk(tri_index, docs, pattern, k=k).collect()
+    assert [(r["doc_id"], r["n_lines"]) for r in rows] == exp
+    assert [r["rank"] for r in rows] == list(range(1, len(exp) + 1))
+
+
+@pytest.mark.parametrize("pattern", ["return", "public (parse|hash)", "d.f"])
+def test_regex_match_count_topk_matches_truth(tri_index, docs, pattern):
+    from streamworks_search_engine_spark.operators.trigram import (
+        regex_match_count_topk,
+    )
+
+    truth = _count_truth(docs, pattern, per="matches")
+    k = 10
+    exp = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    rows = regex_match_count_topk(tri_index, docs, pattern, k=k).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in rows] == exp
+    assert [r["rank"] for r in rows] == list(range(1, len(exp) + 1))
+
+
+def test_regex_match_count_topk_absent_pattern_is_empty(tri_index, docs):
+    from streamworks_search_engine_spark.operators.trigram import (
+        regex_match_count_topk,
+    )
+
+    assert (
+        regex_match_count_topk(tri_index, docs, "zzz_never_there", k=10).count()
+        == 0
+    )
