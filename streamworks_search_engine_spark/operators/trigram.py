@@ -705,6 +705,55 @@ def regex_match_count_topk(
     )
 
 
+def bm25_regex_filtered_topk(
+    tri_index: TrigramIndex,
+    search_index,
+    docs: DataFrame,
+    raw_terms: list[str],
+    pattern: str,
+    k: int = 10,
+    mode: str = "all",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tris_per_alt: int = 8,
+    scan_cutoff: float = 0.5,
+    collect_candidates_max: int = 20_000,
+) -> DataFrame:
+    """Relevance-ranked search with a structural filter — the Zoekt shape
+    a code-search user actually types (`error AND /raise \\w+Error/`):
+    BM25 over ``raw_terms`` (conjunctive by default), restricted to docs
+    whose text matches ``pattern``. Returns (rank, doc_id, score), the
+    O3 deterministic ordering.
+
+    Plan: the BM25 leg is the flat probe-then-literals plan
+    (operators/query.py:bm25_topk with k=None — the full match set, no
+    rank tail), the regex leg is the trigram candidate delivery + rlike
+    verify; they meet in ONE semi-join. When the trigram plan is
+    index-mode the verified match set is bounded by the chosen trigram
+    dfs, so it is broadcast — the BM25 side never shuffles for the
+    filter. In scan-fallback mode the regex leg is corpus-sized and the
+    semi-join shuffles both legs on doc_id — the honest cost of an
+    unpruneable pattern (same story as regex_search itself)."""
+    from .query import _ranked_topk, bm25_topk
+
+    plan = plan_regex(
+        tri_index, pattern, max_tris_per_alt=max_tris_per_alt,
+        scan_cutoff=scan_cutoff,
+    )
+    delivered = _candidate_docs(
+        tri_index, docs, plan, id_col, collect_candidates_max
+    )
+    matches = delivered.filter(F.col(text_col).rlike(pattern)).select("doc_id")
+    if plan["mode"] != "scan":
+        matches = F.broadcast(matches)
+    scored = bm25_topk(search_index, raw_terms, k=None, mode=mode)
+    return _ranked_topk(
+        scored.join(matches, "doc_id", "leftsemi"),
+        k,
+        ["rank", "doc_id", "score"],
+    )
+
+
 def substring_search(
     index: TrigramIndex,
     docs: DataFrame,

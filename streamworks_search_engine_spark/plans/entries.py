@@ -979,6 +979,31 @@ def q_substring_search(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_search_bm25_regex_topk(spark, sf_dir):
+    """Zoekt-shaped ranked code search
+    (operators/trigram.py:bm25_regex_filtered_topk): conjunctive BM25
+    over ['scan','merge'], restricted to docs matching the regex — the
+    BM25 leg is the probe-then-literals flat plan, the regex leg the
+    trigram candidate delivery, met in one broadcast semi-join. Oracle:
+    the shared BM25 CTE base + a whole-table regexp_matches filter."""
+    from ..operators.trigram import bm25_regex_filtered_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    res = bm25_regex_filtered_topk(
+        _trigram_index(spark, sf_dir),
+        _search_index(spark, sf_dir),
+        docs,
+        Q_CONJ2,
+        "(window|batch) (stream|spark)",
+        k=10,
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_regex_match_count_topk(spark, sf_dir):
     """Ranked code search (operators/trigram.py:regex_match_count_topk —
     grep -o | wc -l as a top-k): trigram-pruned candidate delivery, then
@@ -1764,6 +1789,7 @@ QUERIES = {
     "regex_search_lines": q_regex_search_lines,
     "substring_search": q_substring_search,
     "regex_match_count_topk": q_regex_match_count_topk,
+    "search_bm25_regex_topk": q_search_bm25_regex_topk,
     # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
@@ -3058,6 +3084,15 @@ pos AS (SELECT doc_id, n_matches FROM cnt WHERE n_matches > 0)
 SELECT CAST(row_number() OVER (ORDER BY n_matches DESC, doc_id) AS INT) AS rank,
        doc_id, n_matches
 FROM pos ORDER BY n_matches DESC, doc_id LIMIT 10""",
+    "search_bm25_regex_topk": f"""{_bm25_sql_base(Q_CONJ2)},
+rx AS (SELECT doc_id FROM documents
+       WHERE regexp_matches(text, '(window|batch) (stream|spark)')),
+topk AS (SELECT doc_id, s FROM matched
+         WHERE doc_id IN (SELECT doc_id FROM rx)
+         ORDER BY s DESC, doc_id LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM topk ORDER BY s DESC, doc_id""",
     "bm25_topk_metadata": f"""{_bm25_sql_base(Q_CONJ2)},
 topk AS (
   SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,

@@ -466,3 +466,42 @@ def test_regex_match_count_topk_absent_pattern_is_empty(tri_index, docs):
         regex_match_count_topk(tri_index, docs, "zzz_never_there", k=10).count()
         == 0
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 x regex hybrid (Zoekt shape): term relevance + structural filter
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "terms,pattern",
+    [
+        (["parse"], "public (parse|hash)"),  # index-mode regex leg
+        (["parse"], "d.f"),  # scan-fallback regex leg
+    ],
+)
+def test_bm25_regex_filtered_topk_matches_truth(
+    spark_index, tri_index, docs, terms, pattern
+):
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+    from streamworks_search_engine_spark.operators.trigram import (
+        bm25_regex_filtered_topk,
+    )
+
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(spark_index, terms, k=None).collect()
+    }
+    rx_docs = {
+        r["doc_id"] for r in docs.collect() if re.search(pattern, r["text"])
+    }
+    exp = sorted(
+        ((d, s) for d, s in scores.items() if d in rx_docs),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert exp, "fixture terms/pattern must overlap for the test to bite"
+    rows = bm25_regex_filtered_topk(
+        tri_index, spark_index, docs, terms, pattern, k=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == exp
+    assert [r["rank"] for r in rows] == list(range(1, len(exp) + 1))
