@@ -1776,7 +1776,6 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "langid_en": q_langid_en,
     "token_counts": q_token_counts,
-    "cosine_topk": q_cosine_topk,
     # -- fixed this round: flattened to scalar rows (r4 red row) --
     "embedding_quantize": q_embedding_quantize,
     # -- new this round: driver-visible PageRank iteration oracle --
@@ -1791,6 +1790,9 @@ QUERIES = {
     "regex_match_count_topk": q_regex_match_count_topk,
     "search_bm25_regex_topk": q_search_bm25_regex_topk,
     # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
+    # cosine_topk moved below the 50-entry window to admit the two new
+    # round-5 entries above; its r4 row stands
+    "cosine_topk": q_cosine_topk,
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
     "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
