@@ -117,10 +117,15 @@ def make_pkg_zip() -> str:
     return zpath
 
 
-def run_at(cores: int, pkg_zip: str) -> dict:
+def run_at(
+    cores: int,
+    pkg_zip: str,
+    job_script: str = "scale_job.py",
+    out_base: str = "/tmp/sse_scale_out",
+) -> dict:
     from streamworks_search_engine_spark.session import MALLOC_TUNING
 
-    out_dir = f"/tmp/sse_scale_out_{cores}"
+    out_dir = f"{out_base}_{cores}"
     shutil.rmtree(out_dir, ignore_errors=True)
     shuffle_dir = "/dev/shm/sse-shuffle"
     os.makedirs(shuffle_dir, exist_ok=True)
@@ -141,7 +146,7 @@ def run_at(cores: int, pkg_zip: str) -> dict:
         # host's first-touch page faults are slow and kernel-serialized
         "--conf", "spark.driver.extraJavaOptions=-XX:+AlwaysPreTouch",
         "--py-files", pkg_zip,
-        str(REPO / "tools" / "scale_job.py"),
+        str(REPO / "tools" / job_script),
         CORPUS,
         out_dir,
     ]
@@ -161,14 +166,19 @@ def run_at(cores: int, pkg_zip: str) -> dict:
     )
 
 
-def measure_pair(pair: tuple, pkg: str) -> dict:
+def measure_pair(
+    pair: tuple,
+    pkg: str,
+    job_script: str = "scale_job.py",
+    out_base: str = "/tmp/sse_scale_out",
+) -> dict:
     lo, hi = pair
     results = {}
     # best-of-N per core count: the sandbox VM shows intermittent CPU steal
     # and one-off page-fault storms from the host's memory manager; min-wall
     # is the standard estimator for the machine's capability at each level
     for c in pair:
-        runs = [run_at(c, pkg) for _ in range(REPEATS)]
+        runs = [run_at(c, pkg, job_script, out_base) for _ in range(REPEATS)]
         results[c] = max(runs, key=lambda r: r["files_per_sec"])
         results[c]["all_runs_files_per_sec"] = [r["files_per_sec"] for r in runs]
     thr_lo = results[lo]["files_per_sec"]

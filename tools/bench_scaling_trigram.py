@@ -1,0 +1,70 @@
+"""Two-cluster-size scaling evidence for the TRIGRAM code-search index
+build (operators/trigram.py:write_trigram_index), the supplementary twin
+of tools/bench_scaling.py (which measures the word inverted-index build,
+the north_rule headline job).
+
+Reuses the word harness's exact launch contract — taskset-pinned
+spark-submit, tmpfs spark.local.dir, AlwaysPreTouch, glibc MALLOC tuning
+exported to the JVM + Arrow workers, best-of-REPEATS per level, and the
+calibrated pure-CPU busy-spin ceiling — so the two jobs' numbers are
+directly comparable. (The ad-hoc trigram runs before this harness
+existed launched plain spark-submit without the malloc/tmpfs-shuffle
+tunings and read 0.57-0.71; the tunings are load-bearing for exactly
+this workload: trigram extraction is an allocation-heavy Arrow UDF, the
+class of job the MALLOC notes in BENCH.md were measured on.)
+
+Output goes under /dev/shm: the trigram staged+final postings are ~6x
+the word index's write volume, and the sandbox's virtio disk serializes
+writes in the kernel (the cluster analog is executor-local NVMe, same
+rationale as the shuffle dir).
+
+Prints one JSON summary; does NOT rewrite BENCH.md (the word harness
+owns the generated section — record trigram results in the manually
+maintained round notes).
+
+Reproduce: `python tools/bench_scaling_trigram.py` (same env knobs as
+bench_scaling.py: SSE_SCALE_FILES / SSE_SCALE_REPEATS / SSE_SCALE_CORES).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+from bench_scaling import (  # noqa: E402
+    CORE_COUNTS,
+    N_FILES,
+    REPEATS,
+    ensure_corpus,
+    make_pkg_zip,
+    measure_pair,
+)
+
+
+def main() -> None:
+    ensure_corpus()
+    pkg = make_pkg_zip()
+    summary = {
+        "job": "trigram index build (Arrow trigram-set extraction -> staged "
+        "parquet -> (tri, doc_id) range layout + df lexicon + stats)",
+        "input_files": N_FILES,
+        "primary": measure_pair(
+            CORE_COUNTS,
+            pkg,
+            job_script="scale_job_trigram.py",
+            out_base="/dev/shm/sse_tri_scale_out",
+        ),
+        "primary_pair": list(CORE_COUNTS),
+        "target": ">= 0.8",
+        "repeats": REPEATS,
+    }
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Scaling-evidence job for the trigram code-search index build
+(operators/trigram.py:write_trigram_index): Arrow trigram extraction ->
+staged parquet -> (tri, doc_id) range layout + df lexicon + stats.
+
+Same launch/conf contract as tools/scale_job.py (the word-index twin):
+
+  taskset -c 0-{N-1} spark-submit --master local[N] \
+      --py-files /tmp/sse_pkg.zip tools/scale_job_trigram.py \
+      <corpus_parquet> <out_dir>
+
+Prints one JSON line: {"files": N, "wall_s": s, "files_per_sec": r}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main(corpus_path: str, out_dir: str) -> None:
+    spark = (
+        SparkSession.builder.appName("sse-scale-trigram")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        # same rationale as scale_job.py: fine splits parallelize the scan
+        # and keep the final task wave granular at low core counts
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores) * 2))
+
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.operators.trigram import (
+        write_trigram_index,
+    )
+
+    docs = spark.read.parquet(corpus_path)
+    n_files = docs.count()  # warms the scan; excluded from the timed section
+    tri_docs = with_doc_id(docs).select(
+        "doc_id", F.col("content").alias("text")
+    )
+
+    t0 = time.time()
+    write_trigram_index(
+        tri_docs, out_dir, tri_buckets=max(8, cores), fold_case=True
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "files": n_files,
+                "wall_s": round(wall, 2),
+                "files_per_sec": round(n_files / wall, 1),
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
