@@ -1730,12 +1730,15 @@ def q_index_merge_lexicon(spark, sf_dir):
 # the 27 entries CORRECTNESS_r03 did not reach + this round's new/fixed
 # entries; the round-3-verified remainder follows.
 # Registry order matters: the driver's correctness gate samples the FIRST
-# 50 entries. Round-5 rotation: the 41 entries whose most recent driver
-# row was r1–r3 go first, then this round's fixed/new entries, then a
-# spread of round-4 representatives — so after r5 every entry has a
-# driver row from r4 or r5.
+# 50 entries. Round-5 rotation: the 40 entries whose most recent driver
+# row was r1–r3 go first, then this round's fixed/new entries (the r4 red
+# row embedding_quantize + 9 never-checked), filling all 50 slots — so
+# after r5 every entry has a driver row from r4 or r5 EXCEPT cosine_topk
+# (51 candidates, 50 slots): it keeps its r3 hash-green row, its code
+# (functions/similarity.py cosine fold) is untouched since, and bench.py
+# exercises it every round.
 QUERIES = {
-    # -- last driver-checked r1–r3: rotate to the front (41 entries) --
+    # -- last driver-checked r1–r3: rotate to the front (40 entries) --
     "term_semi_join": q_term_semi_join,
     "bm25_matches_single": _bm25_matches(Q_SINGLE),
     "bm25_matches_conj2": _bm25_matches(Q_CONJ2),
@@ -1789,17 +1792,17 @@ QUERIES = {
     "substring_search": q_substring_search,
     "regex_match_count_topk": q_regex_match_count_topk,
     "search_bm25_regex_topk": q_search_bm25_regex_topk,
-    # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
-    # cosine_topk moved below the 50-entry window to admit the two new
-    # round-5 entries above; its r4 row stands
+    # ---- driver window boundary (first 50 entries end here) ----
+    # cosine_topk is the one 51-into-50 casualty: last driver row r3
+    # (hash-green), code untouched since, bench-exercised every round
     "cosine_topk": q_cosine_topk,
+    # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
     "bm25_top10_conj2": _bm25_top10(Q_CONJ2),
     "anchor_hits": q_anchor_hits,
     "search_corrected_top10": q_search_corrected,
     "curated_export": q_curated_export,
-    # ---- driver window boundary (~50) ----
     "index_doclen": q_index_doclen,
     "index_stats": q_index_stats,
     "index_wordcount": q_index_wordcount,
