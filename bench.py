@@ -388,6 +388,50 @@ def main() -> None:
     timings["regex40k_scan_p50"] = round(statistics.median(scan_l), 3)
     tri_bytes = _dir_bytes(f"{tri_dir}/tri_postings")
 
+    # --- symbol table (round-5 code-search operator #2) ---
+    # ctags-shaped definition extraction (operators/symbols.py): one
+    # pure-JVM codegen pass, persisted (symbol, doc_id)-sorted; the point
+    # lookup is a pushed EqualTo filter on that layout (no join, no
+    # corpus access). Result identity asserted against an unindexed
+    # extraction filter every rep.
+    from streamworks_search_engine_spark.operators.symbols import (
+        extract_symbols,
+        load_symbol_table,
+        symbol_lookup,
+        write_symbol_table,
+    )
+
+    sym_dir = tempfile.mkdtemp(prefix="sse_bench_sym40k_")
+    t0 = time.time()
+    write_symbol_table(tri_docs, sym_dir, sym_buckets=8)
+    timings["symbol_build_40k"] = round(time.time() - t0, 3)
+    symtab = load_symbol_table(spark, sym_dir)
+    # deterministic probe symbol: the corpus's most-defined one (untimed)
+    probe_sym = (
+        symtab.groupBy("symbol")
+        .count()
+        .orderBy(F.desc("count"), "symbol")
+        .limit(1)
+        .collect()[0]["symbol"]
+    )
+    sym_truth = sorted(
+        (r["doc_id"], r["line_no"])
+        for r in extract_symbols(tri_docs)
+        .filter(F.col("symbol") == probe_sym)
+        .collect()
+    )
+    symbol_lookup(symtab, probe_sym).collect()  # warm
+    sym_l = []
+    for _ in range(5):
+        t0 = time.time()
+        got = sorted(
+            (r["doc_id"], r["line_no"])
+            for r in symbol_lookup(symtab, probe_sym).collect()
+        )
+        sym_l.append(time.time() - t0)
+    assert got == sym_truth and got, "symbol lookup diverged from extraction"
+    timings["symbol_lookup_p50"] = round(statistics.median(sym_l), 3)
+
     # --- hot-term skew design point (north_rule: hot-term salting) ---
     # generate_skewed_corpus injects ONE term into 50% of the 40k files
     # (x3 occurrences). Evidence that the skew-neutral build — (term,

@@ -1,0 +1,141 @@
+"""ctags-shaped symbol-definition extraction, persistence, and lookup.
+
+The "jump to definition" surface of a code-search engine (GitHub's
+Symbols panel, Zoekt's `sym:` atom, universal-ctags): extract
+``(doc_id, line_no, kind, symbol)`` for every keyword-introduced
+definition line, persist the table keyed by symbol, and answer
+point/prefix lookups from it without touching the corpus. The reference
+engine ranks definition-line hits (its tag classes — the 'a' class this
+repo builds in operators/indexer.py with DEF_LINE_RE) but has no
+standalone symbol table; code-search users reach for one immediately,
+so it is added as a first-class operator alongside the trigram index.
+
+Spark-first shape:
+
+- extraction is pure JVM (``posexplode(split())`` + ``regexp_extract``)
+  inside whole-stage codegen — no Python in the path, one corpus scan,
+  and the emitted table is tiny relative to the corpus (definition
+  lines only);
+- the persisted layout is range-partitioned + sorted by
+  ``(symbol, doc_id)`` — the word/trigram postings' file-pruning layout
+  (operators/indexer.py:write_index): a point or prefix lookup's
+  ``symbol = x`` / ``startswith`` predicate pushes into the parquet
+  scan and prunes to the row groups covering that symbol range
+  (cluster-scale: Iceberg ``bucket(N, symbol)``);
+- lookups are pure filters on the symbol table (no join, no shuffle);
+  the ranked prefix form is one partial-aggregated groupBy over the
+  filtered rows + the shared _ranked_topk tail — all corpus-scale work
+  happened once, at extraction time.
+
+The kind keyword set matches the def-line tag class
+(functions/tokenizer.py:DEF_LINE_RE) where a keyword introduces a
+NAMED definition — access modifiers / binding keywords (public, let,
+var, const, ...) mark definition LINES for ranking but not a
+``keyword identifier`` symbol form, so they are ranked by the tag
+class and skipped here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Java regex and RE2/DuckDB agree on this subset (anchors, alternation,
+# character classes, greedy +): the oracle runs the same pattern verbatim.
+SYMBOL_DEF_RE = (
+    r"^[ \t]*(def|class|function|func|struct|type)[ \t]+"
+    r"([A-Za-z_][A-Za-z0-9_]*)"
+)
+
+
+def extract_symbols(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, line_no, kind, symbol) for every definition line.
+
+    line_no is 1-based (the grep/ctags convention, same as
+    operators/trigram.py:regex_search_lines). One JVM pass: split ->
+    posexplode -> two regexp_extract on the same anchored pattern ->
+    drop non-matches. Lines defining nothing never leave the codegen
+    stage, so the shuffle-facing output is |definition lines|, not
+    |lines|.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    return (
+        lines.select(
+            "doc_id",
+            (F.col("pos") + F.lit(1)).cast("long").alias("line_no"),
+            F.regexp_extract("line", SYMBOL_DEF_RE, 1).alias("kind"),
+            F.regexp_extract("line", SYMBOL_DEF_RE, 2).alias("symbol"),
+        )
+        .filter(F.col("symbol") != "")
+    )
+
+
+def write_symbol_table(
+    docs: DataFrame,
+    out_dir: str,
+    sym_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the symbol table as parquet, range-partitioned + sorted by
+    (symbol, doc_id) so lookups prune via row-group min/max stats.
+
+    The extraction is staged to parquet first and the range write derives
+    from the staged table — repartitionByRange's sampling pass would
+    otherwise re-run the corpus-scale extraction scan
+    (the write_trigram_index / build_and_write_index staged-checkpoint
+    pattern). The stage is dropped after the sorted layout lands.
+    """
+    spark = docs.sparkSession
+    staged = f"{out_dir}/_staged_sym"
+    extract_symbols(docs, text_col=text_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    symtab = spark.read.parquet(staged)
+    (
+        symtab.repartitionByRange(sym_buckets, "symbol", "doc_id")
+        .sortWithinPartitions("symbol", "doc_id", "line_no")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/symbols")
+    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
+def load_symbol_table(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{index_dir}/symbols")
+
+
+def symbol_lookup(symtab: DataFrame, symbol: str) -> DataFrame:
+    """Jump-to-definition: every (doc_id, line_no, kind) defining
+    ``symbol``, exactly. A pure pushed-down filter — on the persisted
+    layout the scan reads only the row groups whose [min,max] symbol
+    range covers the literal."""
+    return symtab.filter(F.col("symbol") == symbol).select(
+        "doc_id", "line_no", "kind"
+    )
+
+
+def symbol_prefix_topk(symtab: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Ranked symbol search: the k docs with the MOST definitions whose
+    symbol starts with ``prefix`` — (rank, doc_id, n_defs), n_defs DESC
+    then doc_id ASC (the O3 deterministic-ordering contract).
+
+    ``startswith`` compiles to a parquet StringStartsWith pushed filter,
+    so the persisted layout prunes to the prefix's symbol range; the
+    count is one partial-aggregated groupBy over the surviving
+    definition rows and the tail is one TakeOrdered."""
+    from .query import _ranked_topk
+
+    counts = (
+        symtab.filter(F.col("symbol").startswith(prefix))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_defs"))
+    )
+    return _ranked_topk(counts, k, ["rank", "doc_id", "n_defs"], score_col="n_defs")

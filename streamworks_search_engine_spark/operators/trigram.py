@@ -229,6 +229,24 @@ def _trigrams(s: str) -> set[str]:
     return {s[i : i + 3] for i in range(len(s) - 2)}
 
 
+def tri_code(t: str) -> int:
+    """Exact int64 key for a trigram: three 21-bit Unicode code points
+    packed big-endian (max code point 0x10FFFF < 2^21; 3x21 = 63 bits, so
+    the key is a non-negative BIGINT). INJECTIVE — never a hash, so an
+    absent key proves the trigram absent (the `empty` plan mode's
+    soundness) and the query-side reverse map is exact.
+
+    Why ints instead of the strings themselves: the postings/lexicon
+    carry ~10^2-10^3 (tri, doc_id) rows PER DOC, so the build's staged
+    write + range shuffle + sort are bandwidth-bound on the tri column.
+    A fixed 8-byte integer sorts/compares/encodes far cheaper than a
+    3-char UTF-8 string cell, and the extraction kernel becomes one
+    vectorized numpy pass (UTF-32 view -> shift/or -> unique) instead of
+    a Python set of string slices. Measured on the 240k-file scaling
+    corpus: see BENCH.md round-5 trigram notes."""
+    return (ord(t[0]) << 42) | (ord(t[1]) << 21) | ord(t[2])
+
+
 def regex_trigrams(
     pattern: str, fold_case: bool = False
 ) -> list[set[str]] | None:
@@ -278,8 +296,8 @@ def regex_trigrams(
 
 @dataclass
 class TrigramIndex:
-    postings: DataFrame  # (tri, doc_id) — distinct
-    lexicon: DataFrame  # (tri, df)
+    postings: DataFrame  # (tri, doc_id) — distinct; tri = int64 tri_code
+    lexicon: DataFrame  # (tri, df); tri = int64 tri_code
     n_docs: int
     # total corpus text bytes-ish (chars): the routing-relevant size — a
     # full rlike scan costs O(total_chars), the index path a fixed 2-3
@@ -296,23 +314,28 @@ class TrigramIndex:
 
 def _make_trigram_udf(fold_case: bool = False):
     """Arrow-batched trigram-set extraction (the same vectorized-UDF call
-    the word tokenizer uses — functions/tokenizer.py:make_tokens_udf).
+    the word tokenizer uses — functions/tokenizer.py:make_tokens_udf),
+    emitting packed int64 ``tri_code`` keys.
 
-    Python set-of-slices over Arrow batches measured 13x faster than the
-    JVM ``transform(sequence(...), i -> substring(...))`` +
-    ``array_distinct`` expression at the 40k corpus (3.1 s vs 41.0 s on
-    local[32]): per-position substring allocates a fresh JVM string
-    object per char of corpus, while a Python slice into one str is a
-    pointer-range copy and the set dedups in place. Output sorted for
-    reproducibility.
+    The kernel is one numpy pass per doc: a UTF-32 view of the text (a
+    code-point int array — exactly ``ord`` per position, matching
+    ``tri_code``), three shifted slices OR'd together, ``np.unique`` for
+    the per-doc distinct + deterministic (sorted) output. No Python loop
+    over positions, no string-slice allocation; the earlier set-of-slices
+    Python kernel was itself measured 13x faster than the equivalent JVM
+    ``transform(sequence)+array_distinct`` expression (3.1 s vs 41.0 s at
+    the 40k corpus — per-position JVM substring churns an object per
+    corpus char), and the numpy+int64 kernel beats the set-of-slices
+    version again (BENCH.md round-5 trigram notes).
     """
+    import numpy as np
     import pandas as pd
-    from pyspark.sql.types import ArrayType, StringType
+    from pyspark.sql.types import ArrayType, LongType
 
     # no pd.Series type hints: `from __future__ import annotations` makes
     # them strings the hint-inferrer can't resolve; bare signature =
     # SCALAR eval type, which is what this is
-    @F.pandas_udf(ArrayType(StringType()))
+    @F.pandas_udf(ArrayType(LongType()))
     def tri_udf(texts):
         out = []
         for t in texts:
@@ -321,7 +344,14 @@ def _make_trigram_udf(fold_case: bool = False):
             else:
                 if fold_case:
                     t = t.lower()
-                out.append(sorted({t[i : i + 3] for i in range(len(t) - 2)}))
+                # surrogatepass: a lone surrogate (possible in scraped
+                # text) still has an ord() < 2^21, so the packed key
+                # stays exact and the encode can't raise
+                cps = np.frombuffer(
+                    t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                ).astype(np.int64)
+                ids = (cps[:-2] << 42) | (cps[1:-1] << 21) | cps[2:]
+                out.append(np.unique(ids))
         return pd.Series(out)
 
     return tri_udf
@@ -418,8 +448,16 @@ def write_trigram_index(
         F.sum(F.length(text_col)).alias("total_chars"),
     ).collect()[0]
     spark.createDataFrame(
-        [(int(stats["n_docs"]), int(stats["total_chars"] or 0), bool(fold_case))],
-        "n_docs long, total_chars long, fold_case boolean",
+        [
+            (
+                int(stats["n_docs"]),
+                int(stats["total_chars"] or 0),
+                bool(fold_case),
+                "cp21x3",
+            )
+        ],
+        "n_docs long, total_chars long, fold_case boolean,"
+        " tri_encoding string",
     ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/tri_stats")
     # drop the stage (the sorted layout supersedes it)
     jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
@@ -430,6 +468,16 @@ def write_trigram_index(
 def load_trigram_index(spark: SparkSession, index_dir: str) -> TrigramIndex:
     stats = spark.read.json(f"{index_dir}/tri_stats").collect()[0]
     row = stats.asDict()
+    enc = row.get("tri_encoding")
+    if enc != "cp21x3":
+        # a layout written before the int64 tri_code format (string tri
+        # column) would silently match NOTHING against int query keys —
+        # refuse loudly instead
+        raise ValueError(
+            f"trigram index at {index_dir} has tri_encoding={enc!r}; this"
+            " build reads 'cp21x3' (int64-packed code points) — rebuild"
+            " the index with write_trigram_index"
+        )
     return TrigramIndex(
         postings=spark.read.parquet(f"{index_dir}/tri_postings"),
         lexicon=spark.read.parquet(f"{index_dir}/tri_lexicon"),
@@ -471,8 +519,12 @@ def plan_regex(
     if query is None:
         return {"mode": "scan", "alts": [], "dfs": {}, "query": None}
     all_tris = sorted(set().union(*query))
-    rows = index.lexicon.filter(F.col("tri").isin(all_tris)).collect()
-    dfs = {r["tri"]: int(r["df"]) for r in rows}
+    # the PLAN layer stays in trigram strings (readable, test-inspectable);
+    # only the lexicon/postings boundary speaks int64 tri_code keys. The
+    # reverse map is exact because tri_code is injective.
+    tri_of = {tri_code(t): t for t in all_tris}
+    rows = index.lexicon.filter(F.col("tri").isin(list(tri_of))).collect()
+    dfs = {tri_of[r["tri"]]: int(r["df"]) for r in rows}
     alts: list[list[str]] = []
     for alt in query:
         if any(t not in dfs for t in alt):
@@ -497,7 +549,9 @@ def _candidates(index: TrigramIndex, alts: list[list[str]]) -> DataFrame:
     parts = []
     for chosen in alts:
         cand = (
-            index.postings.filter(F.col("tri").isin(chosen))
+            index.postings.filter(
+                F.col("tri").isin([tri_code(t) for t in chosen])
+            )
             .groupBy("doc_id")
             .agg(F.count("*").alias("n"))
             .filter(F.col("n") == len(chosen))
@@ -773,8 +827,9 @@ def substring_search(
     if len(needle) < 3:
         return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
     tris = sorted(_trigrams(needle.lower() if index.fold_case else needle))
-    rows = index.lexicon.filter(F.col("tri").isin(tris)).collect()
-    dfs = {r["tri"]: int(r["df"]) for r in rows}
+    tri_of = {tri_code(t): t for t in tris}
+    rows = index.lexicon.filter(F.col("tri").isin(list(tri_of))).collect()
+    dfs = {tri_of[r["tri"]]: int(r["df"]) for r in rows}
     if any(t not in dfs for t in tris):
         plan = {"mode": "empty", "alts": [], "dfs": dfs}
     else:

@@ -1021,6 +1021,48 @@ def q_regex_match_count_topk(spark, sf_dir):
     )
 
 
+def q_symbol_defs(spark, sf_dir):
+    """ctags-shaped symbol extraction (operators/symbols.py — the
+    jump-to-definition table the reference's tag classes rank but never
+    materialize): (doc_id, line_no, kind, symbol) for every
+    keyword-introduced definition line of the anchor-derived code corpus,
+    extracted in one pure-JVM codegen pass. Oracle: the same anchored
+    regex over DuckDB's per-line unnest of the identical derived corpus —
+    a hash match pins the Java/RE2 pattern semantics AND the 1-based
+    line numbering."""
+    from ..operators.symbols import extract_symbols
+
+    docs = _anchor_docs(spark, sf_dir).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    return extract_symbols(docs)
+
+
+def q_symbol_lookup(spark, sf_dir):
+    """Jump-to-definition point query (operators/symbols.py:symbol_lookup):
+    every definition site of the symbol 'query' — a pure pushed-down
+    filter on the symbol table (row-group-pruned on the persisted
+    layout; no join, no shuffle)."""
+    from ..operators.symbols import extract_symbols, symbol_lookup
+
+    docs = _anchor_docs(spark, sf_dir).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    return symbol_lookup(extract_symbols(docs), "query")
+
+
+def q_symbol_prefix_topk(spark, sf_dir):
+    """Ranked symbol search (symbol_prefix_topk): top-10 docs by number
+    of definitions whose symbol starts with 's' — StringStartsWith pushed
+    scan + one partial-agg groupBy + the shared _ranked_topk tail."""
+    from ..operators.symbols import extract_symbols, symbol_prefix_topk
+
+    docs = _anchor_docs(spark, sf_dir).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    return symbol_prefix_topk(extract_symbols(docs), "s", k=10)
+
+
 PHRASE = ["table", "hash"]  # bigram present at every SF in the documents text
 
 
@@ -1776,9 +1818,13 @@ QUERIES = {
     "hashed_tf": q_hashed_tf,
     "doc_fingerprint": q_doc_fingerprint,
     "quality_stats": q_quality_stats,
-    "repetition_stats": q_repetition_stats,
-    "langid_en": q_langid_en,
-    "token_counts": q_token_counts,
+    # -- new this round: ctags-shaped symbol table (never driver-checked,
+    #    so they take window slots; the three textstats rows they displace
+    #    — repetition_stats/langid_en/token_counts — keep their r3
+    #    hash-green rows, same-file coverage stays via quality_stats --
+    "symbol_defs": q_symbol_defs,
+    "symbol_lookup": q_symbol_lookup,
+    "symbol_prefix_topk": q_symbol_prefix_topk,
     # -- fixed this round: flattened to scalar rows (r4 red row) --
     "embedding_quantize": q_embedding_quantize,
     # -- new this round: driver-visible PageRank iteration oracle --
@@ -1793,9 +1839,14 @@ QUERIES = {
     "regex_match_count_topk": q_regex_match_count_topk,
     "search_bm25_regex_topk": q_search_bm25_regex_topk,
     # ---- driver window boundary (first 50 entries end here) ----
-    # cosine_topk is the one 51-into-50 casualty: last driver row r3
-    # (hash-green), code untouched since, bench-exercised every round
+    # 51-into-50 casualties, all with standing r3 hash-green rows and
+    # code untouched since: cosine_topk (bench-exercised every round)
+    # and the three textstats rows displaced by the symbol entries
+    # (their file keeps in-window coverage via quality_stats)
     "cosine_topk": q_cosine_topk,
+    "repetition_stats": q_repetition_stats,
+    "langid_en": q_langid_en,
+    "token_counts": q_token_counts,
     # -- round-4 representatives (hash-green in CORRECTNESS_r04) --
     "index_postings": q_index_postings,
     "index_lexicon": q_index_lexicon,
@@ -3398,3 +3449,35 @@ UNION ALL SELECT '06_sequences',
   (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) FROM (
      SELECT ceil(sum(n_tokens)::DOUBLE / {PACK_CAPACITY}) AS ns
      FROM ssh GROUP BY shard))"""
+
+
+# ---- ctags-shaped symbol table (operators/symbols.py) ----
+# The extraction regex is the Spark-side constant (imported, never
+# copied) run verbatim by DuckDB's RE2 over the same derived corpus, so
+# the two sides' anchored-match + capture-group semantics cannot drift.
+from ..operators.symbols import SYMBOL_DEF_RE as _SYMBOL_RE  # noqa: E402
+
+_SYMBOL_CTES = f"""WITH {_ANCHOR_SRC},
+ls AS (SELECT doc_id, string_split(content, chr(10)) AS lines FROM src),
+ex AS (SELECT doc_id,
+              CAST(unnest(range(1, len(lines)+1)) AS BIGINT) AS line_no,
+              unnest(lines) AS line
+       FROM ls),
+sym AS (SELECT doc_id, line_no,
+               regexp_extract(line, '{_SYMBOL_RE}', 1) AS kind,
+               regexp_extract(line, '{_SYMBOL_RE}', 2) AS symbol
+        FROM ex
+        WHERE regexp_extract(line, '{_SYMBOL_RE}', 2) <> '')"""
+
+ORACLE_SQL["symbol_defs"] = f"""{_SYMBOL_CTES}
+SELECT doc_id, line_no, kind, symbol FROM sym"""
+
+ORACLE_SQL["symbol_lookup"] = f"""{_SYMBOL_CTES}
+SELECT doc_id, line_no, kind FROM sym WHERE symbol = 'query'"""
+
+ORACLE_SQL["symbol_prefix_topk"] = f"""{_SYMBOL_CTES},
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_defs
+        FROM sym WHERE symbol LIKE 's%' GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY n_defs DESC, doc_id) AS INT) AS rank,
+       doc_id, n_defs
+FROM cnt ORDER BY n_defs DESC, doc_id LIMIT 10"""

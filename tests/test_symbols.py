@@ -1,0 +1,156 @@
+"""Symbol-definition extraction + lookup (operators/symbols.py).
+
+Extraction is checked against a pure-Python re oracle on BOTH a
+handcrafted fixture (every kind keyword, indentation, non-matches) and
+the generated code corpus; the persisted layout must serve point and
+prefix lookups with the predicate pushed into the parquet scan.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.symbols import (
+    SYMBOL_DEF_RE,
+    extract_symbols,
+    load_symbol_table,
+    symbol_lookup,
+    symbol_prefix_topk,
+    write_symbol_table,
+)
+
+_RE = re.compile(SYMBOL_DEF_RE)
+
+
+def _truth(rows):
+    """[(doc_id, text)] -> {(doc_id, line_no, kind, symbol)} via stdlib re."""
+    out = set()
+    for doc_id, text in rows:
+        for i, line in enumerate(text.split("\n"), start=1):
+            m = _RE.match(line)
+            if m:
+                out.add((doc_id, i, m.group(1), m.group(2)))
+    return out
+
+
+FIXTURE = [
+    (0, "def parse(x):\n    return x\nclass Node:\n    pass"),
+    (1, "  def _inner(self):\nfunction doWork() {\nfunc Main() {"),
+    (2, "struct Point {\ntype Alias = int\n\tdef tabbed():"),
+    (3, "undef nothing\npublic void run()\nxdef nope\ndef\ndef  spaced2"),
+    (4, ""),
+    (5, "def def\ndef 9bad\ndef _ok_1 and trailing words"),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(FIXTURE, "doc_id long, text string")
+
+
+def test_extract_matches_python_oracle_fixture(fixture_df):
+    got = {
+        (r["doc_id"], r["line_no"], r["kind"], r["symbol"])
+        for r in extract_symbols(fixture_df).collect()
+    }
+    assert got == _truth(FIXTURE)
+    # the fixture exercises every kind keyword
+    assert {k for (_, _, k, _) in got} == {
+        "def", "class", "function", "func", "struct", "type"
+    }
+    # and the negatives: modifiers (public), prefixed keywords (undef,
+    # xdef), keyword with no identifier, digit-led identifiers
+    symbols = {s for (_, _, _, s) in got}
+    assert "nothing" not in symbols and "void" not in symbols
+    assert "9bad" not in symbols
+    assert "_ok_1" in symbols and "def" in symbols  # `def def` IS a def
+
+
+@pytest.fixture(scope="module")
+def code_docs(spark, corpus_rows):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    df = spark.createDataFrame(
+        [
+            (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+            for r in corpus_rows
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return (
+        with_doc_id(df)
+        .select("doc_id", F.col("content").alias("text"))
+        .persist()
+    )
+
+
+def test_extract_matches_python_oracle_corpus(code_docs):
+    rows = [(r["doc_id"], r["text"]) for r in code_docs.collect()]
+    got = {
+        (r["doc_id"], r["line_no"], r["kind"], r["symbol"])
+        for r in extract_symbols(code_docs).collect()
+    }
+    exp = _truth(rows)
+    assert got == exp
+    assert len(exp) > 0, "generated corpus has no definition lines"
+
+
+def test_write_load_lookup_roundtrip(code_docs, tmp_path):
+    out = str(tmp_path / "symtab")
+    write_symbol_table(code_docs, out, sym_buckets=4)
+    symtab = load_symbol_table(code_docs.sparkSession, out)
+    # pick a real symbol deterministically: lexicographically first
+    sym = symtab.agg(F.min("symbol")).collect()[0][0]
+    got = sorted(
+        (r["doc_id"], r["line_no"], r["kind"])
+        for r in symbol_lookup(symtab, sym).collect()
+    )
+    exp = sorted(
+        (r["doc_id"], r["line_no"], r["kind"])
+        for r in extract_symbols(code_docs)
+        .filter(F.col("symbol") == sym)
+        .collect()
+    )
+    assert got == exp and got
+    # the staged extraction must be gone; only the sorted layout remains
+    import os
+
+    assert set(os.listdir(out)) == {"symbols"}
+
+
+def test_lookup_predicate_is_pushed(code_docs, tmp_path):
+    out = str(tmp_path / "symtab_push")
+    write_symbol_table(code_docs, out, sym_buckets=4)
+    symtab = load_symbol_table(code_docs.sparkSession, out)
+    plan = (
+        symbol_lookup(symtab, "parse")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "EqualTo(symbol,parse)" in plan, plan[:2000]
+    pplan = (
+        symtab.filter(F.col("symbol").startswith("pa"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StringStartsWith(symbol,pa)" in pplan, pplan[:2000]
+
+
+def test_symbol_prefix_topk_matches_truth(code_docs):
+    rows = [(r["doc_id"], r["text"]) for r in code_docs.collect()]
+    prefix = "p"
+    counts: dict[int, int] = {}
+    for doc_id, _ln, _k, sym in _truth(rows):
+        if sym.startswith(prefix):
+            counts[doc_id] = counts.get(doc_id, 0) + 1
+    exp = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got = [
+        (r["doc_id"], r["n_defs"])
+        for r in symbol_prefix_topk(extract_symbols(code_docs), prefix, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(d, n) for d, n in exp]

@@ -505,3 +505,57 @@ def test_bm25_regex_filtered_topk_matches_truth(
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in rows] == exp
     assert [r["rank"] for r in rows] == list(range(1, len(exp) + 1))
+
+
+# --------------------------------------------------------------------------
+# int64 tri_code keys (the postings/lexicon on-disk + shuffle key)
+# --------------------------------------------------------------------------
+
+
+def test_tri_code_is_injective_and_bounded():
+    from streamworks_search_engine_spark.operators.trigram import tri_code
+
+    tris = ["abc", "abd", "bac", "   ", "\t\n\r", "ab\U0010ffff", "ééé"]
+    codes = [tri_code(t) for t in tris]
+    assert len(set(codes)) == len(tris)
+    assert all(0 <= c < 2**63 for c in codes)
+    # big-endian packing: lexicographic order of code points is preserved
+    assert tri_code("abc") < tri_code("abd") < tri_code("bac")
+
+
+def test_extraction_kernel_matches_tri_code(spark):
+    """The numpy UTF-32 kernel must emit exactly {tri_code(t)} of the
+    pure-Python slice set — including unicode, newlines, and the folded
+    variant — so the planner's query-side encoding can never disagree
+    with the build side."""
+    from streamworks_search_engine_spark.operators.trigram import (
+        _trigrams,
+        tri_code,
+        trigram_postings,
+    )
+
+    texts = [
+        "abc",
+        "ab",
+        "",
+        None,
+        "public static void main",
+        "héllo wörld\nsecond LINE\ttab",
+        "MiXeD CaSe AbC",
+        "\U0010ffff" * 4,
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for fold in (False, True):
+        got = {
+            (r["doc_id"], r["tri"])
+            for r in trigram_postings(df, fold_case=fold).collect()
+        }
+        exp = set()
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            s = t.lower() if fold else t
+            exp |= {(i, tri_code(tr)) for tr in _trigrams(s)}
+        assert got == exp, f"fold_case={fold}"
