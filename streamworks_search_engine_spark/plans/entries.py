@@ -1772,13 +1772,13 @@ def q_index_merge_lexicon(spark, sf_dir):
 # the 27 entries CORRECTNESS_r03 did not reach + this round's new/fixed
 # entries; the round-3-verified remainder follows.
 # Registry order matters: the driver's correctness gate samples the FIRST
-# 50 entries. Round-5 rotation: the 40 entries whose most recent driver
-# row was r1–r3 go first, then this round's fixed/new entries (the r4 red
-# row embedding_quantize + 9 never-checked), filling all 50 slots — so
-# after r5 every entry has a driver row from r4 or r5 EXCEPT cosine_topk
-# (51 candidates, 50 slots): it keeps its r3 hash-green row, its code
-# (functions/similarity.py cosine fold) is untouched since, and bench.py
-# exercises it every round.
+# 50 entries. Round-5 rotation: the entries whose most recent driver row
+# was r1–r3 go first, then this round's fixed/new entries (the r4 red row
+# embedding_quantize + the never-checked round-5 additions), filling all
+# 50 slots — so after r5 every entry has a driver row from r4 or r5
+# EXCEPT four 51-into-50 casualties (cosine_topk, repetition_stats,
+# langid_en, token_counts): each keeps its r3 hash-green row, its code is
+# untouched since, and cosine_topk is bench-exercised every round.
 QUERIES = {
     # -- last driver-checked r1–r3: rotate to the front (40 entries) --
     "term_semi_join": q_term_semi_join,
