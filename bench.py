@@ -333,8 +333,9 @@ def main() -> None:
     )
 
     # --- trigram-indexed regex search (round-5 code-search operator) ---
-    # Build: one Arrow extraction pass staged to parquet, then the
-    # (tri, doc_id)-sorted range layout + df lexicon (write_trigram_index).
+    # Build: one Arrow extraction pass feeding the hash-bucketed
+    # (tri, doc_id)-sorted layout directly (no staged intermediate; the
+    # lexicon derives from the written postings — write_trigram_index).
     # Query: the Cox trigram plan — lexicon probe -> rarest-trigram
     # intersection -> rlike verify over candidates only — A/B'd against
     # the full rlike scan it replaces, result identity asserted every

@@ -13,10 +13,10 @@ tokenizer special case.
 
 Spark-first shape:
 
-- the trigram postings table reuses the word index's layout conventions
-  (operators/indexer.py:write_index): parquet, range-partitioned and
-  sorted by (tri, doc_id), so a query's ``tri IN (...)`` predicate prunes
-  whole files via row-group min/max stats;
+- the trigram postings table is parquet, hash-bucketed on tri and
+  sorted (tri, doc_id) within each bucket (the Iceberg ``bucket(N,
+  tri)`` layout the word postings also target), so a query's ``tri IN
+  (...)`` predicate prunes at row-group granularity via min/max stats;
 - trigram extraction is an Arrow-batched pandas UDF (the word
   tokenizer's architecture; measured 13x faster than the equivalent JVM
   ``transform``+``array_distinct`` expression — per-position JVM
@@ -410,35 +410,40 @@ def write_trigram_index(
     id_col: str = "doc_id",
     fold_case: bool = False,
 ) -> None:
-    """Persist as parquet, range-partitioned + sorted by (tri, doc_id) —
-    the same file-pruning layout rationale as write_index: every file
-    covers a tight trigram range, so a query's ``tri IN (...)`` prunes
-    whole files via row-group stats. (Cluster-scale: Iceberg
-    ``bucket(N, tri)``, exactly like the word postings.)
+    """Persist as parquet: HASH-bucketed on tri, sorted (tri, doc_id)
+    within each bucket — the literal Spark spelling of the cluster-scale
+    Iceberg ``bucket(N, tri)`` layout. A query's ``tri IN (...)`` prunes
+    at ROW-GROUP granularity: each file's row groups cover tight tri
+    runs (the within-partition sort), so min/max stats skip everything
+    but the probed keys' runs, which is what the point lookups need —
+    file-level range locality adds nothing over that here.
 
-    The extraction runs ONCE: its output is staged to parquet first, and
-    the range write (whose sampling pass alone would otherwise recompute
-    the extraction), the lexicon agg, and the final layout all derive
-    from the staged table — the build_and_write_index staged-checkpoint
-    pattern (operators/indexer.py). Measured before the stage: the 40k
-    corpus build recomputed the ~90 s extraction 3-4x.
+    Hash bucketing is also what lets the extraction run EXACTLY ONCE
+    with no staged intermediate: ``repartition(N, tri)`` needs no
+    sampling pass (``repartitionByRange`` runs one, which would
+    recompute the corpus-scale extraction — the reason the earlier
+    range layout had to stage the extraction to parquet first), so the
+    live extraction feeds the postings write directly, and the LEXICON
+    derives from the just-written compact int64 postings instead of a
+    second corpus pass. Build I/O drops from
+    (extract + stage-write + 3x stage-read) to
+    (extract + postings-read); measured in BENCH.md round-5 notes.
     """
     spark = docs.sparkSession
-    staged = f"{out_dir}/_staged_tri"
-    trigram_postings(
-        docs, text_col=text_col, id_col=id_col, fold_case=fold_case
-    ).write.mode("overwrite").parquet(staged)
-    postings = spark.read.parquet(staged)
     (
-        postings.repartitionByRange(tri_buckets, "tri", "doc_id")
+        trigram_postings(
+            docs, text_col=text_col, id_col=id_col, fold_case=fold_case
+        )
+        .repartition(tri_buckets, "tri")
         .sortWithinPartitions("tri", "doc_id")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/tri_postings")
     )
+    postings = spark.read.parquet(f"{out_dir}/tri_postings")
     (
         postings.groupBy("tri")
         .agg(F.count("*").alias("df"))
-        .repartitionByRange(max(1, tri_buckets // 4), "tri")
+        .repartition(max(1, tri_buckets // 4), "tri")
         .sortWithinPartitions("tri")
         .write.mode("overwrite")
         .parquet(f"{out_dir}/tri_lexicon")
@@ -459,10 +464,6 @@ def write_trigram_index(
         "n_docs long, total_chars long, fold_case boolean,"
         " tri_encoding string",
     ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/tri_stats")
-    # drop the stage (the sorted layout supersedes it)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
 
 
 def load_trigram_index(spark: SparkSession, index_dir: str) -> TrigramIndex:

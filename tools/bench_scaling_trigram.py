@@ -13,7 +13,7 @@ tunings and read 0.57-0.71; the tunings are load-bearing for exactly
 this workload: trigram extraction is an allocation-heavy Arrow UDF, the
 class of job the MALLOC notes in BENCH.md were measured on.)
 
-Output goes under /dev/shm: the trigram staged+final postings are ~6x
+Output goes under /dev/shm: the trigram postings are ~6x
 the word index's write volume, and the sandbox's virtio disk serializes
 writes in the kernel (the cluster analog is executor-local NVMe, same
 rationale as the shuffle dir).
@@ -50,8 +50,8 @@ def main() -> None:
     ensure_corpus()
     pkg = make_pkg_zip()
     summary = {
-        "job": "trigram index build (Arrow trigram-set extraction -> staged "
-        "parquet -> (tri, doc_id) range layout + df lexicon + stats)",
+        "job": "trigram index build (Arrow trigram-set extraction -> hash-"
+        "bucketed (tri, doc_id)-sorted layout + df lexicon + stats)",
         "input_files": N_FILES,
         "primary": measure_pair(
             CORE_COUNTS,

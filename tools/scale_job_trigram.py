@@ -1,6 +1,6 @@
 """Scaling-evidence job for the trigram code-search index build
 (operators/trigram.py:write_trigram_index): Arrow trigram extraction ->
-staged parquet -> (tri, doc_id) range layout + df lexicon + stats.
+hash-bucketed (tri, doc_id)-sorted layout + df lexicon + stats.
 
 Same launch/conf contract as tools/scale_job.py (the word-index twin):
 
