@@ -383,8 +383,9 @@ def main() -> None:
             .collect()
         )
         scan_l.append(time.time() - t0)
-    assert idx_rows == scan_rows and idx_rows, \
-        "trigram-pruned regex diverged from the full scan"
+        # identity INSIDE the loop so every rep is checked, as documented
+        assert idx_rows == scan_rows and idx_rows, \
+            "trigram-pruned regex diverged from the full scan"
     timings["regex40k_indexed_p50"] = round(statistics.median(idx_l), 3)
     timings["regex40k_scan_p50"] = round(statistics.median(scan_l), 3)
     tri_bytes = _dir_bytes(f"{tri_dir}/tri_postings")
@@ -430,7 +431,9 @@ def main() -> None:
             for r in symbol_lookup(symtab, probe_sym).collect()
         )
         sym_l.append(time.time() - t0)
-    assert got == sym_truth and got, "symbol lookup diverged from extraction"
+        # identity INSIDE the loop so every rep is checked, as documented
+        assert got == sym_truth and got, \
+            "symbol lookup diverged from extraction"
     timings["symbol_lookup_p50"] = round(statistics.median(sym_l), 3)
 
     # --- hot-term skew design point (north_rule: hot-term salting) ---

@@ -96,16 +96,20 @@ def write_symbol_table(
     extract_symbols(docs, text_col=text_col, id_col=id_col).write.mode(
         "overwrite"
     ).parquet(staged)
-    symtab = spark.read.parquet(staged)
-    (
-        symtab.repartitionByRange(sym_buckets, "symbol", "doc_id")
-        .sortWithinPartitions("symbol", "doc_id", "line_no")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/symbols")
-    )
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
+    try:
+        symtab = spark.read.parquet(staged)
+        (
+            symtab.repartitionByRange(sym_buckets, "symbol", "doc_id")
+            .sortWithinPartitions("symbol", "doc_id", "line_no")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/symbols")
+        )
+    finally:
+        # the stage must not survive a failed final write: a reader
+        # globbing out_dir would otherwise pick up the unsorted stage
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(staged)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
 
 
 def load_symbol_table(spark: SparkSession, index_dir: str) -> DataFrame:

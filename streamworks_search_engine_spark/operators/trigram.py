@@ -339,11 +339,16 @@ def _make_trigram_udf(fold_case: bool = False):
     def tri_udf(texts):
         out = []
         for t in texts:
+            # fold BEFORE the length guard: str.lower() can change length
+            # ('İ'.lower() is 2 chars), and the planner extracts trigrams
+            # from the FOLDED literal — a raw-2-char doc whose folded form
+            # has 3+ chars must still emit those trigrams or the folded
+            # index returns false negatives
+            if t is not None and fold_case:
+                t = t.lower()
             if t is None or len(t) < 3:
                 out.append([])
             else:
-                if fold_case:
-                    t = t.lower()
                 # surrogatepass: a lone surrogate (possible in scraped
                 # text) still has an ord() < 2^21, so the packed key
                 # stays exact and the encode can't raise

@@ -1780,7 +1780,9 @@ def q_index_merge_lexicon(spark, sf_dir):
 # langid_en, token_counts): each keeps its r3 hash-green row, its code is
 # untouched since, and cosine_topk is bench-exercised every round.
 QUERIES = {
-    # -- last driver-checked r1–r3: rotate to the front (40 entries) --
+    # -- last driver-checked r1–r3: rotate to the front (37 entries;
+    #    repetition_stats/langid_en/token_counts moved below the
+    #    boundary to make room for the symbol entries) --
     "term_semi_join": q_term_semi_join,
     "bm25_matches_single": _bm25_matches(Q_SINGLE),
     "bm25_matches_conj2": _bm25_matches(Q_CONJ2),

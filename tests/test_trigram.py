@@ -543,6 +543,10 @@ def test_extraction_kernel_matches_tri_code(spark):
         "héllo wörld\nsecond LINE\ttab",
         "MiXeD CaSe AbC",
         "\U0010ffff" * 4,
+        # 2 raw chars whose lower() expands to 4 ('İ' -> 'i' + combining
+        # dot): the folded index must emit the folded trigrams even
+        # though the RAW text is below the 3-char trigram minimum
+        "İİ",
     ]
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
