@@ -1,0 +1,242 @@
+"""Unified code-search front door: ONE query string composing relevance
+search with the structural legs.
+
+The reference serves a free-text search box only
+(`engine/handlers/SearchHandler.java:183` passes the raw string to
+MatchHandler; `operators/query.py:search` is that surface). A code-search
+engine's box is a superset — Zoekt / GitHub code search let one query mix
+relevance terms with structural atoms:
+
+    ``window /from pkg\\.mod\\d+ import scan/ sym:query -mod12 lang:en``
+
+- plain words, ``"phrases"``, ``-exclusions`` and ``key:value`` metadata
+  qualifiers keep exactly the :func:`~.query.search` semantics (terms
+  score, the rest restrict);
+- ``/pattern/`` (a standalone ``/``-delimited token, GitHub's regex
+  syntax — ``path/to/file`` never parses as one) restricts to docs whose
+  text matches the regex, answered through the trigram index
+  (operators/trigram.py) when one is supplied, full-scan fallback
+  otherwise — sound either way;
+- ``sym:name`` (Zoekt's atom) restricts to docs DEFINING ``name``,
+  answered from the ctags-shaped symbol table (operators/symbols.py) —
+  repeated ``sym:`` atoms OR together, the same-key disjunction rule the
+  metadata qualifiers use.
+
+Ranking: BM25 over the positive words when there are any. A query with
+no scoring words ranks by its FIRST structural atom — matching-line
+count for a regex-led query (the ``grep -c`` contract of
+regex_grep_count_topk), definition count for a ``sym:``-led one — so the
+box never returns an unranked page.
+
+Scale shape: every leg reuses an already-verified operator plan (the
+probe-then-literals BM25 path, the trigram candidate delivery, the
+symbol-table filter) and each structural atom contributes ONE semi-join
+on doc_id against a match set bounded by its own index statistics
+(chosen trigram dfs / the symbol's definition count). Nothing here adds
+a corpus-scale shuffle beyond what the component operators already
+do; the top-k tail is the shared _ranked_topk TakeOrdered.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .query import (
+    SearchIndex,
+    _field_filter,
+    _ranked_topk,
+    bm25_topk,
+    correct_terms,
+    normalize_terms,
+    parse_query,
+    postings_for_terms,
+)
+
+# A regex atom is a STANDALONE /…/ span (start-of-string or whitespace
+# before the opening slash, whitespace or end after the closing one):
+# `path/to/file` and `http://x` never parse as atoms. Spaces are allowed
+# INSIDE the pattern (`/import \w+ as/` is one atom — the GitHub-syntax
+# convention); `\/` escapes a literal slash.
+_RE_ATOM = re.compile(r"(?:^|(?<=\s))/((?:[^/\\]|\\.)+)/(?=\s|$)")
+_SYM_ATOM = re.compile(r"(?:^|(?<=\s))sym:(\S+)")
+
+
+def parse_code_query(q: str | None) -> tuple[list[str], list[str], str]:
+    """``q`` -> (regex patterns, sym names, remaining query string).
+
+    The remaining string is what :func:`~.query.parse_query` understands
+    (terms / phrases / exclusions / qualifiers); structural atoms are
+    removed BEFORE that parse so a pattern's contents never tokenize
+    into scoring terms.
+    """
+    if not q:
+        return [], [], ""
+    patterns = [
+        m.group(1).replace("\\/", "/") for m in _RE_ATOM.finditer(q)
+    ]
+    rest = _RE_ATOM.sub(" ", q)
+    syms = [m.group(1) for m in _SYM_ATOM.finditer(rest)]
+    rest = _SYM_ATOM.sub(" ", rest)
+    # collapse the substitution holes; parse_query is whitespace-splitting
+    # anyway, but a normalized remainder keeps the parse inspectable.
+    # NOTE: this runs AFTER atom extraction, so spaces INSIDE a /…/
+    # pattern are untouched.
+    return patterns, syms, " ".join(rest.split())
+
+
+def _regex_doc_matches(
+    trigram,
+    docs: DataFrame,
+    pattern: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """doc_ids whose text matches ``pattern``: trigram-pruned when an
+    index is available, full JVM rlike scan otherwise (sound fallback —
+    the same degrade rule plan_regex applies to unpruneable patterns)."""
+    if trigram is not None:
+        from .trigram import regex_search
+
+        return regex_search(
+            trigram, docs, pattern, text_col=text_col, id_col=id_col
+        )
+    return docs.filter(F.col(text_col).rlike(pattern)).select(
+        F.col(id_col).alias("doc_id")
+    )
+
+
+def _grep_line_counts(
+    trigram,
+    docs: DataFrame,
+    pattern: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, score=matching-line count) — the grep -c ranking leg for
+    regex-led queries. Trigram-pruned line delivery when an index is
+    available; posexplode+rlike scan otherwise."""
+    if trigram is not None:
+        from .trigram import regex_search_lines
+
+        lines = regex_search_lines(
+            trigram, docs, pattern, text_col=text_col, id_col=id_col
+        )
+    else:
+        lines = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+        ).filter(F.col("line").rlike(pattern))
+    return lines.groupBy("doc_id").agg(
+        F.count("*").cast("double").alias("score")
+    )
+
+
+def code_search(
+    index: SearchIndex,
+    query: str,
+    k: int | None = 10,
+    mode: str = "all",
+    meta: DataFrame | None = None,
+    docs: DataFrame | None = None,
+    trigram=None,
+    symbols: DataFrame | None = None,
+    correct: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The unified box. Returns (rank, doc_id, score), the O3
+    deterministic ordering (score DESC, doc_id ASC; rank attached after).
+
+    ``docs`` (the corpus frame the index was built from) is required
+    only when the query uses a ``/regex/`` atom — the regex engine needs
+    the text; ``trigram`` is an optional :class:`~.trigram.TrigramIndex`
+    over the same docs (regex atoms fall back to a full rlike scan
+    without one); ``symbols`` an extract_symbols/read-back frame over
+    the same docs — required only when the query uses ``sym:``.
+
+    Composition order (each stage a verified component):
+
+    1. parse: structural atoms out first, then the word grammar;
+    2. score: BM25 over positive words (conjunctive/disjunctive per
+       ``mode``; ``correct=True`` spell-corrects plain terms exactly as
+       :func:`~.query.search` does) — or the first structural atom's
+       count ranking when the query has no words;
+    3. restrict: one semi-join per remaining regex atom, one for the
+       ``sym:`` disjunction, one anti-join for exclusions, one semi-join
+       for metadata qualifiers, one per phrase;
+    4. deterministic top-k.
+    """
+    patterns, syms, rest = parse_code_query(query)
+    if syms and symbols is None:
+        raise ValueError(
+            "query uses sym: but no symbol table was supplied — build one "
+            "with operators.symbols.extract_symbols/write_symbol_table"
+        )
+    if patterns and docs is None:
+        raise ValueError(
+            "query uses a /regex/ atom but no docs frame was supplied — "
+            "pass the corpus frame the index was built from"
+        )
+    allowed = frozenset(meta.columns) if meta is not None else frozenset()
+    terms, excludes, phrases, fields = parse_query(rest, allowed)
+    if correct and terms:
+        terms, _ = correct_terms(index, terms)
+    positives = terms + [w for p in phrases for w in p]
+
+    spark = index.lexicon.sparkSession
+    empty = spark.createDataFrame([], "rank int, doc_id long, score double")
+
+    sym_docs = None
+    if syms:
+        sym_docs = (
+            symbols.filter(F.col("symbol").isin(sorted(set(syms))))
+            .select("doc_id")
+            .distinct()
+        )
+
+    restrict_patterns = list(patterns)
+    if positives:
+        scored = bm25_topk(index, positives, k=None, mode=mode)
+    elif patterns:
+        scored = _grep_line_counts(
+            trigram, docs, restrict_patterns.pop(0), text_col, id_col
+        )
+    elif sym_docs is not None:
+        # sym-led query: rank by definition count (ties by doc_id — O3)
+        scored = (
+            symbols.filter(F.col("symbol").isin(sorted(set(syms))))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("double").alias("score"))
+        )
+        sym_docs = None  # consumed as the scoring leg
+    else:
+        return empty
+
+    for pat in restrict_patterns:
+        scored = scored.join(
+            _regex_doc_matches(trigram, docs, pat, text_col, id_col),
+            "doc_id",
+            "leftsemi",
+        )
+    if sym_docs is not None:
+        scored = scored.join(sym_docs, "doc_id", "leftsemi")
+    if phrases:
+        from .proximity import phrase_match
+
+        for p in phrases:
+            scored = scored.join(phrase_match(index, p), "doc_id", "left_semi")
+    ex = normalize_terms(excludes)
+    if ex:
+        scored = scored.join(
+            postings_for_terms(index, ex, positions=False).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    if fields:
+        scored = scored.join(_field_filter(meta, fields), "doc_id", "left_semi")
+    if k is None:
+        return scored
+    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])

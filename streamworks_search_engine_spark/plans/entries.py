@@ -902,6 +902,32 @@ def _trigram_index(spark, sf_dir, fold_case=False):
     return idx
 
 
+# trigram index over the ANCHOR-derived code corpus (the code_search
+# entry's regex leg); same one-live-entry bound as _TRIGRAM_CACHE
+_ANCHOR_TRI_CACHE: dict = {}
+
+
+def _anchor_trigram_index(spark, sf_dir):
+    from ..operators.trigram import build_trigram_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _ANCHOR_TRI_CACHE:
+        return _ANCHOR_TRI_CACHE[key]
+    for old_key in list(_ANCHOR_TRI_CACHE):
+        old = _ANCHOR_TRI_CACHE.pop(old_key)
+        old.postings.unpersist(blocking=False)
+        old.lexicon.unpersist(blocking=False)
+    idx = build_trigram_index(
+        _anchor_docs(spark, sf_dir).select(
+            "doc_id", F.col("content").alias("text")
+        )
+    )
+    idx.postings = idx.postings.persist()
+    idx.lexicon = idx.lexicon.persist()
+    _ANCHOR_TRI_CACHE[key] = idx
+    return idx
+
+
 def q_regex_search_alternation(spark, sf_dir):
     """Trigram-indexed regex search (operators/trigram.py — the Cox 2012
     code-search design the reference lacks): the OR-of-ANDs trigram query
@@ -1061,6 +1087,38 @@ def q_symbol_prefix_topk(spark, sf_dir):
         "doc_id", F.col("content").alias("text")
     )
     return symbol_prefix_topk(extract_symbols(docs), "s", k=10)
+
+
+def q_code_search_top10(spark, sf_dir):
+    """Unified code-search front door (operators/code_search.py): ONE
+    query string composing all four leg types over the anchor corpus —
+    BM25 scoring ('window'), a trigram-answered ``/regex/`` atom, a
+    ``sym:`` atom against the ctags-shaped symbol table, and a term
+    exclusion. Each leg reuses a driver-verified operator plan (the flat
+    BM25 path, trigram candidate delivery + rlike verify, the symbol
+    extraction, the postings anti-join); the oracle recomposes the same
+    legs in SQL with the regex/symbol sides UNPRUNED (whole-table
+    regexp_matches + per-line extraction), so a hash match proves both
+    the composition and the structural pruning lossless end-to-end."""
+    from ..operators.code_search import code_search
+    from ..operators.symbols import extract_symbols
+
+    docs = _anchor_docs(spark, sf_dir).select(
+        "doc_id", F.col("content").alias("text")
+    )
+    res = code_search(
+        _anchor_index(spark, sf_dir),
+        r"window /from pkg\.mod\d+ import scan/ sym:query -mod12",
+        k=10,
+        docs=docs,
+        trigram=_anchor_trigram_index(spark, sf_dir),
+        symbols=extract_symbols(docs),
+    )
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
 
 
 PHRASE = ["table", "hash"]  # bigram present at every SF in the documents text
@@ -1798,7 +1856,6 @@ QUERIES = {
     "search_fielded_top10": q_search_fielded,
     "facet_lang_counts": q_facet_lang_counts,
     "trigram_lm": q_trigram_lm,
-    "trigram_lm_doc_score": q_trigram_lm_doc_score,
     "more_like_this_top10": q_more_like_this,
     "hybrid_rrf_top10": q_hybrid_rrf_top10,
     "tfidf_reference": q_tfidf_reference,
@@ -1840,11 +1897,17 @@ QUERIES = {
     "substring_search": q_substring_search,
     "regex_match_count_topk": q_regex_match_count_topk,
     "search_bm25_regex_topk": q_search_bm25_regex_topk,
+    # -- new (round-5 continuation): unified code-search front door —
+    #    all four leg types in one query string --
+    "code_search_top10": q_code_search_top10,
     # ---- driver window boundary (first 50 entries end here) ----
     # 51-into-50 casualties, all with standing r3 hash-green rows and
-    # code untouched since: cosine_topk (bench-exercised every round)
-    # and the three textstats rows displaced by the symbol entries
-    # (their file keeps in-window coverage via quality_stats)
+    # code untouched since: cosine_topk (bench-exercised every round),
+    # the three textstats rows displaced by the symbol entries (their
+    # file keeps in-window coverage via quality_stats), and
+    # trigram_lm_doc_score displaced by code_search_top10 (its core LM
+    # build trigram_lm stays in-window, same file)
+    "trigram_lm_doc_score": q_trigram_lm_doc_score,
     "cosine_topk": q_cosine_topk,
     "repetition_stats": q_repetition_stats,
     "langid_en": q_langid_en,
@@ -3483,3 +3546,27 @@ cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_defs
 SELECT CAST(row_number() OVER (ORDER BY n_defs DESC, doc_id) AS INT) AS rank,
        doc_id, n_defs
 FROM cnt ORDER BY n_defs DESC, doc_id LIMIT 10"""
+
+# ---- unified code-search front door (operators/code_search.py) ----
+# The oracle recomposes the entry's four legs with the structural sides
+# UNPRUNED: BM25 over the anchor index CTEs, a whole-table
+# regexp_matches for the /regex/ atom, a per-line SYMBOL_DEF_RE extract
+# for sym:, and the postings anti-join for the exclusion. A hash match
+# therefore proves the Spark side's trigram pruning and symbol-table
+# routing lossless IN COMPOSITION, not just per leg.
+ORACLE_SQL["code_search_top10"] = f"""{_bm25_sql_base(
+    ["window"], index_sql=_ANCHOR_INDEX_SQL
+)},
+csl AS (SELECT doc_id, unnest(string_split(content, chr(10))) AS line
+        FROM src),
+cssym AS (SELECT DISTINCT doc_id FROM csl
+          WHERE regexp_extract(line, '{_SYMBOL_RE}', 2) = 'query'),
+csre AS (SELECT doc_id FROM src
+         WHERE regexp_matches(content, 'from pkg\\.mod\\d+ import scan')),
+csex AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'mod12'),
+csfin AS (SELECT m.doc_id, m.s FROM matched m
+          JOIN csre USING (doc_id) JOIN cssym USING (doc_id)
+          WHERE m.doc_id NOT IN (SELECT doc_id FROM csex))
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(s, 6) AS score
+FROM csfin ORDER BY s DESC, doc_id LIMIT 10"""

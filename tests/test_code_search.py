@@ -1,0 +1,239 @@
+"""Unified code-search front door (operators/code_search.py).
+
+Same strategy as test_search_string.py: the parser is the only new
+machinery — pin its grammar, then pin every composition against the
+already-verified component operators it claims to reuse (bm25_topk /
+regex_search / regex_grep_count_topk / extract_symbols / search)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.operators.code_search import (
+    code_search,
+    parse_code_query,
+)
+from streamworks_search_engine_spark.operators.query import (
+    bm25_topk,
+    search,
+)
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+
+def test_parse_code_query_grammar():
+    assert parse_code_query("parse /struct \\w+/ sym:main -merge") == (
+        ["struct \\w+"],
+        ["main"],
+        "parse -merge",
+    )
+    # atoms must be standalone: path separators and URLs never parse
+    assert parse_code_query("path/to/file http://x") == (
+        [],
+        [],
+        "path/to/file http://x",
+    )
+    # spaces allowed inside an atom; \/ escapes a slash
+    assert parse_code_query("/import \\w+ as/ x") == (
+        ["import \\w+ as"],
+        [],
+        "x",
+    )
+    assert parse_code_query("/a\\/b/") == (["a/b"], [], "")
+    # sym: at string start; repeated atoms accumulate in order
+    assert parse_code_query("sym:a sym:b /x/ /y/") == (
+        ["x", "y"],
+        ["a", "b"],
+        "",
+    )
+    assert parse_code_query("") == ([], [], "")
+    assert parse_code_query(None) == ([], [], "")
+
+
+# --------------------------------------------------------------------------
+# fixtures: docs / symbols / trigram index aligned with spark_index
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cs_docs(spark):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    return (
+        with_doc_id(corpus_df(spark, 200, seed=42, partitions=8))
+        .select("doc_id", F.col("content").alias("text"))
+        .persist()
+    )
+
+
+@pytest.fixture(scope="module")
+def cs_symbols(cs_docs):
+    from streamworks_search_engine_spark.operators.symbols import (
+        extract_symbols,
+    )
+
+    return extract_symbols(cs_docs).persist()
+
+
+@pytest.fixture(scope="module")
+def cs_trigram(cs_docs):
+    from streamworks_search_engine_spark.operators.trigram import (
+        build_trigram_index,
+    )
+
+    return build_trigram_index(cs_docs)
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], round(float(r[df.columns[2]]), 9))
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+# --------------------------------------------------------------------------
+# compositions
+# --------------------------------------------------------------------------
+
+
+def test_words_only_equals_search(spark_index, cs_docs):
+    got = code_search(spark_index, 'parse -merge "token state"', k=10)
+    want = search(spark_index, 'parse -merge "token state"', k=10)
+    assert _rows(got) == _rows(want)
+
+
+def test_regex_atom_restricts_bm25(spark_index, cs_docs, cs_trigram):
+    from streamworks_search_engine_spark.operators.query import _ranked_topk
+    from streamworks_search_engine_spark.operators.trigram import regex_search
+
+    pat = "struct \\w+\\(token"
+    got = code_search(
+        spark_index,
+        f"parse /{pat}/",
+        k=10,
+        trigram=cs_trigram,
+        docs=cs_docs,
+    )
+    want = _ranked_topk(
+        bm25_topk(spark_index, ["parse"], k=None).join(
+            regex_search(cs_trigram, cs_docs, pat), "doc_id", "leftsemi"
+        ),
+        10,
+        ["rank", "doc_id", "score"],
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0  # the composition actually matched something
+
+
+def test_regex_led_equals_grep_count(spark_index, cs_docs, cs_trigram):
+    from streamworks_search_engine_spark.operators.trigram import (
+        regex_grep_count_topk,
+    )
+
+    pat = "return \\w+ \\+ \\d+"
+    got = code_search(
+        spark_index, f"/{pat}/", k=10, trigram=cs_trigram, docs=cs_docs
+    )
+    want = regex_grep_count_topk(cs_trigram, cs_docs, pat, k=10)
+    assert [
+        (r["rank"], r["doc_id"], float(r["score"]))
+        for r in got.orderBy("rank").collect()
+    ] == [
+        (r["rank"], r["doc_id"], float(r["n_lines"]))
+        for r in want.orderBy("rank").collect()
+    ]
+    assert got.count() > 0
+
+
+def test_sym_atom_restricts(spark_index, cs_docs, cs_symbols):
+    sym = (
+        cs_symbols.orderBy("symbol", "doc_id").limit(1).collect()[0]["symbol"]
+    )
+    got = code_search(
+        spark_index,
+        f"parse sym:{sym}",
+        k=10,
+        docs=cs_docs,
+        symbols=cs_symbols,
+    )
+    from streamworks_search_engine_spark.operators.query import _ranked_topk
+
+    want = _ranked_topk(
+        bm25_topk(spark_index, ["parse"], k=None).join(
+            cs_symbols.filter(F.col("symbol") == sym)
+            .select("doc_id")
+            .distinct(),
+            "doc_id",
+            "leftsemi",
+        ),
+        10,
+        ["rank", "doc_id", "score"],
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_sym_led_ranks_by_definition_count(spark_index, cs_docs, cs_symbols):
+    sym = (
+        cs_symbols.orderBy("symbol", "doc_id").limit(1).collect()[0]["symbol"]
+    )
+    got = code_search(
+        spark_index,
+        f"sym:{sym}",
+        k=10,
+        docs=cs_docs,
+        symbols=cs_symbols,
+    )
+    want = (
+        cs_symbols.filter(F.col("symbol") == sym)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("score"))
+    )
+    from streamworks_search_engine_spark.operators.query import _ranked_topk
+
+    assert _rows(got) == _rows(
+        _ranked_topk(want, 10, ["rank", "doc_id", "score"])
+    )
+    assert got.count() > 0
+
+
+def test_regex_fallback_without_trigram_identical(
+    spark_index, cs_docs, cs_trigram
+):
+    q = "parse /struct \\w+\\(token/"
+    with_idx = code_search(
+        spark_index, q, k=10, trigram=cs_trigram, docs=cs_docs
+    )
+    without = code_search(spark_index, q, k=10, trigram=None, docs=cs_docs)
+    assert _rows(with_idx) == _rows(without)
+
+
+def test_sym_without_table_raises(spark_index, cs_docs):
+    with pytest.raises(ValueError, match="sym:"):
+        code_search(spark_index, "parse sym:main", k=10, docs=cs_docs)
+
+
+def test_empty_query_returns_empty(spark_index, cs_docs):
+    assert code_search(spark_index, "", k=10, docs=cs_docs).count() == 0
+    # exclusion-only: nothing scores, nothing to restrict
+    assert (
+        code_search(spark_index, "-parse", k=10, docs=cs_docs).count() == 0
+    )
+
+
+def test_meta_qualifier_composes(spark_index, cs_docs, spark):
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    meta = with_doc_id(corpus_df(spark, 200, seed=42, partitions=8)).select(
+        "doc_id", "lang", "path"
+    )
+    got = code_search(
+        spark_index, "parse lang:go", k=10, docs=cs_docs, meta=meta
+    )
+    want = search(spark_index, "parse lang:go", k=10, meta=meta)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
