@@ -310,6 +310,45 @@ class TrigramIndex:
     # case-sensitive and (?i) patterns (the planner folds the query's
     # literals to match; verification always runs the ORIGINAL pattern)
     fold_case: bool = False
+    # driver-resident {tri_code: df} probe cache (cache_lexicon) — when
+    # set, plan_regex/substring_search probe dfs with dict lookups
+    # instead of a per-query lexicon job
+    df_map: dict | None = None
+
+    def cache_lexicon(self, max_rows: int = 4_000_000) -> bool:
+        """Opt-in: collect the trigram lexicon into a driver-resident
+        ``{tri_code: df}`` map so every query's planning probe is a dict
+        lookup instead of ONE bounded Spark job. Returns True if cached.
+
+        Why this is scale-honest where the WORD lexicon's equivalent
+        would not be: the trigram keyspace is capped by |charset|^3
+        (practically a few hundred thousand distinct trigrams for source
+        code, ~16M at the absolute ASCII ceiling), INDEPENDENT of corpus
+        size — the design point that lets Zoekt hold per-shard trigram
+        tables in RAM. The word lexicon grows with the corpus vocabulary
+        and gets no such bound, which is why the BM25 path keeps its
+        per-query semi-join probe. ``max_rows`` guards the ceiling: a
+        larger-than-expected lexicon (binary-heavy corpora) refuses the
+        cache and keeps the per-query probe — slower, never wrong. The
+        count costs one job, amortized across every later query; the map
+        itself is two ints per entry."""
+        if self.df_map is not None:
+            return True
+        n = self.lexicon.count()
+        if n > max_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cache_lexicon: %d trigram entries exceed max_rows=%d; "
+                "keeping the per-query probe (raise max_rows to force)",
+                n,
+                max_rows,
+            )
+            return False
+        self.df_map = {
+            int(r["tri"]): int(r["df"]) for r in self.lexicon.collect()
+        }
+        return True
 
 
 def _make_trigram_udf(fold_case: bool = False):
@@ -498,6 +537,20 @@ def load_trigram_index(spark: SparkSession, index_dir: str) -> TrigramIndex:
 # --------------------------------------------------------------------------
 
 
+def _probe_dfs(index: TrigramIndex, tri_of: dict) -> dict:
+    """dfs for the probed ``{tri_code: trigram}`` keys: dict lookups when
+    the driver-resident cache is live (:meth:`TrigramIndex.cache_lexicon`
+    — zero jobs), else ONE bounded lexicon job (≤ |tri_of| rows, the
+    filter pushed into the tri-keyed lexicon scan). Absent trigrams are
+    absent from the result either way."""
+    if index.df_map is not None:
+        return {
+            t: index.df_map[c] for c, t in tri_of.items() if c in index.df_map
+        }
+    rows = index.lexicon.filter(F.col("tri").isin(list(tri_of))).collect()
+    return {tri_of[r["tri"]]: int(r["df"]) for r in rows}
+
+
 def plan_regex(
     index: TrigramIndex,
     pattern: str,
@@ -529,8 +582,7 @@ def plan_regex(
     # only the lexicon/postings boundary speaks int64 tri_code keys. The
     # reverse map is exact because tri_code is injective.
     tri_of = {tri_code(t): t for t in all_tris}
-    rows = index.lexicon.filter(F.col("tri").isin(list(tri_of))).collect()
-    dfs = {tri_of[r["tri"]]: int(r["df"]) for r in rows}
+    dfs = _probe_dfs(index, tri_of)
     alts: list[list[str]] = []
     for alt in query:
         if any(t not in dfs for t in alt):
@@ -834,8 +886,7 @@ def substring_search(
         return docs.filter(matches).select(F.col(id_col).alias("doc_id"))
     tris = sorted(_trigrams(needle.lower() if index.fold_case else needle))
     tri_of = {tri_code(t): t for t in tris}
-    rows = index.lexicon.filter(F.col("tri").isin(list(tri_of))).collect()
-    dfs = {tri_of[r["tri"]]: int(r["df"]) for r in rows}
+    dfs = _probe_dfs(index, tri_of)
     if any(t not in dfs for t in tris):
         plan = {"mode": "empty", "alts": [], "dfs": dfs}
     else:

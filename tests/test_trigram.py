@@ -563,3 +563,52 @@ def test_extraction_kernel_matches_tri_code(spark):
             s = t.lower() if fold else t
             exp |= {(i, tri_code(tr)) for tr in _trigrams(s)}
         assert got == exp, f"fold_case={fold}"
+
+
+# --------------------------------------------------------------------------
+# driver-resident lexicon probe cache (TrigramIndex.cache_lexicon)
+# --------------------------------------------------------------------------
+
+
+def test_cached_probe_identical_to_job_probe(tri_index, docs):
+    """cache_lexicon must change the probe's COST only: every plan field
+    and every search result identical to the per-query-job probe, across
+    index/scan/empty modes."""
+    cached = TrigramIndex(
+        postings=tri_index.postings,
+        lexicon=tri_index.lexicon,
+        n_docs=tri_index.n_docs,
+        fold_case=tri_index.fold_case,
+    )
+    assert cached.cache_lexicon() is True
+    assert cached.df_map and tri_index.df_map is None  # fixture untouched
+    for pattern in PATTERNS:
+        assert plan_regex(cached, pattern) == plan_regex(tri_index, pattern)
+        got = sorted(
+            r["doc_id"] for r in regex_search(cached, docs, pattern).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in regex_search(tri_index, docs, pattern).collect()
+        )
+        assert got == want, pattern
+    # substring path shares the probe
+    assert sorted(
+        r["doc_id"]
+        for r in substring_search(cached, docs, "posting_").collect()
+    ) == sorted(
+        r["doc_id"]
+        for r in substring_search(tri_index, docs, "posting_").collect()
+    )
+
+
+def test_cache_lexicon_refuses_past_max_rows(tri_index):
+    idx = TrigramIndex(
+        postings=tri_index.postings,
+        lexicon=tri_index.lexicon,
+        n_docs=tri_index.n_docs,
+        fold_case=tri_index.fold_case,
+    )
+    assert idx.cache_lexicon(max_rows=1) is False
+    assert idx.df_map is None  # refusal keeps the per-query probe
+    assert idx.cache_lexicon() is True  # and a later retry can succeed
