@@ -442,6 +442,49 @@ def main() -> None:
             "symbol lookup diverged from extraction"
     timings["symbol_lookup_p50"] = round(statistics.median(sym_l), 3)
 
+    # --- unified code-search front door (operators/code_search.py) ---
+    # ONE query string composing the three serving structures this bench
+    # already built over the SAME 40k corpus: BM25 scoring from the
+    # packed word index, a /regex/ atom answered by the trigram index
+    # (driver-cached df probe), and a sym: atom against the symbol
+    # table. Identity is asserted ONCE against the legs composed by hand
+    # from the individually-verified operators (the per-rep asserts above
+    # already pin each leg against its unindexed truth), then 5 timed
+    # reps of the composed query.
+    from streamworks_search_engine_spark.operators.code_search import (
+        code_search,
+    )
+    from streamworks_search_engine_spark.operators.query import (
+        _ranked_topk,
+        bm25_topk,
+    )
+
+    cs_query = f"parse /{tri_pat}/ sym:{probe_sym}"
+    cs_kwargs = dict(docs=tri_docs, trigram=ti, symbols=symtab)
+    cs_want = _ranked_topk(
+        bm25_topk(ci, ["parse"], k=None)
+        .join(regex_search(ti, tri_docs, tri_pat), "doc_id", "leftsemi")
+        .join(
+            symtab.filter(F.col("symbol") == probe_sym)
+            .select("doc_id")
+            .distinct(),
+            "doc_id",
+            "leftsemi",
+        ),
+        10,
+        ["rank", "doc_id", "score"],
+    ).collect()
+    cs_got = code_search(ci, cs_query, k=10, **cs_kwargs).collect()
+    assert [(r["rank"], r["doc_id"]) for r in cs_got] == [
+        (r["rank"], r["doc_id"]) for r in cs_want
+    ] and cs_got, "code_search diverged from its composed legs"
+    cs_l = []
+    for _ in range(5):
+        t0 = time.time()
+        code_search(ci, cs_query, k=10, **cs_kwargs).collect()
+        cs_l.append(time.time() - t0)
+    timings["code_search_p50"] = round(statistics.median(cs_l), 3)
+
     # --- hot-term skew design point (north_rule: hot-term salting) ---
     # generate_skewed_corpus injects ONE term into 50% of the 40k files
     # (x3 occurrences). Evidence that the skew-neutral build — (term,
