@@ -46,13 +46,10 @@ from pyspark.sql import functions as F
 
 from .query import (
     SearchIndex,
-    _field_filter,
-    _ranked_topk,
+    _restrict_and_rank,
     bm25_topk,
     correct_terms,
-    normalize_terms,
     parse_query,
-    postings_for_terms,
 )
 
 # A regex atom is a STANDALONE /…/ span (start-of-string or whitespace
@@ -62,29 +59,62 @@ from .query import (
 # convention); `\/` escapes a literal slash.
 _RE_ATOM = re.compile(r"(?:^|(?<=\s))/((?:[^/\\]|\\.)+)/(?=\s|$)")
 _SYM_ATOM = re.compile(r"(?:^|(?<=\s))sym:(\S+)")
+_QUOTED_SPAN = re.compile(r'"[^"]*"')
 
 
-def parse_code_query(q: str | None) -> tuple[list[str], list[str], str]:
-    """``q`` -> (regex patterns, sym names, remaining query string).
+def _extract_atoms(rx: re.Pattern, s: str) -> tuple[list[str], str]:
+    """Matches of ``rx`` OUTSIDE ``"…"`` phrases -> (atom texts, s with
+    those spans removed). Quoted spans are masked with ``/`` runs of the
+    same length before matching — a char no atom body may contain, so an
+    atom can neither start inside a phrase nor swallow one — and atom
+    text is sliced from the ORIGINAL string by span, so the mask never
+    leaks into a pattern. Quotes win the precedence fight: ``"a sym:b"``
+    is a phrase containing the literal word sym:b, never a sym atom
+    (parse_query's never-raise contract for quoted text holds)."""
+    masked = _QUOTED_SPAN.sub(lambda m: "/" * len(m.group(0)), s)
+    atoms: list[str] = []
+    keep: list[str] = []
+    last = 0
+    for m in rx.finditer(masked):
+        atoms.append(s[m.start(1) : m.end(1)])
+        keep.append(s[last : m.start()])
+        last = m.end()
+    keep.append(s[last:])
+    return atoms, " ".join(keep)
+
+
+def parse_code_query(
+    q: str | None,
+) -> tuple[list[str], list[str], str, str | None]:
+    """``q`` -> (regex patterns, sym names, remaining query string,
+    kind of the FIRST structural atom — ``"regex"`` / ``"sym"`` / None).
 
     The remaining string is what :func:`~.query.parse_query` understands
     (terms / phrases / exclusions / qualifiers); structural atoms are
     removed BEFORE that parse so a pattern's contents never tokenize
-    into scoring terms.
+    into scoring terms — but atoms inside ``"…"`` phrases are NOT
+    extracted (quoted text stays verbatim phrase content). ``first``
+    preserves the atom order the string had, so a wordless query can
+    rank by its leading atom.
     """
     if not q:
-        return [], [], ""
-    patterns = [
-        m.group(1).replace("\\/", "/") for m in _RE_ATOM.finditer(q)
-    ]
-    rest = _RE_ATOM.sub(" ", q)
-    syms = [m.group(1) for m in _SYM_ATOM.finditer(rest)]
-    rest = _SYM_ATOM.sub(" ", rest)
-    # collapse the substitution holes; parse_query is whitespace-splitting
-    # anyway, but a normalized remainder keeps the parse inspectable.
-    # NOTE: this runs AFTER atom extraction, so spaces INSIDE a /…/
-    # pattern are untouched.
-    return patterns, syms, " ".join(rest.split())
+        return [], [], "", None
+    masked = _QUOTED_SPAN.sub(lambda m: "/" * len(m.group(0)), q)
+    m_re = _RE_ATOM.search(masked)
+    m_sym = _SYM_ATOM.search(masked)
+    first = None
+    if m_re and (not m_sym or m_re.start() < m_sym.start()):
+        first = "regex"
+    elif m_sym:
+        first = "sym"
+    patterns, rest = _extract_atoms(_RE_ATOM, q)
+    patterns = [p.replace("\\/", "/") for p in patterns]
+    syms, rest = _extract_atoms(_SYM_ATOM, rest)
+    # collapse the removal holes; parse_query is whitespace-splitting
+    # anyway (phrase CONTENT is whitespace-tokenized too, so normalizing
+    # inside quotes is harmless), but a normalized remainder keeps the
+    # parse inspectable.
+    return patterns, syms, " ".join(rest.split()), first
 
 
 def _regex_doc_matches(
@@ -169,7 +199,7 @@ def code_search(
        for metadata qualifiers, one per phrase;
     4. deterministic top-k.
     """
-    patterns, syms, rest = parse_code_query(query)
+    patterns, syms, rest, first_atom = parse_code_query(query)
     if syms and symbols is None:
         raise ValueError(
             "query uses sym: but no symbol table was supplied — build one "
@@ -200,7 +230,7 @@ def code_search(
     restrict_patterns = list(patterns)
     if positives:
         scored = bm25_topk(index, positives, k=None, mode=mode)
-    elif patterns:
+    elif patterns and (first_atom == "regex" or sym_docs is None):
         scored = _grep_line_counts(
             trigram, docs, restrict_patterns.pop(0), text_col, id_col
         )
@@ -223,20 +253,6 @@ def code_search(
         )
     if sym_docs is not None:
         scored = scored.join(sym_docs, "doc_id", "leftsemi")
-    if phrases:
-        from .proximity import phrase_match
-
-        for p in phrases:
-            scored = scored.join(phrase_match(index, p), "doc_id", "left_semi")
-    ex = normalize_terms(excludes)
-    if ex:
-        scored = scored.join(
-            postings_for_terms(index, ex, positions=False).select("doc_id"),
-            "doc_id",
-            "left_anti",
-        )
-    if fields:
-        scored = scored.join(_field_filter(meta, fields), "doc_id", "left_semi")
-    if k is None:
-        return scored
-    return _ranked_topk(scored, k, ["rank", "doc_id", "score"])
+    return _restrict_and_rank(
+        index, scored, phrases, excludes, fields, meta, k
+    )

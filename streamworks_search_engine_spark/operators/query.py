@@ -825,6 +825,22 @@ def search(
     if not positives:
         return empty
     scored = bm25_topk(index, positives, k=None, mode=mode)
+    return _restrict_and_rank(index, scored, phrases, excludes, fields, meta, k)
+
+
+def _restrict_and_rank(
+    index: SearchIndex,
+    scored: DataFrame,
+    phrases: list[list[str]],
+    excludes: list[str],
+    fields: list[tuple[str, str]],
+    meta: DataFrame | None,
+    k: int | None,
+) -> DataFrame:
+    """The shared restriction tail of every string front door (search and
+    code_search): phrase semi-joins, exclusion anti-join, qualifier
+    semi-join, then the O3 top-k — defined once so the two surfaces
+    cannot drift."""
     if phrases:
         from .proximity import phrase_match
 

@@ -877,55 +877,51 @@ def q_pagerank_iter2_top20(spark, sf_dir):
     return top.select("node", F.round("rank", 9).alias("rank"))
 
 
-# bounded to ONE live entry (same rationale as _MERGE_CACHE): the persisted
-# trigram postings/lexicon pin executor storage, so switching (app, sf_dir)
-# unpersists the previous corpus's index first
+# ONE live trigram index across every variant — documents-table (both
+# fold_case flavors) AND the anchor-corpus one (same rationale as
+# _MERGE_CACHE): the persisted trigram postings/lexicon pin executor
+# storage, so switching variant unpersists the previous index first
 _TRIGRAM_CACHE: dict = {}
 
 
-def _trigram_index(spark, sf_dir, fold_case=False):
-    from ..operators.trigram import build_trigram_index
-
-    key = (spark.sparkContext.applicationId, sf_dir, fold_case)
+def _cached_trigram_index(key: tuple, build):
     if key in _TRIGRAM_CACHE:
         return _TRIGRAM_CACHE[key]
     for old_key in list(_TRIGRAM_CACHE):
         old = _TRIGRAM_CACHE.pop(old_key)
         old.postings.unpersist(blocking=False)
         old.lexicon.unpersist(blocking=False)
-    idx = build_trigram_index(
-        _t(spark, sf_dir, "documents"), fold_case=fold_case
-    )
+    idx = build()
     idx.postings = idx.postings.persist()
     idx.lexicon = idx.lexicon.persist()
     _TRIGRAM_CACHE[key] = idx
     return idx
 
 
-# trigram index over the ANCHOR-derived code corpus (the code_search
-# entry's regex leg); same one-live-entry bound as _TRIGRAM_CACHE
-_ANCHOR_TRI_CACHE: dict = {}
+def _trigram_index(spark, sf_dir, fold_case=False):
+    from ..operators.trigram import build_trigram_index
+
+    return _cached_trigram_index(
+        (spark.sparkContext.applicationId, sf_dir, "documents", fold_case),
+        lambda: build_trigram_index(
+            _t(spark, sf_dir, "documents"), fold_case=fold_case
+        ),
+    )
 
 
 def _anchor_trigram_index(spark, sf_dir):
+    """Trigram index over the ANCHOR-derived code corpus (the
+    code_search entry's regex leg); shares the one-entry cache slot."""
     from ..operators.trigram import build_trigram_index
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _ANCHOR_TRI_CACHE:
-        return _ANCHOR_TRI_CACHE[key]
-    for old_key in list(_ANCHOR_TRI_CACHE):
-        old = _ANCHOR_TRI_CACHE.pop(old_key)
-        old.postings.unpersist(blocking=False)
-        old.lexicon.unpersist(blocking=False)
-    idx = build_trigram_index(
-        _anchor_docs(spark, sf_dir).select(
-            "doc_id", F.col("content").alias("text")
-        )
+    return _cached_trigram_index(
+        (spark.sparkContext.applicationId, sf_dir, "anchor", False),
+        lambda: build_trigram_index(
+            _anchor_docs(spark, sf_dir).select(
+                "doc_id", F.col("content").alias("text")
+            )
+        ),
     )
-    idx.postings = idx.postings.persist()
-    idx.lexicon = idx.lexicon.persist()
-    _ANCHOR_TRI_CACHE[key] = idx
-    return idx
 
 
 def q_regex_search_alternation(spark, sf_dir):

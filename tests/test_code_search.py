@@ -28,28 +28,57 @@ def test_parse_code_query_grammar():
         ["struct \\w+"],
         ["main"],
         "parse -merge",
+        "regex",
     )
     # atoms must be standalone: path separators and URLs never parse
     assert parse_code_query("path/to/file http://x") == (
         [],
         [],
         "path/to/file http://x",
+        None,
     )
     # spaces allowed inside an atom; \/ escapes a slash
     assert parse_code_query("/import \\w+ as/ x") == (
         ["import \\w+ as"],
         [],
         "x",
+        "regex",
     )
-    assert parse_code_query("/a\\/b/") == (["a/b"], [], "")
-    # sym: at string start; repeated atoms accumulate in order
+    assert parse_code_query("/a\\/b/") == (["a/b"], [], "", "regex")
+    # sym: at string start; repeated atoms accumulate in order; `first`
+    # reports the LEADING structural atom
     assert parse_code_query("sym:a sym:b /x/ /y/") == (
         ["x", "y"],
         ["a", "b"],
         "",
+        "sym",
     )
-    assert parse_code_query("") == ([], [], "")
-    assert parse_code_query(None) == ([], [], "")
+    assert parse_code_query("") == ([], [], "", None)
+    assert parse_code_query(None) == ([], [], "", None)
+
+
+def test_parse_code_query_quotes_win():
+    # atoms inside "…" phrases are NOT extracted: quoted text is verbatim
+    # phrase content (parse_query's never-raise contract for quoted text)
+    assert parse_code_query('"install sym:main now"') == (
+        [],
+        [],
+        '"install sym:main now"',
+        None,
+    )
+    assert parse_code_query('"see /foo/ here"') == (
+        [],
+        [],
+        '"see /foo/ here"',
+        None,
+    )
+    # and atoms OUTSIDE quotes still parse alongside a phrase
+    assert parse_code_query('"a b" /x/ sym:y') == (
+        ["x"],
+        ["y"],
+        '"a b"',
+        "regex",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -237,3 +266,41 @@ def test_meta_qualifier_composes(spark_index, cs_docs, spark):
     want = search(spark_index, "parse lang:go", k=10, meta=meta)
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_phrase_with_atomlike_content_never_raises(spark_index, cs_docs):
+    # "sym:x" inside a phrase must not demand a symbol table (and must
+    # not raise) — it is phrase content, handled by the word grammar
+    got = code_search(spark_index, '"parse sym:main"', k=10, docs=cs_docs)
+    assert got.count() == 0 or got.columns == ["rank", "doc_id", "score"]
+
+
+def test_sym_led_wordless_query_ranks_by_defs(
+    spark_index, cs_docs, cs_symbols, cs_trigram
+):
+    """A wordless query whose FIRST atom is sym: ranks by definition
+    count; the regex atom restricts (the documented leading-atom rule)."""
+    from streamworks_search_engine_spark.operators.query import _ranked_topk
+    from streamworks_search_engine_spark.operators.trigram import regex_search
+
+    sym = (
+        cs_symbols.orderBy("symbol", "doc_id").limit(1).collect()[0]["symbol"]
+    )
+    pat = "return \\w+ \\+ \\d+"
+    got = code_search(
+        spark_index,
+        f"sym:{sym} /{pat}/",
+        k=10,
+        docs=cs_docs,
+        trigram=cs_trigram,
+        symbols=cs_symbols,
+    )
+    want = _ranked_topk(
+        cs_symbols.filter(F.col("symbol") == sym)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("score"))
+        .join(regex_search(cs_trigram, cs_docs, pat), "doc_id", "leftsemi"),
+        10,
+        ["rank", "doc_id", "score"],
+    )
+    assert _rows(got) == _rows(want)
