@@ -304,3 +304,71 @@ def test_sym_led_wordless_query_ranks_by_defs(
         ["rank", "doc_id", "score"],
     )
     assert _rows(got) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# parser property sweep: compositional queries round-trip exactly
+# --------------------------------------------------------------------------
+
+
+def test_parse_code_query_property_sweep():
+    """Build queries compositionally from known pieces and assert the
+    parse recovers EXACTLY the planted atoms (in order), leaves words
+    and quoted phrases in the remainder, and never extracts from inside
+    quotes — the soundness contract of the masking approach."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.-",
+        min_size=1,
+        max_size=8,
+    ).filter(lambda w: not w.startswith("sym:"))
+    pat_text = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz ()|+*?[]{}^$",
+        min_size=1,
+        max_size=12,
+    ).filter(lambda p: p.strip("/") == p)
+    sym_name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8
+    )
+    phrase_content = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz /:.",
+        min_size=0,
+        max_size=16,
+    ).map(lambda s: " ".join(s.split()))
+    piece = st.one_of(
+        st.tuples(st.just("word"), word),
+        st.tuples(st.just("regex"), pat_text),
+        st.tuples(st.just("sym"), sym_name),
+        st.tuples(st.just("phrase"), phrase_content),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=6))
+    def run(pieces):
+        parts, want_pat, want_sym, want_rest = [], [], [], []
+        want_first = None
+        for kind, text in pieces:
+            if kind == "word":
+                parts.append(text)
+                want_rest.append(text)
+            elif kind == "regex":
+                parts.append(f"/{text}/")
+                want_pat.append(text)
+                want_first = want_first or "regex"
+            elif kind == "sym":
+                parts.append(f"sym:{text}")
+                want_sym.append(text)
+                want_first = want_first or "sym"
+            else:
+                parts.append(f'"{text}"')
+                want_rest.append(f'"{text}"')
+        q = " ".join(parts)
+        pats, syms, rest, first = parse_code_query(q)
+        assert pats == want_pat, q
+        assert syms == want_sym, q
+        assert rest == " ".join(" ".join(want_rest).split()), q
+        assert first == want_first, q
+
+    run()
