@@ -711,10 +711,29 @@ def parse_query(
     return terms, excludes, phrases, fields
 
 
+def _glob_to_regex(g: str) -> str:
+    """Anchored Java-regex translation of a path glob: ``*`` matches any
+    run (including ``/`` — the forgiving GitHub-search reading, so
+    ``path:src/*.go`` finds nested files too), ``?`` any single char,
+    everything else literal."""
+    import re as _re
+
+    return (
+        "^"
+        + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in g
+        )
+        + "$"
+    )
+
+
 def _field_filter(meta: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
     """doc_id frame passing every field qualifier. Semantics: values for
     the SAME key OR together, distinct keys AND (GitHub search rules);
-    ``path`` matches by substring, every other key by equality."""
+    ``path`` matches by substring — or by anchored glob when the value
+    contains ``*``/``?`` (``path:*.go``, ``path:src/*_test.py``) — every
+    other key by equality."""
     by_key: dict[str, list[str]] = {}
     for k_, v in fields:
         by_key.setdefault(k_, []).append(v)
@@ -726,7 +745,10 @@ def _field_filter(meta: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
         if key == "path":
             cond = F.lit(False)
             for v in vals:
-                cond = cond | F.col(key).contains(v)
+                if "*" in v or "?" in v:
+                    cond = cond | F.col(key).rlike(_glob_to_regex(v))
+                else:
+                    cond = cond | F.col(key).contains(v)
         else:
             cond = F.col(key).isin(vals)
         out = out.filter(cond)

@@ -2,6 +2,8 @@
 is the only new machinery — pin it, then pin the composition against the
 underlying verified operators."""
 
+from pyspark.sql import functions as F
+
 from streamworks_search_engine_spark.operators.proximity import phrase_match
 from streamworks_search_engine_spark.operators.query import (
     bm25_topk,
@@ -222,3 +224,48 @@ def test_correct_terms_keeps_unfixable_and_present(spark_index):
     )
     assert replaced == {}
     assert sorted(corrected) == ["token", "zzzzqqqqxxxx"]
+
+
+def test_path_glob_qualifier(spark, spark_index):
+    """path: values with * / ? match as anchored globs; globless values
+    keep the substring semantics (additive — no existing query changes)."""
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.operators.query import _field_filter
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    meta = with_doc_id(corpus_df(spark, 200, seed=42, partitions=8)).select(
+        "doc_id", "path", "lang"
+    )
+    rows = meta.select("doc_id", "path").collect()
+    want_glob = sorted(r["doc_id"] for r in rows if r["path"].endswith(".go"))
+    got_glob = sorted(
+        r["doc_id"]
+        for r in _field_filter(meta, [("path", "*.go")]).collect()
+    )
+    assert got_glob == want_glob and got_glob
+    # substring form unchanged
+    want_sub = sorted(r["doc_id"] for r in rows if "graph" in r["path"])
+    got_sub = sorted(
+        r["doc_id"]
+        for r in _field_filter(meta, [("path", "graph")]).collect()
+    )
+    assert got_sub == want_sub and got_sub
+    # through the front door: glob qualifier composes with scoring
+    got = search(spark_index, "parse path:*.go", k=None, meta=meta)
+    want = search(spark_index, "parse", k=None).join(
+        meta.filter(F.col("path").rlike("^.*\\.go$")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+
+def test_glob_to_regex_translation():
+    from streamworks_search_engine_spark.operators.query import _glob_to_regex
+
+    assert _glob_to_regex("*.go") == "^.*\\.go$"
+    assert _glob_to_regex("src/?.py") == "^src/.\\.py$"
+    # regex metachars in the glob are literal
+    assert _glob_to_regex("a+b") == "^a\\+b$"
