@@ -1,0 +1,145 @@
+"""One-directory code-search deployment.
+
+The reference engine's users get a full deployment from one build run
+(crawl -> index -> serve, README.md:339-372 of the reference repo);
+this module is that surface for the Spark rebuild: one call builds
+EVERY serving structure from the input_hint table
+``(repo, path, commit, lang, content)`` into one directory, one call
+loads it back, and one object answers the whole unified query language.
+
+Layout (each component the already-verified writer's own format):
+
+    {out_dir}/index/    word index — packed postings, lexicon, doclen,
+                        docs_dim (operators.indexer.build_and_write_index)
+    {out_dir}/trigram/  trigram postings + lexicon, case-folded by
+                        default so one index serves (?i) and sensitive
+                        patterns (operators.trigram.write_trigram_index)
+    {out_dir}/sym/      ctags-shaped symbol table
+                        (operators.symbols.write_symbol_table)
+    {out_dir}/docs/     (doc_id, text) — doc_id-range-sorted so regex
+                        verification's ``doc_id IN (...)`` literal
+                        delivery prunes at row-group granularity
+
+Metadata qualifiers (``lang:go``, ``path:*.go``, ``repo:...``) are
+served from the word index's own ``docs_dim`` table — no extra copy.
+
+At query time ``CodeSearchEngine.search`` is the unified box
+(operators.code_search): BM25 words / phrases / exclusions /
+qualifiers, ``/regex/`` atoms answered through the trigram index,
+``sym:`` atoms through the symbol table. ``load_engine`` pins the
+charset³-bounded trigram lexicon driver-side by default so query
+planning costs zero Spark jobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.code_search import code_search
+from .operators.indexer import build_and_write_index, with_doc_id
+from .operators.query import SearchIndex, load_index
+from .operators.symbols import load_symbol_table, write_symbol_table
+from .operators.trigram import (
+    TrigramIndex,
+    load_trigram_index,
+    write_trigram_index,
+)
+
+
+@dataclass
+class CodeSearchEngine:
+    """A loaded deployment: every serving structure over ONE corpus."""
+
+    index: SearchIndex
+    docs: DataFrame
+    trigram: TrigramIndex | None = None
+    symbols: DataFrame | None = None
+    meta: DataFrame | None = None
+
+    def search(
+        self,
+        query: str,
+        k: int | None = 10,
+        mode: str = "all",
+        correct: bool = False,
+    ) -> DataFrame:
+        """The unified box — see operators.code_search.code_search."""
+        return code_search(
+            self.index,
+            query,
+            k=k,
+            mode=mode,
+            meta=self.meta,
+            docs=self.docs,
+            trigram=self.trigram,
+            symbols=self.symbols,
+            correct=correct,
+        )
+
+
+def build_engine(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    out_dir: str,
+    term_buckets: int = 32,
+    tri_buckets: int = 32,
+    sym_buckets: int = 8,
+    fold_case: bool = True,
+    content_col: str = "content",
+) -> CodeSearchEngine:
+    """Build all four structures from the input_hint table and return the
+    loaded engine.
+
+    Each component build is the verified scale-path writer; they run as
+    separate jobs over the same source (the word build checkpoints its
+    tokenize stage, the trigram build is the single-pass hash-bucket
+    write, the symbol extraction is one codegen pass staging a tiny
+    table). The docs copy is re-sorted by doc_id so the regex verify
+    side's point reads prune; its range write's sampling pass reads the
+    SOURCE projection (a column-pruned parquet scan), not a recompute of
+    anything derived."""
+    text = with_doc_id(docs_df).select(
+        "doc_id", F.col(content_col).alias("text")
+    )
+    build_and_write_index(
+        spark, docs_df, f"{out_dir}/index", term_buckets=term_buckets
+    )
+    write_trigram_index(
+        text, f"{out_dir}/trigram", tri_buckets=tri_buckets,
+        fold_case=fold_case,
+    )
+    write_symbol_table(text, f"{out_dir}/sym", sym_buckets=sym_buckets)
+    (
+        text.repartitionByRange(max(2, term_buckets // 2), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/docs")
+    )
+    return load_engine(spark, out_dir)
+
+
+def load_engine(
+    spark: SparkSession, out_dir: str, cache_probe: bool = True
+) -> CodeSearchEngine:
+    """Load a built deployment. ``cache_probe`` collects the trigram df
+    lexicon driver-side (TrigramIndex.cache_lexicon — size-guarded) so
+    regex planning is jobless."""
+    idx = load_index(spark, f"{out_dir}/index")
+    tri = load_trigram_index(spark, f"{out_dir}/trigram")
+    if cache_probe:
+        tri.cache_lexicon()
+    meta = idx.docs_dim
+    if meta is not None and "doc_len" in meta.columns:
+        # qualifier surface: identity-ish columns only (doc_len /
+        # content_sha256 as search qualifiers would be noise)
+        meta = meta.drop("doc_len")
+    return CodeSearchEngine(
+        index=idx,
+        docs=spark.read.parquet(f"{out_dir}/docs"),
+        trigram=tri,
+        symbols=load_symbol_table(spark, f"{out_dir}/sym"),
+        meta=meta,
+    )

