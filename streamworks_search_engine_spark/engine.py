@@ -101,8 +101,15 @@ def build_engine(
     side's point reads prune; its range write's sampling pass reads the
     SOURCE projection (a column-pruned parquet scan), not a recompute of
     anything derived."""
+    if content_col != "content":
+        # downstream builders (with_doc_id's sha, build_and_write_index)
+        # read the input_hint column name — normalize ONCE here so every
+        # structure indexes the SAME text, whatever the caller named it
+        if "content" in docs_df.columns:
+            docs_df = docs_df.drop("content")
+        docs_df = docs_df.withColumnRenamed(content_col, "content")
     text = with_doc_id(docs_df).select(
-        "doc_id", F.col(content_col).alias("text")
+        "doc_id", F.col("content").alias("text")
     )
     build_and_write_index(
         spark, docs_df, f"{out_dir}/index", term_buckets=term_buckets
@@ -132,10 +139,10 @@ def load_engine(
     if cache_probe:
         tri.cache_lexicon()
     meta = idx.docs_dim
-    if meta is not None and "doc_len" in meta.columns:
-        # qualifier surface: identity-ish columns only (doc_len /
-        # content_sha256 as search qualifiers would be noise)
-        meta = meta.drop("doc_len")
+    if meta is not None:
+        # qualifier surface: identity columns only — doc_len and
+        # content_sha256 as search qualifiers would be noise
+        meta = meta.drop("doc_len", "content_sha256")
     return CodeSearchEngine(
         index=idx,
         docs=spark.read.parquet(f"{out_dir}/docs"),

@@ -13,11 +13,11 @@ from streamworks_search_engine_spark.engine import (
 
 
 @pytest.fixture(scope="module")
-def engine(spark, tmp_path_factory):
+def engine_dir(spark, tmp_path_factory):
     from streamworks_search_engine_spark.sources.corpus import corpus_df
 
     out = str(tmp_path_factory.mktemp("engine") / "deploy")
-    return build_engine(
+    built = build_engine(
         spark,
         corpus_df(spark, 200, seed=42, partitions=8),
         out,
@@ -25,17 +25,35 @@ def engine(spark, tmp_path_factory):
         tri_buckets=8,
         sym_buckets=4,
     )
+    return out, built
+
+
+@pytest.fixture(scope="module")
+def engine(engine_dir, spark):
+    # queries in this module run against a FRESH load of the persisted
+    # layout, not the build-returned handles
+    return load_engine(spark, engine_dir[0])
 
 
 def _ids(df):
     return sorted(r["doc_id"] for r in df.collect())
 
 
-def test_engine_layout_loads_fresh(engine, spark, tmp_path_factory):
-    # a second independent load answers identically to the build-returned
-    # engine (everything really comes from the persisted layout)
+def test_engine_layout_loads_fresh(engine_dir, engine):
+    # the fresh load answers identically to the build-returned engine —
+    # everything really comes from the persisted layout
+    _, built = engine_dir
     assert engine.trigram.df_map is not None  # probe cache live
     assert engine.meta is not None and "lang" in engine.meta.columns
+    assert "content_sha256" not in engine.meta.columns  # qualifier noise dropped
+    q = "parse index"
+    assert [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in engine.search(q, k=10).collect()
+    ] == [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in built.search(q, k=10).collect()
+    ]
 
 
 def test_all_legs_in_one_query(engine):
@@ -85,3 +103,25 @@ def test_path_glob_through_engine(engine):
     meta_go = engine.meta.filter(F.col("path").rlike("^.*\\.go$"))
     assert set(_ids(got)) <= set(_ids(meta_go.select("doc_id")))
     assert got.count() > 0
+
+
+def test_content_col_renames_consistently(spark, tmp_path_factory):
+    """A non-default content column is normalized ONCE so every structure
+    indexes the same text (word index, trigram, symbols, docs copy)."""
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    src = corpus_df(spark, 60, seed=9, partitions=4).withColumnRenamed(
+        "content", "body"
+    )
+    out = str(tmp_path_factory.mktemp("engine_cc") / "deploy")
+    eng = build_engine(
+        spark, src, out, term_buckets=4, tri_buckets=4, sym_buckets=2,
+        content_col="body",
+    )
+    got = eng.search("parse /struct \\w+/", k=5)
+    # regex leg (trigram+docs) and BM25 leg (word index) agree on corpus:
+    # every hit's stored text both matches the regex and contains 'parse'
+    ids = [r["doc_id"] for r in got.collect()]
+    assert ids
+    stored = eng.docs.filter(F.col("doc_id").isin(ids))
+    assert stored.filter(F.col("text").rlike("struct \\w+")).count() == len(ids)
