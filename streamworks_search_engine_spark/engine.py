@@ -65,9 +65,19 @@ class CodeSearchEngine:
         k: int | None = 10,
         mode: str = "all",
         correct: bool = False,
+        snippets: bool = False,
     ) -> DataFrame:
-        """The unified box — see operators.code_search.code_search."""
-        return code_search(
+        """The unified box — see operators.code_search.code_search.
+
+        ``snippets=True`` (requires a finite ``k``) additionally returns
+        ±50-char context windows around the query's FIRST positive word
+        (the reference's SearchHandler snippet behavior) with a
+        ``<b>``-highlighted twin. The page's k doc_ids are collected and
+        pushed into the doc-sorted text copy as an ``IN`` literal — k
+        point reads, never a corpus scan — and a query with no positive
+        words (regex/sym-led) returns NULL snippets (there is no term to
+        window on). Costs one extra bounded action for the page."""
+        res = code_search(
             self.index,
             query,
             k=k,
@@ -77,6 +87,64 @@ class CodeSearchEngine:
             trigram=self.trigram,
             symbols=self.symbols,
             correct=correct,
+        )
+        if not snippets:
+            return res
+        if k is None:
+            raise ValueError("snippets=True needs a finite k (a page)")
+        from .functions.snippets import highlight, snippet
+        from .operators.code_search import parse_code_query
+        from .operators.query import parse_query
+
+        spark = self.index.lexicon.sparkSession
+        schema = (
+            "rank int, doc_id long, score double, snippet string,"
+            " snippet_bold string"
+        )
+        rows = res.collect()  # <= k rows — the page, already ranked
+        if not rows:
+            return spark.createDataFrame([], schema)
+        _, _, rest, _ = parse_code_query(query)
+        allowed = (
+            frozenset(self.meta.columns)
+            if self.meta is not None
+            else frozenset()
+        )
+        terms, _, phrases, _ = parse_query(rest, allowed)
+        # the context term is the FIRST positive word AS TYPED (not the
+        # canonical sorted order scoring uses): the first user token that
+        # survives normalization, taking its first normalized piece when
+        # a code identifier splits (parseIndex -> parse)
+        from .functions.tokenizer import tokenize
+
+        term = None
+        for raw in terms + [w for p in phrases for w in p]:
+            norm = tokenize(raw, "")  # position order, unlike the sorted
+            if norm:                  # canonical order scoring uses
+                term = norm[0]
+                break
+        page = spark.createDataFrame(
+            [(r["rank"], r["doc_id"], r["score"]) for r in rows],
+            "rank int, doc_id long, score double",
+        )
+        if term is None:
+            return page.select(
+                "rank", "doc_id", "score",
+                F.lit(None).cast("string").alias("snippet"),
+                F.lit(None).cast("string").alias("snippet_bold"),
+            )
+        delivered = self.docs.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in rows])
+        ).select("doc_id", "text")
+        snip = snippet(F.col("text"), term, radius=50)
+        return (
+            page.join(F.broadcast(delivered), "doc_id", "left")
+            .select(
+                "rank", "doc_id", "score",
+                snip.alias("snippet"),
+                highlight(snip, term).alias("snippet_bold"),
+            )
+            .orderBy("rank")
         )
 
 

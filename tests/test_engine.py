@@ -125,3 +125,33 @@ def test_content_col_renames_consistently(spark, tmp_path_factory):
     assert ids
     stored = eng.docs.filter(F.col("doc_id").isin(ids))
     assert stored.filter(F.col("text").rlike("struct \\w+")).count() == len(ids)
+
+
+def test_snippets_page(engine):
+    got = engine.search("parse index", k=5, snippets=True).collect()
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert got, "snippet page must be non-empty"
+    # the first positive word is the context term; where present in the
+    # stored text the snippet contains it and the bold twin wraps it
+    with_snip = [r for r in got if r["snippet"] is not None]
+    assert with_snip, "at least one page row should carry a snippet"
+    for r in with_snip:
+        assert "parse" in r["snippet"].lower()
+        assert "<b>parse</b>" in r["snippet_bold"]
+    # plain page identical to snippets=False on (rank, doc_id, score)
+    plain = engine.search("parse index", k=5).collect()
+    assert [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in plain
+    ]
+
+
+def test_snippets_wordless_query_is_null(engine):
+    got = engine.search("/return \\w+ \\+ \\d+/", k=3, snippets=True).collect()
+    assert got and all(r["snippet"] is None for r in got)
+
+
+def test_snippets_requires_finite_k(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="finite k"):
+        engine.search("parse", k=None, snippets=True)
