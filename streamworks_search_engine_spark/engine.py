@@ -70,13 +70,18 @@ class CodeSearchEngine:
         """The unified box — see operators.code_search.code_search.
 
         ``snippets=True`` (requires a finite ``k``) additionally returns
-        ±50-char context windows around the query's FIRST positive word
-        (the reference's SearchHandler snippet behavior) with a
-        ``<b>``-highlighted twin. The page's k doc_ids are collected and
-        pushed into the doc-sorted text copy as an ``IN`` literal — k
-        point reads, never a corpus scan — and a query with no positive
-        words (regex/sym-led) returns NULL snippets (there is no term to
-        window on). Costs one extra bounded action for the page."""
+        ±50-char context windows around the query's first plain positive
+        term as typed (phrase words as fallback; spell-corrected exactly
+        as scoring when ``correct=True`` — see
+        operators.code_search.snippet_term) with a case-insensitive
+        ``<b>``-highlighted twin preserving document casing. The page's
+        k doc_ids are collected and pushed into the doc-sorted text copy
+        as an ``IN`` literal — k point reads, never a corpus scan — and
+        a query with no positive words (regex/sym-led) returns NULL
+        snippets (there is no term to window on). Costs one extra
+        bounded action for the page."""
+        if snippets and k is None:
+            raise ValueError("snippets=True needs a finite k (a page)")
         res = code_search(
             self.index,
             query,
@@ -90,11 +95,8 @@ class CodeSearchEngine:
         )
         if not snippets:
             return res
-        if k is None:
-            raise ValueError("snippets=True needs a finite k (a page)")
         from .functions.snippets import highlight, snippet
-        from .operators.code_search import parse_code_query
-        from .operators.query import parse_query
+        from .operators.code_search import snippet_term
 
         spark = self.index.lexicon.sparkSession
         schema = (
@@ -104,25 +106,9 @@ class CodeSearchEngine:
         rows = res.collect()  # <= k rows — the page, already ranked
         if not rows:
             return spark.createDataFrame([], schema)
-        _, _, rest, _ = parse_code_query(query)
-        allowed = (
-            frozenset(self.meta.columns)
-            if self.meta is not None
-            else frozenset()
+        term = snippet_term(
+            self.index, query, meta=self.meta, correct=correct
         )
-        terms, _, phrases, _ = parse_query(rest, allowed)
-        # the context term is the FIRST positive word AS TYPED (not the
-        # canonical sorted order scoring uses): the first user token that
-        # survives normalization, taking its first normalized piece when
-        # a code identifier splits (parseIndex -> parse)
-        from .functions.tokenizer import tokenize
-
-        term = None
-        for raw in terms + [w for p in phrases for w in p]:
-            norm = tokenize(raw, "")  # position order, unlike the sorted
-            if norm:                  # canonical order scoring uses
-                term = norm[0]
-                break
         page = spark.createDataFrame(
             [(r["rank"], r["doc_id"], r["score"]) for r in rows],
             "rank int, doc_id long, score double",
@@ -142,7 +128,7 @@ class CodeSearchEngine:
             .select(
                 "rank", "doc_id", "score",
                 snip.alias("snippet"),
-                highlight(snip, term).alias("snippet_bold"),
+                highlight(snip, term, ci=True).alias("snippet_bold"),
             )
             .orderBy("rank")
         )

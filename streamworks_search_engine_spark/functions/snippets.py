@@ -49,10 +49,22 @@ def snippet(text: Column, term: str, radius: int = 50) -> Column:
     return F.when(pos > 0, text.substr(start, length))
 
 
-def highlight(snip: Column, term: str, tag: str = "b") -> Column:
-    """Wrap every occurrence of ``term`` in <tag>..</tag> (plain-text term)."""
+def highlight(
+    snip: Column, term: str, tag: str = "b", ci: bool = False
+) -> Column:
+    """Wrap every occurrence of ``term`` in <tag>..</tag> (plain-text term).
+
+    ``ci=True`` matches case-insensitively and PRESERVES the document's
+    own casing inside the tag (``ParseTree`` -> ``<b>Parse</b>Tree`` for
+    term ``parse``) — the pairing for :func:`snippet`, whose locate is
+    case-insensitive; the default stays case-sensitive because the
+    reference's bolding (and the driver-hash-pinned snippet entry) is."""
     import re
 
+    if ci:
+        return F.regexp_replace(
+            snip, f"(?i)({re.escape(term)})", f"<{tag}>$1</{tag}>"
+        )
     return F.regexp_replace(snip, re.escape(term), f"<{tag}>{term}</{tag}>")
 
 

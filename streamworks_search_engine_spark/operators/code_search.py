@@ -164,6 +164,38 @@ def _grep_line_counts(
     )
 
 
+def snippet_term(
+    index: SearchIndex,
+    query: str,
+    meta: DataFrame | None = None,
+    correct: bool = False,
+) -> str | None:
+    """The context-window term a result page should highlight for
+    ``query``: the first PLAIN positive term as typed (phrase words are
+    the fallback when the query is phrase-only — parse_query separates
+    them, so plain terms take precedence over an earlier phrase), spell-
+    corrected exactly as scoring does when ``correct=True``, reduced to
+    its first normalized piece when a code identifier splits
+    (``parseIndex`` -> ``parse``). None when the query has no positive
+    words (regex-/sym-led) — there is nothing to window on.
+
+    Lives next to the parser so the atom/quote/qualifier rules and the
+    correction step can never diverge from what :func:`code_search`
+    scored with."""
+    from ..functions.tokenizer import tokenize
+
+    _, _, rest, _ = parse_code_query(query)
+    allowed = frozenset(meta.columns) if meta is not None else frozenset()
+    terms, _, phrases, _ = parse_query(rest, allowed)
+    if correct and terms:
+        terms, _ = correct_terms(index, terms)
+    for raw in terms + [w for p in phrases for w in p]:
+        norm = tokenize(raw, "")  # position order, not the sorted
+        if norm:                  # canonical order scoring uses
+            return norm[0]
+    return None
+
+
 def code_search(
     index: SearchIndex,
     query: str,

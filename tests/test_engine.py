@@ -155,3 +155,35 @@ def test_snippets_requires_finite_k(engine):
 
     with _pytest.raises(ValueError, match="finite k"):
         engine.search("parse", k=None, snippets=True)
+
+
+def test_snippet_term_correction_and_precedence(engine):
+    from streamworks_search_engine_spark.operators.code_search import (
+        snippet_term,
+    )
+
+    # corrected term windows the page, not the typo (the scoring leg
+    # corrects too, so the two can never diverge)
+    assert snippet_term(engine.index, "parze", correct=True) == "parse"
+    assert snippet_term(engine.index, "parze", correct=False) == "parze"
+    # plain terms take precedence over an earlier phrase (documented)
+    assert snippet_term(engine.index, '"token state" parse') == "parse"
+    assert snippet_term(engine.index, '"token state"') == "token"
+    # identifier splits to its first piece, in position order
+    assert snippet_term(engine.index, "parseIndex") == "parse"
+    # wordless -> None
+    assert snippet_term(engine.index, "/struct \\w+/") is None
+
+
+def test_highlight_ci_preserves_doc_casing(spark):
+    from streamworks_search_engine_spark.functions.snippets import highlight
+
+    df = spark.createDataFrame(
+        [("ParseTree parse PARSER",)], "s string"
+    ).select(
+        highlight(F.col("s"), "parse", ci=True).alias("ci"),
+        highlight(F.col("s"), "parse").alias("cs"),
+    )
+    r = df.collect()[0]
+    assert r["ci"] == "<b>Parse</b>Tree <b>parse</b> <b>PARSE</b>R"
+    assert r["cs"] == "ParseTree <b>parse</b> PARSER"  # default unchanged
