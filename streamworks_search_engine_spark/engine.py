@@ -182,13 +182,146 @@ def build_engine(
     return load_engine(spark, out_dir)
 
 
+def append_docs(
+    spark: SparkSession,
+    out_dir: str,
+    delta_docs: DataFrame,
+    content_col: str = "content",
+    term_buckets: int = 4,
+    tri_buckets: int = 8,
+) -> str:
+    """Make a new doc batch searchable WITHOUT rebuilding — the engine's
+    incremental path (the reference's per-crawl-batch sync cycle).
+    Returns the new word segment dir. Single-writer, append-only
+    (deletes go through the word path's merge_search_segments).
+
+    Commit order, chosen so a crash at ANY point leaves a deployment
+    that is never WRONG, only at-most-partially fresh:
+
+    1. trigram lexicon + stats rewrite FIRST — a df overestimate (rows
+       counted before their postings land) keeps every planned candidate
+       set a SUPERSET: sound. The reverse order could mark a delta-only
+       trigram absent and skip matching docs;
+    2. trigram postings append (hash-layout files carry their own tri
+       min/max row-group stats — the ``tri IN (...)`` pushdown prunes
+       appended files exactly like base files);
+    3. symbol rows append; 4. docs text append — from here delta docs
+       are visible to pure regex/symbol queries (harmless: real docs,
+       correct rows), but not yet ranked;
+    5. word-index delta segment (``append_segment``'s 3-barrier fast
+       path) into ``{out_dir}/wordseg/segments/epoch=<n>`` with the
+       streaming module's ``_COMMITTED`` marker as the LAST write — the
+       batch joins BM25 ranking only here, and ``load_engine`` serves
+       base + marked segments as one exact index (df sums, idf/avgdl
+       recomputed — the load_segmented_index contract). The streamed
+       tier-compaction (``compact_streamed_segments`` on
+       ``{out_dir}/wordseg``) folds accumulated deltas transparently:
+       the same listing protocol decides visibility."""
+    from .operators.merge import append_segment
+    from .operators.symbols import extract_symbols
+    from .operators.trigram import trigram_postings
+    from .streaming.incremental import (
+        COMMIT_MARKER,
+        _hadoop_fs,
+        _marked_epoch_dirs,
+        _read_manifest,
+    )
+
+    if content_col != "content":
+        if "content" in delta_docs.columns:
+            delta_docs = delta_docs.drop("content")
+        delta_docs = delta_docs.withColumnRenamed(content_col, "content")
+    text = with_doc_id(delta_docs).select(
+        "doc_id", F.col("content").alias("text")
+    )
+
+    # -- 1+2: trigram structures --
+    tri = load_trigram_index(spark, f"{out_dir}/trigram")
+    delta_post = trigram_postings(text, fold_case=tri.fold_case).persist()
+    delta_lex = delta_post.groupBy("tri").agg(F.count("*").alias("df"))
+    merged_lex = (
+        tri.lexicon.unionByName(delta_lex)
+        .groupBy("tri")
+        .agg(F.sum("df").alias("df"))
+        .repartition(max(1, tri_buckets // 4), "tri")
+        .sortWithinPartitions("tri")
+        # materialized off the input files so the overwrite below cannot
+        # read the directory it is replacing
+        .localCheckpoint()
+    )
+    stats = text.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    merged_lex.write.mode("overwrite").parquet(
+        f"{out_dir}/trigram/tri_lexicon"
+    )
+    spark.createDataFrame(
+        [
+            (
+                tri.n_docs + int(stats["n"]),
+                (tri.total_chars or 0) + int(stats["chars"] or 0),
+                bool(tri.fold_case),
+                "cp21x3",
+            )
+        ],
+        "n_docs long, total_chars long, fold_case boolean,"
+        " tri_encoding string",
+    ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/trigram/tri_stats")
+    (
+        delta_post.repartition(max(1, tri_buckets), "tri")
+        .sortWithinPartitions("tri", "doc_id")
+        .write.mode("append")
+        .parquet(f"{out_dir}/trigram/tri_postings")
+    )
+    delta_post.unpersist()
+    merged_lex.unpersist()
+
+    # -- 3: symbols; 4: docs text --
+    (
+        extract_symbols(text)
+        .sortWithinPartitions("symbol", "doc_id", "line_no")
+        .write.mode("append")
+        .parquet(f"{out_dir}/sym/symbols")
+    )
+    (
+        text.sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .parquet(f"{out_dir}/docs")
+    )
+
+    # -- 5: word segment + visibility marker --
+    # next epoch must exceed BOTH live epoch dirs AND a compaction
+    # manifest's cut (compaction may remove the old epoch dirs; an epoch
+    # number at or below the cut would be invisible to the listing)
+    man = _read_manifest(spark, f"{out_dir}/wordseg")
+    cut = int(man["max_epoch"]) if man else -1
+    epochs = _marked_epoch_dirs(spark, f"{out_dir}/wordseg")
+    nxt = 1 + max([cut] + [e for e, _ in epochs])
+    seg_dir = f"{out_dir}/wordseg/segments/epoch={nxt}"
+    append_segment(spark, delta_docs, seg_dir, term_buckets=term_buckets)
+    fs, marker = _hadoop_fs(spark, f"{seg_dir}/{COMMIT_MARKER}")
+    fs.create(marker, True).close()
+    return seg_dir
+
+
 def load_engine(
     spark: SparkSession, out_dir: str, cache_probe: bool = True
 ) -> CodeSearchEngine:
     """Load a built deployment. ``cache_probe`` collects the trigram df
     lexicon driver-side (TrigramIndex.cache_lexicon — size-guarded) so
-    regex planning is jobless."""
-    idx = load_index(spark, f"{out_dir}/index")
+    regex planning is jobless. Appended batches (:func:`append_docs`) are
+    served automatically: base + committed word segments open as one
+    exact segmented index; the appended trigram/symbol/docs files are
+    part of their tables' own directories already."""
+    from .operators.merge import load_segmented_index
+    from .streaming.incremental import committed_segment_dirs
+
+    segs = committed_segment_dirs(spark, f"{out_dir}/wordseg")
+    if segs:
+        idx = load_segmented_index(spark, [f"{out_dir}/index"] + segs)
+    else:
+        idx = load_index(spark, f"{out_dir}/index")
     tri = load_trigram_index(spark, f"{out_dir}/trigram")
     if cache_probe:
         tri.cache_lexicon()

@@ -187,3 +187,64 @@ def test_highlight_ci_preserves_doc_casing(spark):
     r = df.collect()[0]
     assert r["ci"] == "<b>Parse</b>Tree <b>parse</b> <b>PARSE</b>R"
     assert r["cs"] == "ParseTree <b>parse</b> PARSER"  # default unchanged
+
+
+def test_append_docs_exact_vs_rebuild(spark, tmp_path_factory):
+    """Appending a batch serves rank-identical results to a from-scratch
+    build over the union corpus (doc-disjoint segments: df sums, idf and
+    avgdl recomputed exactly), and the delta is visible to every leg."""
+    from streamworks_search_engine_spark.engine import append_docs
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+
+    full = corpus_df(spark, 200, seed=42, partitions=4)
+    keyed = with_doc_id(full).persist()
+    base = keyed.filter(F.col("doc_id") % 4 != 0).select(*cols)
+    delta = keyed.filter(F.col("doc_id") % 4 == 0).select(*cols)
+    n_delta = delta.count()
+    assert 0 < n_delta < 100  # a real split, delta-sized
+
+    out = str(tmp_path_factory.mktemp("engine_app") / "deploy")
+    build_engine(spark, base, out, term_buckets=4, tri_buckets=4,
+                 sym_buckets=2)
+    append_docs(spark, out, delta)
+    eng = load_engine(spark, out)
+
+    ref = build_engine(
+        spark, full,
+        str(tmp_path_factory.mktemp("engine_ref") / "deploy"),
+        term_buckets=4, tri_buckets=4, sym_buckets=2,
+    )
+    for q in ("parse index", 'parse /struct \\w+\\(token/', "merge"):
+        got = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in eng.search(q, k=10).collect()
+        ]
+        want = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in ref.search(q, k=10).collect()
+        ]
+        assert got == want, q
+    # delta-only doc reachable through every structure
+    delta_ids = {
+        r["doc_id"] for r in with_doc_id(delta).select("doc_id").collect()
+    }
+    assert eng.docs.filter(
+        F.col("doc_id").isin(sorted(delta_ids))
+    ).count() == n_delta
+    assert {
+        r["doc_id"] for r in eng.search("parse index", k=None).collect()
+    } & delta_ids, "some delta doc should match the broad query"
+    # regex over a delta doc's text goes through the appended trigram files
+    one = eng.docs.filter(F.col("doc_id").isin(sorted(delta_ids))).first()
+    import re as _re
+
+    m = _re.search(r"struct \w+", one["text"])
+    if m:
+        got_ids = {
+            r["doc_id"]
+            for r in eng.search(f"/{m.group(0)}/", k=None).collect()
+        }
+        assert one["doc_id"] in got_ids
