@@ -182,6 +182,27 @@ def build_engine(
     return load_engine(spark, out_dir)
 
 
+def _committed_append_dirs(spark: SparkSession, out_dir: str) -> list[str]:
+    """Batch-append dirs under ``{out_dir}/appends`` whose ``_COMMITTED``
+    marker exists, sorted — one driver-side listing, the same visibility
+    protocol the streamed word segments use."""
+    from .streaming.incremental import COMMIT_MARKER, _hadoop_fs
+
+    fs, root = _hadoop_fs(spark, f"{out_dir}/appends")
+    if not fs.exists(root):
+        return []
+    out = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        p = status.getPath()
+        if fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(p, COMMIT_MARKER)
+        ):
+            out.append(p.toString())
+    return sorted(out)
+
+
 def append_docs(
     spark: SparkSession,
     out_dir: str,
@@ -192,31 +213,34 @@ def append_docs(
 ) -> str:
     """Make a new doc batch searchable WITHOUT rebuilding — the engine's
     incremental path (the reference's per-crawl-batch sync cycle).
-    Returns the new word segment dir. Single-writer, append-only
+    Returns the batch's word segment dir. Single-writer, append-only
     (deletes go through the word path's merge_search_segments).
 
-    Commit order, chosen so a crash at ANY point leaves a deployment
-    that is never WRONG, only at-most-partially fresh:
-
-    1. trigram lexicon + stats rewrite FIRST — a df overestimate (rows
-       counted before their postings land) keeps every planned candidate
-       set a SUPERSET: sound. The reverse order could mark a delta-only
-       trigram absent and skip matching docs;
-    2. trigram postings append (hash-layout files carry their own tri
-       min/max row-group stats — the ``tri IN (...)`` pushdown prunes
-       appended files exactly like base files);
-    3. symbol rows append; 4. docs text append — from here delta docs
-       are visible to pure regex/symbol queries (harmless: real docs,
-       correct rows), but not yet ranked;
-    5. word-index delta segment (``append_segment``'s 3-barrier fast
-       path) into ``{out_dir}/wordseg/segments/epoch=<n>`` with the
-       streaming module's ``_COMMITTED`` marker as the LAST write — the
-       batch joins BM25 ranking only here, and ``load_engine`` serves
-       base + marked segments as one exact index (df sums, idf/avgdl
-       recomputed — the load_segmented_index contract). The streamed
-       tier-compaction (``compact_streamed_segments`` on
-       ``{out_dir}/wordseg``) folds accumulated deltas transparently:
-       the same listing protocol decides visibility."""
+    Crash safety is by BATCH-SCOPED writes, not ordering: the batch gets
+    a deterministic id (sha256 of its sorted doc_ids — the agg buffer is
+    one delta's ids, delta-sized by the same contract append_segment
+    assumes), and every structural delta (trigram postings + lexicon
+    contribution + stats contribution, symbol rows, docs text) is
+    ``mode("overwrite")``-written into its own
+    ``{out_dir}/appends/batch-<id>/`` directory, with a ``_COMMITTED``
+    marker as that directory's LAST write. Base tables are NEVER touched
+    in place, so a crash at any point leaves the old deployment serving
+    exactly; a RETRY of the same delta rewrites the same batch directory
+    — idempotent, no double rows. The word-index delta segment commits
+    separately (``append_segment`` into
+    ``{out_dir}/wordseg/segments/epoch=<n>``, a ``_BATCH_<id>`` tag,
+    then the ``_COMMITTED`` marker), so BM25 ranking sees the batch only
+    once fully written; a retry finds the tag on an already-committed
+    epoch and skips the rebuild instead of appending a duplicate
+    segment. ``load_engine`` unions committed batch dirs into the
+    trigram/symbol/docs views (lexicon dfs and stats SUM across
+    contributions — doc-disjoint batches make that exact) and serves
+    base + marked word segments as one exact segmented index. The
+    streamed tier-compaction (``compact_streamed_segments`` on
+    ``{out_dir}/wordseg``) folds the word segments; a periodic
+    ``build_engine`` over the full corpus folds the structural batch
+    dirs (the LSM story: appends accumulate, compaction restores the
+    one-piece layout)."""
     from .operators.merge import append_segment
     from .operators.symbols import extract_symbols
     from .operators.trigram import trigram_postings
@@ -231,77 +255,88 @@ def append_docs(
         if "content" in delta_docs.columns:
             delta_docs = delta_docs.drop("content")
         delta_docs = delta_docs.withColumnRenamed(content_col, "content")
-    text = with_doc_id(delta_docs).select(
-        "doc_id", F.col("content").alias("text")
+    # a caller-supplied stable doc_id is used for EVERY structure
+    # (append_segment keeps it too); otherwise the deterministic sha id
+    keyed = (
+        delta_docs
+        if "doc_id" in delta_docs.columns
+        else with_doc_id(delta_docs)
     )
+    text = keyed.select(
+        "doc_id", F.col("content").alias("text")
+    ).persist()
+    bid = text.agg(
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.col("doc_id").cast("string"))
+                ),
+            ),
+            256,
+        ).alias("h")
+    ).collect()[0]["h"][:16]
+    bdir = f"{out_dir}/appends/batch-{bid}"
 
-    # -- 1+2: trigram structures --
+    # -- structural deltas, all inside the batch dir --
     tri = load_trigram_index(spark, f"{out_dir}/trigram")
-    delta_post = trigram_postings(text, fold_case=tri.fold_case).persist()
-    delta_lex = delta_post.groupBy("tri").agg(F.count("*").alias("df"))
-    merged_lex = (
-        tri.lexicon.unionByName(delta_lex)
+    (
+        trigram_postings(text, fold_case=tri.fold_case)
+        .repartition(max(1, tri_buckets), "tri")
+        .sortWithinPartitions("tri", "doc_id")
+        .write.mode("overwrite")
+        .parquet(f"{bdir}/tri_postings")
+    )
+    # lexicon CONTRIBUTION rows (summed at load) derived from the just-
+    # written compact postings — no second extraction pass
+    (
+        spark.read.parquet(f"{bdir}/tri_postings")
         .groupBy("tri")
-        .agg(F.sum("df").alias("df"))
-        .repartition(max(1, tri_buckets // 4), "tri")
-        .sortWithinPartitions("tri")
-        # materialized off the input files so the overwrite below cannot
-        # read the directory it is replacing
-        .localCheckpoint()
+        .agg(F.count("*").alias("df"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{bdir}/tri_lexicon")
     )
     stats = text.agg(
         F.countDistinct("doc_id").alias("n"),
         F.sum(F.length("text")).alias("chars"),
     ).collect()[0]
-    merged_lex.write.mode("overwrite").parquet(
-        f"{out_dir}/trigram/tri_lexicon"
-    )
     spark.createDataFrame(
-        [
-            (
-                tri.n_docs + int(stats["n"]),
-                (tri.total_chars or 0) + int(stats["chars"] or 0),
-                bool(tri.fold_case),
-                "cp21x3",
-            )
-        ],
-        "n_docs long, total_chars long, fold_case boolean,"
-        " tri_encoding string",
-    ).coalesce(1).write.mode("overwrite").json(f"{out_dir}/trigram/tri_stats")
-    (
-        delta_post.repartition(max(1, tri_buckets), "tri")
-        .sortWithinPartitions("tri", "doc_id")
-        .write.mode("append")
-        .parquet(f"{out_dir}/trigram/tri_postings")
-    )
-    delta_post.unpersist()
-    merged_lex.unpersist()
-
-    # -- 3: symbols; 4: docs text --
+        [(int(stats["n"]), int(stats["chars"] or 0))],
+        "n_docs long, total_chars long",
+    ).coalesce(1).write.mode("overwrite").json(f"{bdir}/tri_stats")
     (
         extract_symbols(text)
         .sortWithinPartitions("symbol", "doc_id", "line_no")
-        .write.mode("append")
-        .parquet(f"{out_dir}/sym/symbols")
+        .write.mode("overwrite")
+        .parquet(f"{bdir}/symbols")
     )
     (
         text.sortWithinPartitions("doc_id")
-        .write.mode("append")
-        .parquet(f"{out_dir}/docs")
+        .write.mode("overwrite")
+        .parquet(f"{bdir}/docs")
     )
+    fs, marker = _hadoop_fs(spark, f"{bdir}/{COMMIT_MARKER}")
+    fs.create(marker, True).close()
+    text.unpersist()
 
-    # -- 5: word segment + visibility marker --
+    # -- word segment + visibility marker --
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tag = f"_BATCH_{bid}"
+    epochs = _marked_epoch_dirs(spark, f"{out_dir}/wordseg")
+    for _, d in epochs:
+        if fs.exists(jpath(f"{d}/{tag}")):
+            return d  # this batch already ranked (a prior retry finished)
     # next epoch must exceed BOTH live epoch dirs AND a compaction
     # manifest's cut (compaction may remove the old epoch dirs; an epoch
     # number at or below the cut would be invisible to the listing)
     man = _read_manifest(spark, f"{out_dir}/wordseg")
     cut = int(man["max_epoch"]) if man else -1
-    epochs = _marked_epoch_dirs(spark, f"{out_dir}/wordseg")
     nxt = 1 + max([cut] + [e for e, _ in epochs])
     seg_dir = f"{out_dir}/wordseg/segments/epoch={nxt}"
-    append_segment(spark, delta_docs, seg_dir, term_buckets=term_buckets)
-    fs, marker = _hadoop_fs(spark, f"{seg_dir}/{COMMIT_MARKER}")
-    fs.create(marker, True).close()
+    append_segment(spark, keyed, seg_dir, term_buckets=term_buckets)
+    fs.create(jpath(f"{seg_dir}/{tag}"), True).close()
+    fs.create(jpath(f"{seg_dir}/{COMMIT_MARKER}"), True).close()
     return seg_dir
 
 
@@ -311,10 +346,12 @@ def load_engine(
     """Load a built deployment. ``cache_probe`` collects the trigram df
     lexicon driver-side (TrigramIndex.cache_lexicon — size-guarded) so
     regex planning is jobless. Appended batches (:func:`append_docs`) are
-    served automatically: base + committed word segments open as one
-    exact segmented index; the appended trigram/symbol/docs files are
-    part of their tables' own directories already."""
+    served automatically: committed batch dirs union into the trigram /
+    symbol / docs views (lexicon dfs and stats SUM across contributions —
+    exact for doc-disjoint batches), and base + committed word segments
+    open as one exact segmented index."""
     from .operators.merge import load_segmented_index
+    from .operators.trigram import TrigramIndex
     from .streaming.incremental import committed_segment_dirs
 
     segs = committed_segment_dirs(spark, f"{out_dir}/wordseg")
@@ -323,6 +360,34 @@ def load_engine(
     else:
         idx = load_index(spark, f"{out_dir}/index")
     tri = load_trigram_index(spark, f"{out_dir}/trigram")
+    docs = spark.read.parquet(f"{out_dir}/docs")
+    syms = load_symbol_table(spark, f"{out_dir}/sym")
+    appends = _committed_append_dirs(spark, out_dir)
+    if appends:
+        sub = lambda name: [f"{b}/{name}" for b in appends]  # noqa: E731
+        dstats = (
+            spark.read.json(sub("tri_stats"))
+            .agg(
+                F.sum("n_docs").alias("n"),
+                F.sum("total_chars").alias("chars"),
+            )
+            .collect()[0]
+        )
+        tri = TrigramIndex(
+            postings=tri.postings.unionByName(
+                spark.read.parquet(*sub("tri_postings"))
+            ),
+            lexicon=tri.lexicon.unionByName(
+                spark.read.parquet(*sub("tri_lexicon"))
+            )
+            .groupBy("tri")
+            .agg(F.sum("df").alias("df")),
+            n_docs=tri.n_docs + int(dstats["n"] or 0),
+            total_chars=(tri.total_chars or 0) + int(dstats["chars"] or 0),
+            fold_case=tri.fold_case,
+        )
+        docs = docs.unionByName(spark.read.parquet(*sub("docs")))
+        syms = syms.unionByName(spark.read.parquet(*sub("symbols")))
     if cache_probe:
         tri.cache_lexicon()
     meta = idx.docs_dim
@@ -332,8 +397,8 @@ def load_engine(
         meta = meta.drop("doc_len", "content_sha256")
     return CodeSearchEngine(
         index=idx,
-        docs=spark.read.parquet(f"{out_dir}/docs"),
+        docs=docs,
         trigram=tri,
-        symbols=load_symbol_table(spark, f"{out_dir}/sym"),
+        symbols=syms,
         meta=meta,
     )

@@ -241,10 +241,72 @@ def test_append_docs_exact_vs_rebuild(spark, tmp_path_factory):
     one = eng.docs.filter(F.col("doc_id").isin(sorted(delta_ids))).first()
     import re as _re
 
-    m = _re.search(r"struct \w+", one["text"])
-    if m:
-        got_ids = {
-            r["doc_id"]
-            for r in eng.search(f"/{m.group(0)}/", k=None).collect()
-        }
-        assert one["doc_id"] in got_ids
+    m = _re.search(r"return \w+ \+ \d+", one["text"])
+    assert m, "generated corpus always carries return-lines; pick one"
+    pat = _re.escape(m.group(0))  # the line is a LITERAL ('+' would quantify)
+    got_ids = {
+        r["doc_id"] for r in eng.search(f"/{pat}/", k=None).collect()
+    }
+    assert one["doc_id"] in got_ids
+
+
+def test_append_docs_idempotent_retry(spark, tmp_path_factory):
+    """Re-running append_docs with the same delta (the crash-recovery
+    path) rewrites the same batch dir and finds the tagged word segment —
+    no duplicate rows anywhere, identical results."""
+    from streamworks_search_engine_spark.engine import (
+        _committed_append_dirs,
+        append_docs,
+    )
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    full = with_doc_id(corpus_df(spark, 120, seed=3, partitions=4)).persist()
+    base = full.filter(F.col("doc_id") % 3 != 0).select(*cols)
+    delta = full.filter(F.col("doc_id") % 3 == 0).select(*cols)
+    out = str(tmp_path_factory.mktemp("engine_idem") / "deploy")
+    build_engine(spark, base, out, term_buckets=4, tri_buckets=4,
+                 sym_buckets=2)
+    seg1 = append_docs(spark, out, delta)
+    before = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in load_engine(spark, out).search("parse index", k=10).collect()
+    ]
+    seg2 = append_docs(spark, out, delta)  # retry, same delta
+    # same epoch found via its batch tag (listing returns a file: URI)
+    assert seg2.removeprefix("file:") == seg1.removeprefix("file:")
+    assert len(_committed_append_dirs(spark, out)) == 1
+    eng = load_engine(spark, out)
+    after = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search("parse index", k=10).collect()
+    ]
+    assert after == before
+    assert eng.index.n_docs == 120 and eng.trigram.n_docs == 120
+    # docs copy carries each doc exactly once
+    assert eng.docs.count() == eng.docs.select("doc_id").distinct().count()
+
+
+def test_uncommitted_batch_invisible(spark, tmp_path_factory):
+    """A batch dir without its marker (simulated crash before commit) is
+    ignored by load_engine — the old deployment serves exactly."""
+    from streamworks_search_engine_spark.engine import _committed_append_dirs
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    out = str(tmp_path_factory.mktemp("engine_crash") / "deploy")
+    build_engine(
+        spark, corpus_df(spark, 80, seed=4, partitions=4), out,
+        term_buckets=4, tri_buckets=4, sym_buckets=2,
+    )
+    n0 = load_engine(spark, out).trigram.n_docs
+    # fake a crashed append: dir with data-looking files, no marker
+    import os
+
+    os.makedirs(f"{out}/appends/batch-deadbeef", exist_ok=True)
+    with open(f"{out}/appends/batch-deadbeef/garbage", "w") as fh:
+        fh.write("partial")
+    assert _committed_append_dirs(spark, out) == []
+    eng = load_engine(spark, out)
+    assert eng.trigram.n_docs == n0
+    assert eng.search("parse", k=5).count() > 0
