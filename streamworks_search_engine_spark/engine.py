@@ -213,26 +213,36 @@ def append_docs(
 ) -> str:
     """Make a new doc batch searchable WITHOUT rebuilding — the engine's
     incremental path (the reference's per-crawl-batch sync cycle).
-    Returns the batch's word segment dir. Single-writer, append-only
-    (deletes go through the word path's merge_search_segments).
+    Returns the batch's word segment dir. SINGLE-WRITER (appends and
+    compaction never run concurrently) and APPEND-ONLY: a batch's
+    doc_ids must be new to the deployment — re-submitting existing ids
+    with changed content is an upsert, which raises (use the word
+    path's supersede merge, or rebuild); deletes likewise go through
+    merge_search_segments.
 
-    Crash safety is by BATCH-SCOPED writes, not ordering: the batch gets
-    a deterministic id (sha256 of its sorted doc_ids — the agg buffer is
-    one delta's ids, delta-sized by the same contract append_segment
-    assumes), and every structural delta (trigram postings + lexicon
-    contribution + stats contribution, symbol rows, docs text) is
-    ``mode("overwrite")``-written into its own
-    ``{out_dir}/appends/batch-<id>/`` directory, with a ``_COMMITTED``
-    marker as that directory's LAST write. Base tables are NEVER touched
-    in place, so a crash at any point leaves the old deployment serving
-    exactly; a RETRY of the same delta rewrites the same batch directory
-    — idempotent, no double rows. The word-index delta segment commits
+    Crash safety is by BATCH-SCOPED writes, not ordering: the batch id
+    is a sha256 over the sorted per-row ``(doc_id, sha256(text))``
+    hashes — identity covers CONTENT, so a byte-identical retry maps to
+    the same batch dir while a changed-content re-submit maps to a NEW
+    id and trips the append-only guard instead of half-applying. Every
+    structural delta (trigram postings + lexicon contribution + stats
+    contribution, symbol rows, docs text) is ``mode("overwrite")``-
+    written into ``{out_dir}/appends/batch-<id>/`` with a
+    ``_COMMITTED`` marker as that directory's LAST write. Base tables
+    are NEVER touched in place, so a crash at any point leaves the old
+    deployment serving exactly; a retry rewrites the same batch dir —
+    idempotent, no double rows. The word-index delta segment commits
     separately (``append_segment`` into
     ``{out_dir}/wordseg/segments/epoch=<n>``, a ``_BATCH_<id>`` tag,
-    then the ``_COMMITTED`` marker), so BM25 ranking sees the batch only
-    once fully written; a retry finds the tag on an already-committed
-    epoch and skips the rebuild instead of appending a duplicate
-    segment. ``load_engine`` unions committed batch dirs into the
+    then the ``_COMMITTED`` marker; an orphan epoch dir from a crashed
+    attempt is deleted before reuse so stale tags cannot survive), and
+    the completed append is recorded DURABLY as ``{bdir}/_RANKED``
+    holding the segment path — the retry ledger lives with the batch,
+    not on epoch dirs that compaction may remove. A retry therefore
+    short-circuits on ``_RANKED`` (a few driver-side exists calls, no
+    delta reprocessing), heals from the epoch tag when the crash hit
+    between the segment marker and ``_RANKED``, and only rebuilds
+    otherwise. ``load_engine`` unions committed batch dirs into the
     trigram/symbol/docs views (lexicon dfs and stats SUM across
     contributions — doc-disjoint batches make that exact) and serves
     base + marked word segments as one exact segmented index. The
@@ -265,18 +275,69 @@ def append_docs(
     text = keyed.select(
         "doc_id", F.col("content").alias("text")
     ).persist()
+    # content-inclusive batch identity (one delta-sized agg buffer — the
+    # same delta-sized contract append_segment assumes)
+    row_h = F.sha2(
+        F.concat_ws(
+            "|", F.col("doc_id").cast("string"), F.sha2(F.col("text"), 256)
+        ),
+        256,
+    )
     bid = text.agg(
         F.sha2(
-            F.concat_ws(
-                ",",
-                F.sort_array(
-                    F.collect_list(F.col("doc_id").cast("string"))
-                ),
-            ),
-            256,
+            F.concat_ws(",", F.sort_array(F.collect_list(row_h))), 256
         ).alias("h")
     ).collect()[0]["h"][:16]
     bdir = f"{out_dir}/appends/batch-{bid}"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs, _ = _hadoop_fs(spark, bdir)
+    ranked = jpath(f"{bdir}/_RANKED")
+    tag = f"_BATCH_{bid}"
+
+    def _read_small(path) -> str:
+        stream = fs.open(path)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            ).strip()
+        finally:
+            stream.close()
+
+    def _write_small(path, body: str) -> None:
+        out = fs.create(path, True)
+        try:
+            out.write(bytearray(body.encode("utf-8")))
+        finally:
+            out.close()
+
+    if fs.exists(ranked):  # fully committed previously — cheap no-op
+        text.unpersist()
+        return _read_small(ranked)
+
+    # append-only guard: existing ids may only reappear as OUR OWN retry
+    # (same content-inclusive bid ⇒ the batch dir marker already exists);
+    # anything else is an upsert attempt — refuse before touching disk.
+    # One bounded job: delta-sized semi-join against the served docs view.
+    if not fs.exists(jpath(f"{bdir}/{COMMIT_MARKER}")):
+        doc_dirs = [f"{out_dir}/docs"] + [
+            f"{b}/docs" for b in _committed_append_dirs(spark, out_dir)
+        ]
+        clash = (
+            spark.read.parquet(*doc_dirs)
+            .join(text.select("doc_id"), "doc_id", "leftsemi")
+            .limit(1)
+            .count()
+        )
+        if clash:
+            text.unpersist()
+            raise ValueError(
+                "append_docs is append-only: the delta contains doc_ids "
+                "already in the deployment with different content (batch "
+                f"id {bid} has no committed batch dir). Upserts go "
+                "through merge_search_segments, or rebuild with "
+                "build_engine."
+            )
 
     # -- structural deltas, all inside the batch dir --
     tri = load_trigram_index(spark, f"{out_dir}/trigram")
@@ -316,27 +377,34 @@ def append_docs(
         .write.mode("overwrite")
         .parquet(f"{bdir}/docs")
     )
-    fs, marker = _hadoop_fs(spark, f"{bdir}/{COMMIT_MARKER}")
-    fs.create(marker, True).close()
+    fs.create(jpath(f"{bdir}/{COMMIT_MARKER}"), True).close()
     text.unpersist()
 
-    # -- word segment + visibility marker --
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    tag = f"_BATCH_{bid}"
+    # -- word segment + visibility marker + durable ledger --
     epochs = _marked_epoch_dirs(spark, f"{out_dir}/wordseg")
+    seg_dir = None
     for _, d in epochs:
         if fs.exists(jpath(f"{d}/{tag}")):
-            return d  # this batch already ranked (a prior retry finished)
-    # next epoch must exceed BOTH live epoch dirs AND a compaction
-    # manifest's cut (compaction may remove the old epoch dirs; an epoch
-    # number at or below the cut would be invisible to the listing)
-    man = _read_manifest(spark, f"{out_dir}/wordseg")
-    cut = int(man["max_epoch"]) if man else -1
-    nxt = 1 + max([cut] + [e for e, _ in epochs])
-    seg_dir = f"{out_dir}/wordseg/segments/epoch={nxt}"
-    append_segment(spark, keyed, seg_dir, term_buckets=term_buckets)
-    fs.create(jpath(f"{seg_dir}/{tag}"), True).close()
-    fs.create(jpath(f"{seg_dir}/{COMMIT_MARKER}"), True).close()
+            # crash hit between the segment marker and _RANKED: heal the
+            # ledger, normalize the listing URI to a plain path
+            seg_dir = jpath(d).toUri().getPath()
+            break
+    if seg_dir is None:
+        # next epoch must exceed BOTH live epoch dirs AND a compaction
+        # manifest's cut (compaction may remove old epoch dirs; a number
+        # at or below the cut would be invisible to the listing)
+        man = _read_manifest(spark, f"{out_dir}/wordseg")
+        cut = int(man["max_epoch"]) if man else -1
+        nxt = 1 + max([cut] + [e for e, _ in epochs])
+        seg_dir = f"{out_dir}/wordseg/segments/epoch={nxt}"
+        # an ORPHAN dir here (crashed unmarked attempt — possibly some
+        # OTHER batch's) may hold a stale _BATCH_ tag; remove it whole so
+        # no tag outlives its data
+        fs.delete(jpath(seg_dir), True)
+        append_segment(spark, keyed, seg_dir, term_buckets=term_buckets)
+        fs.create(jpath(f"{seg_dir}/{tag}"), True).close()
+        fs.create(jpath(f"{seg_dir}/{COMMIT_MARKER}"), True).close()
+    _write_small(ranked, seg_dir)
     return seg_dir
 
 

@@ -274,8 +274,8 @@ def test_append_docs_idempotent_retry(spark, tmp_path_factory):
         for r in load_engine(spark, out).search("parse index", k=10).collect()
     ]
     seg2 = append_docs(spark, out, delta)  # retry, same delta
-    # same epoch found via its batch tag (listing returns a file: URI)
-    assert seg2.removeprefix("file:") == seg1.removeprefix("file:")
+    # short-circuits on the durable _RANKED ledger: same plain path back
+    assert seg2 == seg1
     assert len(_committed_append_dirs(spark, out)) == 1
     eng = load_engine(spark, out)
     after = [
@@ -310,3 +310,30 @@ def test_uncommitted_batch_invisible(spark, tmp_path_factory):
     eng = load_engine(spark, out)
     assert eng.trigram.n_docs == n0
     assert eng.search("parse", k=5).count() > 0
+
+
+def test_append_docs_refuses_upsert(spark, tmp_path_factory):
+    """Re-submitting existing doc_ids with CHANGED content is an upsert —
+    the append-only guard refuses instead of half-applying (structural
+    tables updated, ranking stale)."""
+    from streamworks_search_engine_spark.engine import append_docs
+    from streamworks_search_engine_spark.operators.indexer import with_doc_id
+    from streamworks_search_engine_spark.sources.corpus import corpus_df
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    full = with_doc_id(corpus_df(spark, 90, seed=6, partitions=4)).persist()
+    base = full.filter(F.col("doc_id") % 3 != 0).select(*cols)
+    delta = full.filter(F.col("doc_id") % 3 == 0).select(*cols)
+    out = str(tmp_path_factory.mktemp("engine_up") / "deploy")
+    build_engine(spark, base, out, term_buckets=4, tri_buckets=4,
+                 sym_buckets=2)
+    append_docs(spark, out, delta)
+    changed = delta.withColumn(
+        "content", F.concat(F.col("content"), F.lit("\nEDITED"))
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        append_docs(spark, out, changed)
+    # and the deployment still serves the ORIGINAL batch consistently
+    eng = load_engine(spark, out)
+    assert eng.index.n_docs == 90 and eng.trigram.n_docs == 90
+    assert eng.docs.filter(F.col("text").contains("EDITED")).count() == 0
